@@ -1,0 +1,70 @@
+package graft.gemm
+
+import graft.core.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Blocked outer-product GEMM re-expressed relationally.
+  *
+  * The reference (/root/reference/src/outer_product.rs:146-368) simulates
+  * C[m,n] = Σ_k A[:,k] ⊗ B[k,:] as mapper cross-products over k-slices
+  * plus reducer elementwise adds over an m×n grid. In Spark that dataflow
+  * IS the canonical SQL GEMM: coordinate-form A ⋈ B on k (the
+  * cross-product per k-slice, outer_product.rs:193-208) followed by
+  * groupBy(i,j).sum (the elementwise reduce, outer_product.rs:286-352).
+  * Catalyst picks the physical join; the partial/final HashAggregate is
+  * the reference's local-then-memory VecOp pair. The reducer m×n grid
+  * (set_gemm's closest_factor tiling, util.rs:21-61) corresponds to the
+  * hash partitioning of the (i,j) aggregation; gemm2 exposes the
+  * reference's 2×4 grid (para_m=2, para_n=4) as an explicit block
+  * aggregation.
+  *
+  * Matrices use the reference shape m=128, n=128, k=512 (main.rs:13-14)
+  * with integer-valued deterministic generators so sums are exact.
+  */
+object GemmQueries {
+
+  private val (m, n, k) = (128L, 128L, 512L)
+
+  /** A(i,k) = (i*7 + k*13) % 10 in coordinate form, generated without a
+    * cartesian product: one range scan, i = id div k. */
+  private def matA(spark: SparkSession): DataFrame =
+    spark.range(m * k).selectExpr(
+      s"id div $k AS i", s"id % $k AS k", s"(id div $k * 7 + id % $k * 13) % 10 AS a")
+
+  private def matB(spark: SparkSession): DataFrame =
+    spark.range(k * n).selectExpr(
+      s"id div $n AS k", s"id % $n AS j", s"(id div $n * 11 + id % $n * 3) % 10 AS b")
+
+  /** C = A ⋈ B on k, groupBy(i,j), sum(a*b) — exact integer GEMM. */
+  private def matC(spark: SparkSession): DataFrame =
+    matA(spark).join(matB(spark), "k")
+      .groupBy("i", "j").agg(sum(col("a") * col("b")).as("v"))
+
+  private val cteC: String =
+    s"""WITH a AS (SELECT i, kk, (i*7 + kk*13) % 10 AS a FROM range(0, $m) t1(i), range(0, $k) t2(kk)),
+       |b AS (SELECT kk, j, (kk*11 + j*3) % 10 AS b FROM range(0, $k) t3(kk), range(0, $n) t4(j)),
+       |c AS (SELECT i, j, SUM(a*b) AS v FROM a JOIN b USING (kk) GROUP BY i, j)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "gemm1_row_checksum",
+      s"""$cteC
+         |SELECT i, CAST(SUM(v) AS BIGINT) AS row_sum FROM c GROUP BY i ORDER BY i""".stripMargin
+    ) { (spark, _) =>
+      matC(spark).groupBy("i").agg(sum("v").cast("long").as("row_sum")).orderBy("i")
+    },
+
+    Q(
+      "gemm2_block_checksum",
+      s"""$cteC
+         |SELECT i % 2 AS i_blk, j % 4 AS j_blk, CAST(SUM(v) AS BIGINT) AS blk_sum
+         |FROM c GROUP BY 1, 2 ORDER BY i_blk, j_blk""".stripMargin
+    ) { (spark, _) =>
+      matC(spark)
+        .groupBy((col("i") % 2).as("i_blk"), (col("j") % 4).as("j_blk"))
+        .agg(sum("v").cast("long").as("blk_sum"))
+        .orderBy("i_blk", "j_blk")
+    }
+  )
+}

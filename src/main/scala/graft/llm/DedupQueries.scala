@@ -1,0 +1,189 @@
+package graft.llm
+
+import graft.core.Cols._
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface: exact (content hash), MinHash near-dup,
+  * SimHash near-dup, n-gram Jaccard (MinHash-candidates + exact verify),
+  * and embedding-cosine near-dup. All thresholds were calibrated on the
+  * synthetic corpus; all hash functions are portable arithmetic the
+  * DuckDB oracle reproduces bit-for-bit.
+  */
+object DedupQueries {
+
+  import MinHash.P
+
+  /** Portable 32-bit token hash: base-31 polynomial over the first 8
+    * chars of the token right-padded with spaces (fixed length keeps the
+    * SQL closed-form; padding keeps ascii() total). */
+  private def tokenHash32(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val p = rpad(substring(tok, 1, 8), 8, " ")
+    val poly = (2 to 8).foldLeft(ascii(substring(p, 1, 1)).cast("long")) {
+      (acc, i) => acc * 31 + ascii(substring(p, i, 1))
+    }
+    poly % 4294967296L
+  }
+
+  private val tokenHash32Sql =
+    """(((((((CAST(ascii(substr(p,1,1)) AS BIGINT)*31 + ascii(substr(p,2,1)))*31
+      | + ascii(substr(p,3,1)))*31 + ascii(substr(p,4,1)))*31 + ascii(substr(p,5,1)))*31
+      | + ascii(substr(p,6,1)))*31 + ascii(substr(p,7,1)))*31 + ascii(substr(p,8,1))) % 4294967296""".stripMargin.replace("\n", "")
+
+  val all: Seq[Q] = Seq(
+
+    // L1 — exact dedup by sha-256 content hash; one summary row.
+    Q(
+      "l1_exact_dedup",
+      """WITH g AS (SELECT sha256(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+        |SELECT CAST(SUM(c) AS BIGINT) AS total_docs, count(*) AS distinct_texts,
+        |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+        |  CAST(SUM(c - 1) AS BIGINT) AS dup_docs
+        |FROM g""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("h")).agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("total_docs"), count(lit(1)).as("distinct_texts"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_groups"),
+          sum(col("c") - 1).as("dup_docs"))
+    },
+
+    // L2 — MinHash near-dup: pairs agreeing on >= 14/16 minhashes.
+    // Spark path goes through LSH banding (lossless for >= 14 by
+    // pigeonhole); the oracle states the equivalent direct definition.
+    Q(
+      "l2_minhash_neardup",
+      s"""${MinHash.oracleSig},
+         |agree AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS matches
+         |  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, matches FROM agree WHERE matches >= 14 ORDER BY d1, d2""".stripMargin
+    ) { (spark, dir) =>
+      val sig = MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir)))
+      val cand = MinHash.candidates(sig)
+      val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
+      val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
+      val matches = (0 until 16)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand
+        .join(s1, col("d1") === col("s1_doc"))
+        .join(s2, col("d2") === col("s2_doc"))
+        .select(col("d1"), col("d2"), matches.as("matches"))
+        .filter(col("matches") >= 14)
+        .orderBy("d1", "d2")
+    },
+
+    // X1 — SimHash near-dup: 32-bit simhash over tokens, hamming <= 1,
+    // candidates via 4 byte-bands (lossless for hamming <= 1).
+    Q(
+      "x1_simhash_neardup",
+      s"""WITH tok AS (SELECT doc_id, t FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents) u
+         |  WHERE t <> ''),
+         |th AS (SELECT doc_id, $tokenHash32Sql AS th32
+         |  FROM (SELECT doc_id, rpad(substr(t, 1, 8), 8, ' ') AS p FROM tok) v),
+         |bits AS (SELECT doc_id, b,
+         |    SUM(CASE WHEN (th32 // (CAST(1 AS BIGINT) << b)) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+         |  FROM th, range(0, 32) r(b) GROUP BY 1, 2),
+         |sh2 AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |band AS (SELECT doc_id, k, (simhash // (CAST(1 AS BIGINT) << (8*k))) % 256 AS byte
+         |  FROM sh2, range(0, 4) r(k)),
+         |cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+         |  FROM band b1 JOIN band b2 ON b1.k = b2.k AND b1.byte = b2.byte AND b1.doc_id < b2.doc_id),
+         |h AS (SELECT d1, d2, CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+         |  FROM cand JOIN sh2 s1 ON s1.doc_id = cand.d1 JOIN sh2 s2 ON s2.doc_id = cand.d2)
+         |SELECT d1, d2, hamming FROM h WHERE hamming <= 1 ORDER BY d1, d2""".stripMargin
+    ) { (spark, dir) =>
+      val toks = Tables(spark, dir, "documents")
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+        .select(col("doc_id"), tokenHash32(col("t")).as("th32"))
+      // 32 agg columns: per-bit signed counts in one aggregation pass.
+      val acc = toks.groupBy("doc_id").agg(
+        sum(when(shiftright(col("th32"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("acc0"),
+        (1 until 32).map { b =>
+          sum(when(shiftright(col("th32"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"acc$b")
+        }: _*)
+      val simhash = (0 until 32)
+        .map(b => when(col(s"acc$b") > 0, 1L << b).otherwise(0L))
+        .reduce(_ + _)
+      val sh = acc.select(col("doc_id"), simhash.as("simhash"))
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { k =>
+          struct(lit(k).as("k"), shiftright(col("simhash"), 8 * k).bitwiseAND(255).as("byte"))
+        }: _*)).as("e"))
+        .select(col("doc_id"), col("simhash"), col("e.k").as("k"), col("e.byte").as("byte"))
+      val b1 = bands.toDF("d1", "sh1", "k", "byte")
+      val b2 = bands.toDF("d2", "sh2", "k2", "byte2")
+      b1.join(b2, col("k") === col("k2") && col("byte") === col("byte2") && col("d1") < col("d2"))
+        .select("d1", "d2", "sh1", "sh2").distinct()
+        .select(col("d1"), col("d2"),
+          bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 1)
+        .orderBy("d1", "d2")
+    },
+
+    // X2 — n-gram Jaccard: MinHash-band candidates, then EXACT Jaccard
+    // over the full distinct shingle sets of each candidate pair.
+    Q(
+      "x2_jaccard_neardup",
+      s"""${MinHash.oracleSig},
+         |bk AS (SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+         |  FROM bk b1 JOIN bk b2 ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id),
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |inter AS (SELECT cand.d1, cand.d2, count(*) AS i
+         |  FROM cand JOIN sh a ON a.doc_id = cand.d1 JOIN sh b ON b.doc_id = cand.d2 AND b.h = a.h
+         |  GROUP BY 1, 2),
+         |j AS (SELECT d1, d2, (i * 1.0) / (ca.c + cb.c - i) AS jac
+         |  FROM inter JOIN card ca ON inter.d1 = ca.doc_id JOIN card cb ON inter.d2 = cb.doc_id)
+         |SELECT d1, d2, jac AS jaccard FROM j WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin
+    ) { (spark, dir) =>
+      val sh = MinHash.shingles(MinHash.docs(spark, dir))
+      val sig = MinHash.signatures(sh)
+      val cand = MinHash.candidates(sig)
+      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val a = sh.toDF("ad", "ah")
+      val b = sh.toDF("bd", "bh")
+      val inter = cand
+        .join(a, col("d1") === col("ad"))
+        .join(b, col("d2") === col("bd") && col("bh") === col("ah"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+      inter
+        .join(card.toDF("cd1", "c1"), col("d1") === col("cd1"))
+        .join(card.toDF("cd2", "c2"), col("d2") === col("cd2"))
+        .select(col("d1"), col("d2"),
+          ((col("i") * lit(1.0)) / (col("c1") + col("c2") - col("i"))).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), col("jac").as("jaccard"))
+        .orderBy("d1", "d2")
+    },
+
+    // X3 — embedding-cosine near-dup, exact pairwise (the LSH-bucketed
+    // scale path is x8_ann_lsh). Norms precomputed per vector.
+    Q(
+      "x3_embedding_neardup",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT v1, v2, sim FROM (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
+        |WHERE sim >= 0.45 ORDER BY v1, v2""".stripMargin
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+      val a = e.toDF("v1", "va", "na")
+      val b = e.toDF("v2", "vb", "nb")
+      a.join(b, col("v1") < col("v2"))
+        .select(col("v1"), col("v2"),
+          r4(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+        .filter(col("sim") >= 0.45)
+        .orderBy("v1", "v2")
+    }
+  )
+}

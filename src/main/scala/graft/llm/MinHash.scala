@@ -1,0 +1,88 @@
+package graft.llm
+
+import graft.core.Cols._
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic MinHash over 5-char shingles — no RNG anywhere
+  * (FIXTURES.md determinism contract): a fixed literal table of 16
+  * (a, b) seed pairs over the prime P = 2^31 - 1, and a portable
+  * polynomial shingle hash (base-31 over code points) that DuckDB can
+  * reproduce exactly in the oracle.
+  *
+  * Scale design: signatures are 16 `min()` aggregate columns over the
+  * shingle rows (one shuffle on doc_id, map-side partial min), NOT a
+  * 16-way explode. Candidate generation is classic LSH banding — 4
+  * bands x 4 rows — so the self-join runs on small band buckets, never
+  * on the full doc x doc cross product. A pair with >= 14/16 matching
+  * minhashes always shares a full band (pigeonhole: 2 mismatches break
+  * at most 2 of 4 bands), so banding is lossless for the >= 14 gate.
+  */
+object MinHash {
+
+  val P = 2147483647L
+
+  /** 16 fixed (a, b) seed pairs — small primes; literal, never random. */
+  val seeds: Seq[(Long, Long)] = Seq(
+    (10007L, 3L), (10037L, 7L), (10039L, 11L), (10061L, 13L),
+    (10067L, 17L), (10069L, 19L), (10079L, 23L), (10091L, 29L),
+    (10093L, 31L), (10099L, 37L), (10103L, 41L), (10111L, 43L),
+    (10133L, 47L), (10139L, 53L), (10141L, 59L), (10151L, 61L))
+
+  /** Base-31 polynomial hash of a 5-char shingle column. */
+  def shingleHash(s: Column): Column =
+    Seq(2, 3, 4, 5).foldLeft(ascii(substring(s, 1, 1)).cast("long")) {
+      (acc, i) => acc * 31 + ascii(substring(s, i, 1))
+    }
+
+  /** Distinct (doc_id, h) shingle-hash rows of documents.text. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"), explode(expr("sequence(1, length(lt) - 4)")).as("pos"), col("lt"))
+      .select(col("doc_id"), shingleHash(expr("substring(lt, pos, 5)")).as("h"))
+      .distinct()
+
+  /** Wide signature: doc_id, mh0..mh15 — one aggregation pass. */
+  def signatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(
+      min((col("h") * seeds.head._1 + seeds.head._2) % P).as("mh0"),
+      seeds.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((col("h") * a + b) % P).as(s"mh$i")
+      }: _*)
+
+  /** LSH band rows: (doc_id, band, bk) with bk the comma-joined 4-hash
+    * band key (string form matches the oracle's string_agg). */
+  def bands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*).as("bk"))
+    }: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+
+  /** Distinct candidate pairs (d1 < d2) sharing at least one full band. */
+  def candidates(sig: DataFrame): DataFrame = {
+    val b1 = bands(sig).toDF("d1", "band", "bk")
+    val b2 = bands(sig).toDF("d2", "band2", "bk2")
+    b1.join(b2, col("band") === col("band2") && col("bk") === col("bk2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  def docs(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "documents")
+
+  /** Shared oracle-SQL CTE prefix: shingles + seeds + long-form signatures. */
+  val oracleSig: String = {
+    val seedVals = seeds.zipWithIndex
+      .map { case ((a, b), i) => s"($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    ((((CAST(ascii(substr(s,1,1)) AS BIGINT)*31 + ascii(substr(s,2,1)))*31
+       |       + ascii(substr(s,3,1)))*31 + ascii(substr(s,4,1)))*31 + ascii(substr(s,5,1))) AS h
+       |  FROM (SELECT doc_id, substr(lower(text), pos, 5) AS s
+       |        FROM documents, unnest(generate_series(1, length(text)-4)) t(pos)) u),
+       |seeds(i, a, b) AS (VALUES $seedVals),
+       |sig AS (SELECT doc_id, i, min((a*h+b) % 2147483647) AS mh
+       |        FROM sh CROSS JOIN seeds GROUP BY 1, 2)""".stripMargin
+  }
+}

@@ -1,0 +1,74 @@
+package graft.llm
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic stub (MediaDecode.decodeStub) — but the
+  * Spark-side plumbing is real: a binary column, a metadata struct, and
+  * a batched `mapPartitions` over a typed Dataset, which is exactly the
+  * shape a Pandas-UDF/mapInPandas or JNI decoder would slot into (one
+  * partition = one batch; the decoder is a pure record-wise function,
+  * so partitioning is preserved and the stage stays embarrassingly
+  * parallel at 100 TB).
+  */
+object MultimodalQueries {
+
+  /** Decoded "media" features. */
+  final case class MediaFeatures(
+      doc_id: Long, byte_len: Long, byte_sum: Long, width: Long, frames: Long)
+
+  /** STUB: stands in for an image/audio decoder (real codecs are not in
+    * this container). Deterministic features of the raw payload only. */
+  def decodeStub(id: Long, payload: Array[Byte]): MediaFeatures = {
+    var s = 0L
+    var k = 0
+    while (k < payload.length) { s += payload(k) & 0xff; k += 1 }
+    val len = payload.length.toLong
+    MediaFeatures(id, len, s, len % 640, len % 30 + 1)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // L5 — multimodal join: text docs ⋈ embedding vectors into a struct
+    // record (text, lang, embedding), counted per (lang, label).
+    Q(
+      "l5_multimodal_join",
+      """SELECT d.lang, e.label, count(*) AS n
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1, 2 ORDER BY lang, label""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .join(Tables(spark, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(struct(col("text"), col("lang"), col("embedding")).as("rec"), col("label"))
+        .groupBy(col("rec.lang").as("lang"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "label")
+    },
+
+    // M1 — binary-column pipeline: encode → mapPartitions(decodeStub) →
+    // feature table. Oracle reproduces the stub arithmetically (the
+    // corpus is ASCII, so UTF-8 byte values == code points).
+    Q(
+      "m1_media_features",
+      """WITH ch AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text FROM documents),
+        |agg AS (SELECT doc_id, CAST(SUM(ascii(substr(text, pos, 1))) AS BIGINT) AS byte_sum,
+        |        count(*) AS byte_len FROM ch GROUP BY 1)
+        |SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len, byte_sum,
+        |  CAST(byte_len % 640 AS BIGINT) AS width,
+        |  CAST(byte_len % 30 + 1 AS BIGINT) AS frames
+        |FROM agg ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val sp = spark
+      import sp.implicits._
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import graft.core.Cols._
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column.
+  *
+  * l3 is the brute-force cosine top-k baseline (the query set is small —
+  * the scan side stays linear; the query side is broadcast). x8 is the
+  * scale path: deterministic sign-random-projection LSH — 8 fixed
+  * integer hyperplanes bucket the vectors, then top-k runs inside each
+  * bucket only. Bucketing is part of the declared semantics, so the
+  * oracle applies the identical planes and the results match exactly.
+  */
+object SimilarityQueries {
+
+  /** Fixed LSH hyperplanes: w(p,d) = ((p*131 + d*17) % 19) - 9. */
+  private def planes: Seq[Seq[Double]] =
+    (0 until 8).map(p => (0 until 64).map(d => (((p * 131 + d * 17) % 19) - 9).toDouble))
+
+  /** LSH signature column for a 64-dim array<double> column. */
+  private def lshSig(v: Column): Column =
+    (0 until 8).map { p =>
+      val dp = aggregate(zip_with(v, typedLit(planes(p)), (x, w) => x * w), lit(0.0), (s, x) => s + x)
+      when(dp > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").select(col("vec_id"), vecD(col("embedding")).as("v"))
+
+  val all: Seq[Q] = Seq(
+
+    // L3 — brute-force cosine top-5 for the first 20 query vectors.
+    Q(
+      "l3_ann_bruteforce",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+        |    round(list_dot_product(q.v, x.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 4) AS sim
+        |  FROM e q JOIN e x ON x.vec_id <> q.vec_id WHERE q.vec_id < 20),
+        |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p)
+        |SELECT qid, nid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    ) { (spark, dir) =>
+      val e = vectors(spark, dir).withColumn("nrm", l2norm(col("v")))
+      val q = e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn")
+      val x = e.toDF("nid", "xv", "xn")
+      val scored = broadcast(q).join(x, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          r4(dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
+    // X8 — LSH-bucketed ANN: candidates restricted to the query's bucket.
+    Q(
+      "x8_ann_lsh",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT vec_id, p, SUM(v[dd] * (((p*131 + (dd-1)*17) % 19) - 9)) AS dp
+        |  FROM e, range(0, 8) rp(p), range(1, 65) rd(dd) GROUP BY 1, 2),
+        |sg AS (SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM d GROUP BY 1),
+        |ev AS (SELECT e.vec_id, e.v, sg.sig FROM e JOIN sg USING (vec_id)),
+        |p2 AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+        |    round(list_dot_product(q.v, x.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 4) AS sim
+        |  FROM ev q JOIN ev x ON q.sig = x.sig AND x.vec_id <> q.vec_id WHERE q.vec_id < 20),
+        |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p2)
+        |SELECT qid, nid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    ) { (spark, dir) =>
+      val e = vectors(spark, dir)
+        .withColumn("nrm", l2norm(col("v")))
+        .withColumn("sig", lshSig(col("v")))
+      val q = e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "qsig")
+      val x = e.toDF("nid", "xv", "xn", "xsig")
+      val scored = broadcast(q)
+        .join(x, col("qsig") === col("xsig") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          r4(dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    }
+  )
+}

@@ -1,0 +1,152 @@
+package graft.llm
+
+import graft.core.Cols._
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface: corpus stats, language-ID heuristic, quality
+  * scoring, token counting, and document fingerprinting — the per-doc
+  * scalar paths are single-pass array folds (no explode, no shuffle),
+  * which is what keeps them linear at 100 TB.
+  */
+object TextQueries {
+
+  private val stopEn = Seq("the", "and", "of", "to", "in", "is", "a", "that")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "los", "se")
+  private val stopDe = Seq("der", "die", "und", "den", "von", "zu", "das", "ist")
+  private val stopFr = Seq("le", "la", "et", "les", "des", "en", "un", "du")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Count of tokens of `arr` that are in `ws`. */
+  private def hits(arr: Column, ws: Seq[String]): Column =
+    size(filter(arr, t => t.isin(stopAny(ws): _*)))
+  private def stopAny(ws: Seq[String]): Seq[Any] = ws
+
+  val all: Seq[Q] = Seq(
+
+    // L4 — per-language corpus stats: doc count, avg chars, avg tokens,
+    // type-token ratio. All ratios are exact-integer quotients.
+    Q(
+      "l4_text_stats",
+      """WITH tok AS (SELECT lang, t FROM (
+        |    SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents) u
+        |  WHERE t <> ''),
+        |tl AS (SELECT lang, count(*) AS total_tok, count(DISTINCT t) AS distinct_tok FROM tok GROUP BY 1),
+        |dl AS (SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1)
+        |SELECT dl.lang AS lang, dl.n_docs,
+        |  dl.sum_chars / (1.0 * dl.n_docs) AS avg_chars,
+        |  tl.total_tok / (1.0 * dl.n_docs) AS avg_tokens,
+        |  tl.distinct_tok / (1.0 * tl.total_tok) AS ttr
+        |FROM dl JOIN tl ON dl.lang = tl.lang ORDER BY dl.lang""".stripMargin
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir, "documents")
+      val tl = docs.select(col("lang"), explode(wsTokens(col("text"))).as("t"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total_tok"), countDistinct(col("t")).as("distinct_tok"))
+      val dl = docs.groupBy(col("lang").as("dlang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      dl.join(tl, col("dlang") === col("lang"))
+        .select(col("lang"), col("n_docs"),
+          (col("sum_chars") / (lit(1.0) * col("n_docs"))).as("avg_chars"),
+          (col("total_tok") / (lit(1.0) * col("n_docs"))).as("avg_tokens"),
+          (col("distinct_tok") / (lit(1.0) * col("total_tok"))).as("ttr"))
+        .orderBy("lang")
+    },
+
+    // X4 — language-ID by stopword-list voting (first-match argmax with
+    // preference order en, es, de, fr; no hits → 'und'), compared
+    // against the labeled lang column.
+    Q(
+      "x4_langid",
+      s"""WITH s AS (SELECT lang,
+         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(stopEn)}))) AS s_en,
+         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(stopEs)}))) AS s_es,
+         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(stopDe)}))) AS s_de,
+         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(stopFr)}))) AS s_fr
+         |  FROM documents),
+         |p AS (SELECT lang, CASE
+         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |    WHEN s_fr > 0 THEN 'fr'
+         |    ELSE 'und' END AS predicted FROM s)
+         |SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+    ) { (spark, dir) =>
+      val arr = wsTokens(col("text"))
+      val s = Tables(spark, dir, "documents").select(col("lang"),
+        hits(arr, stopEn).as("s_en"), hits(arr, stopEs).as("s_es"),
+        hits(arr, stopDe).as("s_de"), hits(arr, stopFr).as("s_fr"))
+      s.select(col("lang"),
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+            col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+            .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+            .when(col("s_fr") > 0, "fr")
+            .otherwise("und").as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+
+    // X5 — quality score: length score, punctuation ratio, stopword
+    // ratio, combined deterministically from exact integer counts.
+    Q(
+      "x5_quality_score",
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
+         |  0.4 * (least(n_chars, 500) / 500.0)
+         |    + 0.3 * (1.0 - (length(text) - length(translate(text, ',.', ''))) / (1.0 * length(text)))
+         |    + 0.3 * least((len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(stopEn)})))
+         |        / (1.0 * len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))) * 5.0, 1.0) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val arr = wsTokens(col("text"))
+      val nTok = size(arr)
+      val lenScore = least(col("n_chars"), lit(500)) / lit(500.0)
+      val punctRatio = (length(col("text")) - length(translate(col("text"), ",.", ""))) /
+        (lit(1.0) * length(col("text")))
+      val stopRatio = hits(arr, stopEn) / (lit(1.0) * nTok)
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), nTok.cast("long").as("n_tok"),
+          (lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) +
+            lit(0.3) * least(stopRatio * 5.0, lit(1.0))).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // X6 — token counting: whitespace tokens vs BPE-ish regex tokens.
+    Q(
+      "x6_token_counts",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
+          size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).cast("long").as("re_tokens"),
+          length(col("text")).cast("long").as("chars"))
+        .orderBy("doc_id")
+    },
+
+    // X7 — document fingerprint: position-weighted rolling checksum mod
+    // 2^31-1, computed as a single in-order array fold (no shuffle).
+    Q(
+      "x7_fingerprint",
+      """SELECT doc_id,
+        |  CAST(SUM(ascii(substr(text, pos, 1)) * ((pos * 2654435761) % 1000003)) % 2147483647 AS BIGINT) AS fp
+        |FROM documents, unnest(generate_series(1, length(text))) t(pos)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("""aggregate(
+                 |  transform(sequence(1, length(text)),
+                 |    i -> ascii(substring(text, i, 1)) * ((CAST(i AS BIGINT) * 2654435761) % 1000003)),
+                 |  0L, (s, x) -> s + x) % 2147483647""".stripMargin).cast("long").as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

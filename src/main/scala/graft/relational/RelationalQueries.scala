@@ -1,0 +1,397 @@
+package graft.relational
+
+import graft.core.Cols._
+import graft.core.{Q, Tables}
+import graft.ops.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface R1-R16 (SURVEY.md §2C): the "query engine"
+  * capability parity layer. Everything is stock DataFrame API — Catalyst
+  * provides predicate pushdown, column pruning, join selection
+  * (broadcast hints on the genuinely small dims), subquery
+  * decorrelation and AQE; no custom physical work is needed here
+  * (SURVEY.md §4).
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // R1 — TPC-H Q1 shape: scan + pushed filter + 8-way hash aggregate.
+    // All money sums are exact integer cents (Cols.fixed) so the
+    // partial/final aggregation order can never change the result.
+    Q(
+      "r1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
+        |  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+        |  SUM(CAST(round(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+        |  SUM(CAST(round(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
+        |  SUM(CAST(round(l_quantity*100) AS BIGINT)) / (100.0 * count(*)) AS avg_qty,
+        |  SUM(CAST(round(l_extendedprice*100) AS BIGINT)) / (100.0 * count(*)) AS avg_price,
+        |  SUM(CAST(round(l_discount*10000) AS BIGINT)) / (10000.0 * count(*)) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(fixed(col("l_quantity"), 100)) / 100.0).as("sum_qty"),
+          (sum(fixed(col("l_extendedprice"), 100)) / 100.0).as("sum_base_price"),
+          (sum(fixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000)) / 10000.0)
+            .as("sum_disc_price"),
+          (sum(fixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 1000000)) / 1000000.0)
+            .as("sum_charge"),
+          (sum(fixed(col("l_quantity"), 100)) / (lit(100.0) * count(lit(1)))).as("avg_qty"),
+          (sum(fixed(col("l_extendedprice"), 100)) / (lit(100.0) * count(lit(1)))).as("avg_price"),
+          (sum(fixed(col("l_discount"), 10000)) / (lit(10000.0) * count(lit(1)))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // R2 — fact ⋈ fact equi join (shuffled), revenue per segment.
+    Q(
+      "r2_segment_revenue",
+      """SELECT c.c_mktsegment, count(*) AS order_cnt,
+        |  SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) / 100.0 AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("order_cnt"),
+          (sum(fixed(col("o_totalprice"), 100)) / 100.0).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    // R3 — broadcast-join chain over the small dims. nation (25) and
+    // region (5) stay broadcast at any scale; customer never shuffles.
+    Q(
+      "r3_region_customers",
+      """SELECT r.r_name, count(*) AS cust_cnt
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "customer")
+        .join(broadcast(Tables(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("cust_cnt"))
+        .orderBy("r_name")
+    },
+
+    // R4 — left outer join keeping 0-order customers, top-25.
+    Q(
+      "r4_customer_orders_top25",
+      """SELECT c.c_custkey, count(o.o_orderkey) AS order_cnt
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY order_cnt DESC, c_custkey LIMIT 25""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "customer")
+        .join(Tables(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy(col("order_cnt").desc, col("c_custkey"))
+        .limit(25)
+    },
+
+    // R5 — semi/anti join pair, union-tagged.
+    Q(
+      "r5_semi_anti",
+      """SELECT 'has_orders' AS tag, c_custkey FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, c_custkey FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin
+    ) { (spark, dir) =>
+      val c = Tables(spark, dir, "customer")
+      val o = Tables(spark, dir, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("has_orders").as("tag"), col("c_custkey"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("tag"), col("c_custkey"))
+      semi.unionByName(anti).orderBy("tag", "c_custkey")
+    },
+
+    // R6 — range/theta self-join on events: pairs within 1 hour.
+    Q(
+      "r6_event_pairs",
+      """SELECT user_id, pair_cnt FROM (
+        |  SELECT e1.user_id AS user_id, count(*) AS pair_cnt
+        |  FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+        |    AND e2.ts BETWEEN e1.ts AND e1.ts + INTERVAL 1 HOUR
+        |    AND e1.event_id < e2.event_id
+        |  GROUP BY 1) g
+        |ORDER BY pair_cnt DESC, user_id LIMIT 50""".stripMargin
+    ) { (spark, dir) =>
+      val e = Tables(spark, dir, "events").select("event_id", "ts", "user_id")
+      val e1 = e.toDF("e1_id", "e1_ts", "user_id")
+      val e2 = e.toDF("e2_id", "e2_ts", "u2")
+      e1.join(e2,
+          col("user_id") === col("u2") &&
+            col("e2_ts") >= col("e1_ts") &&
+            col("e2_ts") <= col("e1_ts") + expr("INTERVAL 1 HOUR") &&
+            col("e1_id") < col("e2_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("user_id"))
+        .limit(50)
+    },
+
+    // R7 — as-of join: latest event (state) per probe, via the scalable
+    // union+window implementation in graft.ops.AsOfJoin (no range self-join).
+    Q(
+      "r7_asof_latest_event",
+      """WITH p AS (
+        |  SELECT o_orderkey, o_custkey % 15 AS uid,
+        |         TIMESTAMP '2024-01-01 00:00:00' + to_hours(o_orderkey % 720) AS qt
+        |  FROM orders)
+        |SELECT p.o_orderkey, p.uid,
+        |       epoch_us(max(e.ts)) AS asof_ts_us,
+        |       arg_max(e.value, e.ts) AS asof_value
+        |FROM p LEFT JOIN events e ON e.user_id = p.uid AND e.ts <= p.qt
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      val probes = Tables(spark, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_custkey") % 15).as("uid"),
+        expr("timestampadd(HOUR, CAST(o_orderkey % 720 AS INT), timestamp'2024-01-01 00:00:00')").as("qt"))
+      val events = Tables(spark, dir, "events")
+        .select(col("user_id").as("uid"), col("ts"), col("value"))
+      AsOfJoin.backward(probes, events, key = "uid", probeTs = "qt", eventTs = "ts",
+          eventPayload = Seq("value"))
+        .select(col("o_orderkey"), col("uid"),
+          epochUs(col("asof_ts")).as("asof_ts_us"),
+          col("asof_value"))
+        .orderBy("o_orderkey")
+    },
+
+    // R8 — rollup with grouping flags.
+    Q(
+      "r8_rollup_orders",
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio, coalesce(o_orderstatus, 'ALL') AS status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  count(*) AS order_cnt,
+        |  SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY prio, status, g_prio, g_status""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          count(lit(1)).as("order_cnt"),
+          (sum(fixed(col("o_totalprice"), 100)) / 100.0).as("total_price"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("g_prio"), col("g_status"), col("order_cnt"), col("total_price"))
+        .orderBy("prio", "status", "g_prio", "g_status")
+    },
+
+    // R9 — cube.
+    Q(
+      "r9_cube_lineitem",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"))
+        .orderBy("rf", "ls")
+    },
+
+    // R10 — exact distinct aggregation (expands to a two-level aggregate).
+    Q(
+      "r10_distinct_parts",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS part_cnt
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("part_cnt"))
+        .orderBy("l_returnflag")
+    },
+
+    // R11 — ranking window functions, deterministic tiebreak on orderkey.
+    Q(
+      "r11_rank_orders",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(rank() OVER w AS BIGINT) AS rk,
+        |    CAST(dense_rank() OVER w AS BIGINT) AS drk
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rk <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+        .filter(col("rk") <= 3)
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // R12 — analytic window frame: exact running sum in cents, lag/lead.
+    Q(
+      "r12_running_total",
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us,
+        |  SUM(CAST(round(o_totalprice*100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running,
+        |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      val ord = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), epochUs(col("o_orderdate")).as("od_us"),
+          (sum(fixed(col("o_totalprice"), 100)).over(frame) / 100.0).as("running"),
+          lag(col("o_totalprice"), 1).over(ord).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(ord).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // R13 — set operations between two customer sets.
+    Q(
+      "r13_set_ops",
+      """WITH high AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000),
+        |recent AS (SELECT DISTINCT c.c_custkey FROM customer c
+        |           JOIN orders o ON c.c_custkey = o.o_custkey
+        |           WHERE o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM high UNION SELECT c_custkey FROM recent) u
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM high INTERSECT SELECT c_custkey FROM recent) i
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM high EXCEPT SELECT c_custkey FROM recent) x
+        |ORDER BY op, c_custkey""".stripMargin
+    ) { (spark, dir) =>
+      val c = Tables(spark, dir, "customer")
+      val high = c.filter(col("c_acctbal") > 7000).select("c_custkey")
+      val recent = c.join(
+          Tables(spark, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+      val u = high.union(recent).distinct().select(lit("union").as("op"), col("c_custkey"))
+      val i = high.intersect(recent).select(lit("intersect").as("op"), col("c_custkey"))
+      val x = high.except(recent).select(lit("except").as("op"), col("c_custkey"))
+      u.unionByName(i).unionByName(x).orderBy("op", "c_custkey")
+    },
+
+    // R14 — scalar-function battery; part is broadcast.
+    Q(
+      "r14_scalar_battery",
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  substr(p.p_name, 1, 5) AS p5,
+        |  concat_ws('|', l.l_returnflag, l.l_linestatus) AS cw,
+        |  upper(p.p_brand) AS ub,
+        |  CAST(CASE WHEN p.p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS BIGINT) AS brass,
+        |  regexp_extract(p.p_name, '^(\w+)', 1) AS rex,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+        |  CAST(month(l.l_shipdate) AS BIGINT) AS mo,
+        |  epoch_us(date_trunc('month', l.l_shipdate)) AS mt_us,
+        |  CAST(datediff('day', DATE '1995-01-01', l.l_shipdate) AS BIGINT) AS dd,
+        |  round(abs(l.l_quantity - 25.0), 2) AS ab,
+        |  (l.l_orderkey * 7 + l.l_linenumber) % 13 AS pm,
+        |  round(least(l.l_tax, l.l_discount), 4) AS lst,
+        |  round(greatest(l.l_tax, l.l_discount), 4) AS gst,
+        |  coalesce(nullif(l.l_returnflag, 'N'), 'X') AS co
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .join(broadcast(Tables(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          substring(col("p_name"), 1, 5).as("p5"),
+          concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("cw"),
+          upper(col("p_brand")).as("ub"),
+          when(col("p_type").like("%BRASS%"), 1L).otherwise(0L).as("brass"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("rex"),
+          year(col("l_shipdate")).cast("long").as("yr"),
+          month(col("l_shipdate")).cast("long").as("mo"),
+          epochUs(date_trunc("month", col("l_shipdate"))).as("mt_us"),
+          expr("datediff(l_shipdate, date'1995-01-01')").cast("long").as("dd"),
+          round(abs(col("l_quantity") - 25.0), 2).as("ab"),
+          ((col("l_orderkey") * 7 + col("l_linenumber")) % 13).as("pm"),
+          round(least(col("l_tax"), col("l_discount")), 4).as("lst"),
+          round(greatest(col("l_tax"), col("l_discount")), 4).as("gst"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("X")).as("co"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // R15a — array battery over the embedding column. Everything is done
+    // on array<double> (exact widening) with in-order folds.
+    Q(
+      "r15_array_battery",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id, len(v) AS dim,
+        |  round(list_sum(v), 4) AS s,
+        |  round(list_min(v), 4) AS mn,
+        |  round(list_max(v), 4) AS mx,
+        |  round(v[1], 4) AS e1,
+        |  round(sqrt(list_dot_product(v, v)), 4) AS l2n
+        |FROM e ORDER BY vec_id""".stripMargin
+    ) { (spark, dir) =>
+      val v = vecD(col("embedding"))
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), v.as("v"))
+        .select(col("vec_id"),
+          size(col("v")).cast("long").as("dim"),
+          r4(aggregate(col("v"), lit(0.0), (s, x) => s + x)).as("s"),
+          r4(array_min(col("v"))).as("mn"),
+          r4(array_max(col("v"))).as("mx"),
+          r4(element_at(col("v"), 1)).as("e1"),
+          r4(l2norm(col("v"))).as("l2n"))
+        .orderBy("vec_id")
+    },
+
+    // R15b — JSON extraction over events.props.
+    Q(
+      "r15_json_battery",
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY k_val""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .groupBy("k_val").agg(count(lit(1)).as("cnt"))
+        .orderBy("k_val")
+    },
+
+    // R16 — correlated-subquery shape (decorrelates to join + agg);
+    // the per-customer average is exact (cents / count).
+    Q(
+      "r16_above_cust_avg",
+      """WITH ca AS (SELECT o_custkey,
+        |    SUM(CAST(round(o_totalprice*100) AS BIGINT)) / (100.0 * count(*)) AS cust_avg
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, ca.cust_avg AS cust_avg
+        |FROM orders o JOIN ca ON o.o_custkey = ca.o_custkey
+        |WHERE o.o_totalprice > ca.cust_avg ORDER BY o.o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir, "orders")
+      val ca = o.groupBy(col("o_custkey").as("ca_custkey"))
+        .agg((sum(fixed(col("o_totalprice"), 100)) / (lit(100.0) * count(lit(1)))).as("ca_avg"))
+      o.join(ca, col("o_custkey") === col("ca_custkey"))
+        .filter(col("o_totalprice") > col("ca_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("ca_avg").as("cust_avg"))
+        .orderBy("o_orderkey")
+    }
+  )
+}

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfdir] [outdir] [query ...]
+
+Runs graft.Verify (Spark) to dump every SparkEntry query to parquet +
+oracle_sql.json, then executes each oracle in DuckDB over the same
+tables and compares: column names, row counts, and values (rows sorted,
+exact equality; doubles compared exactly first, then with 1e-9 slack
+reported separately).
+"""
+import json
+import math
+import subprocess
+import sys
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+ONLY = set(sys.argv[3:])
+
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+def run_verify():
+    cmd = ["java"]
+    for p in ADD_OPENS:
+        cmd += ["--add-opens", p + "=ALL-UNNAMED"]
+    cmd += [
+        "-Xmx8g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", "target/scala-2.13/classes:/opt/spark/jars/*",
+        "graft.Verify", SFDIR, OUT,
+    ]
+    env = {"SPARK_GRAFT_CPUS": "8", "PATH": "/usr/bin:/bin"}
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd="/root/repo")
+    for line in r.stderr.splitlines():
+        if "[verify]" in line or "Exception" in line:
+            print("  ", line)
+    if r.returncode != 0:
+        print("verify FAILED rc=", r.returncode)
+        print(r.stderr[-4000:])
+        sys.exit(1)
+
+def main():
+    import duckdb
+    run_verify()
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    ok = bad = 0
+    for name, sql in sorted(oracle.items()):
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            exp = con.sql(sql)
+            exp_cols = [c.lower() for c in exp.columns]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            bad += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+            got_cols = [c.lower() for c in got.columns]
+            got_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            bad += 1
+            continue
+        if sorted(exp_cols) != sorted(got_cols):
+            print(f"FAIL {name}: cols oracle={exp_cols} spark={got_cols}")
+            bad += 1
+            continue
+        # align column order by name
+        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        enorm = sorted([tuple(r[i] for i in eidx) for r in exp_rows], key=repr)
+        gnorm = sorted([tuple(r[i] for i in gidx) for r in got_rows], key=repr)
+        if len(enorm) != len(gnorm):
+            print(f"FAIL {name}: rows oracle={len(enorm)} spark={len(gnorm)}")
+            bad += 1
+            continue
+        exact = enorm == gnorm
+        if exact:
+            print(f"OK   {name} ({len(enorm)} rows)")
+            ok += 1
+            continue
+        # find first diff
+        close = True
+        first = None
+        for i, (a, b) in enumerate(zip(enorm, gnorm)):
+            if a == b:
+                continue
+            for x, y in zip(a, b):
+                if x == y:
+                    continue
+                if isinstance(x, float) and isinstance(y, float) and \
+                        (math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)):
+                    continue
+                close = False
+            if first is None:
+                first = (i, a, b)
+        if close:
+            print(f"NEAR {name}: values differ only within 1e-9 (STILL A HASH FAIL) "
+                  f"first={first}")
+        else:
+            print(f"FAIL {name}: first diff row {first[0]}:\n  oracle={first[1]}\n  spark ={first[2]}")
+        bad += 1
+    print(f"\n{ok} OK / {bad} FAIL")
+    sys.exit(1 if bad else 0)
+
+main()
