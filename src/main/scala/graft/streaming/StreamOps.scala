@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.core.Cols._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming operator surface. Each transform takes an
+  * unbounded events DataFrame (schema of the `events` table: event_id,
+  * ts, user_id, event_type, value) from any `readStream` source and
+  * produces the streaming form of the S1-S4 semantics. The batch forms
+  * in StreamingQueries are the oracle-checked equivalents; the test
+  * suite asserts streaming == batch over the same input.
+  *
+  * State design (100 TB / unbounded): all aggregations key on low-
+  * cardinality columns (window x event_type, user_id), watermarks bound
+  * state (30 min), and session state is per-user only — the shapes
+  * SURVEY.md §7 calls for.
+  */
+object StreamOps {
+
+  /** S1: tumbling 1-hour counts/sums per event_type (complete/update mode). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), (sum(fixed(col("value"), 10000)) / 10000.0).as("val"))
+      .select(epochUs(col("w.start")).as("ws_us"), col("event_type"), col("cnt"), col("val"))
+
+  /** S1 with watermark, for append-mode sinks: late data beyond 30 min
+    * is dropped and finalized windows are emitted exactly once. */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), (sum(fixed(col("value"), 10000)) / 10000.0).as("val"))
+      .select(epochUs(col("w.start")).as("ws_us"), col("event_type"), col("cnt"), col("val"))
+
+  /** S2: sliding 1-hour window every 15 minutes. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), (sum(fixed(col("value"), 10000)) / 10000.0).as("val"))
+      .select(epochUs(col("w.start")).as("ws_us"), col("event_type"), col("cnt"), col("val"))
+
+  /** S3: 30-minute-gap session windows per user (session-level rows;
+    * the per-user rollup of StreamingQueries.s3 is a downstream agg). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        (epochUs(max(col("ts"))) - epochUs(min(col("ts")))).as("dur_us"),
+        sum(fixed(col("value"), 10000)).as("vc"))
+      .select(col("user_id"), col("n_ev"), col("dur_us"), (col("vc") / 10000.0).as("val"))
+}
