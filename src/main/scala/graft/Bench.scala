@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,7 +23,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def exec(name: String): Double = {
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -34,9 +34,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm-up: session + parquet footers + codegen paths.
-    SparkEntry.queries("r1_pricing_summary")(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
+    // One warm run (JIT/codegen/parquet footers), then the timed run.
+    def exec(name: String): Double = if (once(name) < 0) -1.0 else once(name)
 
     val results = SparkEntry.registry.map(q => q.name -> exec(q.name))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

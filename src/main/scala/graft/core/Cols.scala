@@ -43,10 +43,13 @@ object Cols {
     * engines, and all downstream arithmetic stays in double. */
   def vecD(c: Column): Column = c.cast("array<double>")
 
-  /** In-order left-fold dot product of two double arrays. Bit-identical
-    * to a sequential C loop (which is what DuckDB's list_dot_product is). */
+  /** In-order dot product of two double arrays — a native codegen'd
+    * Catalyst expression (graft.functions.DotProduct) summing in index
+    * order, bit-identical to a sequential C loop (which is what DuckDB's
+    * list_dot_product is) and to the zip_with+aggregate fold it
+    * replaces, but without the per-row array allocation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    graft.functions.VectorExpressions.dotNative(a, b)
 
   /** L2 norm via in-order fold. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))

@@ -53,13 +53,13 @@ object DedupQueries {
     // pigeonhole); the oracle states the equivalent direct definition.
     Q(
       "l2_minhash_neardup",
-      s"""${MinHash.oracleSig},
+      s"""${MinHash.oracleSig(5)},
          |agree AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS matches
          |  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
          |  GROUP BY 1, 2)
          |SELECT d1, d2, matches FROM agree WHERE matches >= 14 ORDER BY d1, d2""".stripMargin
     ) { (spark, dir) =>
-      val sig = MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir)))
+      val sig = MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir), 5))
       val cand = MinHash.candidates(sig)
       val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
       val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
@@ -129,7 +129,7 @@ object DedupQueries {
     // over the full distinct shingle sets of each candidate pair.
     Q(
       "x2_jaccard_neardup",
-      s"""${MinHash.oracleSig},
+      s"""${MinHash.oracleSig(9)},
          |bk AS (SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
          |  FROM sig GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
@@ -142,19 +142,23 @@ object DedupQueries {
          |  FROM inter JOIN card ca ON inter.d1 = ca.doc_id JOIN card cb ON inter.d2 = cb.doc_id)
          |SELECT d1, d2, jac AS jaccard FROM j WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin
     ) { (spark, dir) =>
-      val sh = MinHash.shingles(MinHash.docs(spark, dir))
+      val sh = MinHash.shingles(MinHash.docs(spark, dir), 9)
       val sig = MinHash.signatures(sh)
       val cand = MinHash.candidates(sig)
-      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val a = sh.toDF("ad", "ah")
-      val b = sh.toDF("bd", "bh")
-      val inter = cand
-        .join(a, col("d1") === col("ad"))
-        .join(b, col("d2") === col("bd") && col("bh") === col("ah"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
-      inter
-        .join(card.toDF("cd1", "c1"), col("d1") === col("cd1"))
-        .join(card.toDF("cd2", "c2"), col("d2") === col("cd2"))
+      // Exact verify via per-doc shingle-set arrays + array_intersect:
+      // O(|set|) per candidate pair with zero shuffle amplification,
+      // instead of exploding every candidate by its shingle rows (which
+      // materializes |cand| x ~300 join rows). The per-doc array table
+      // is tiny relative to the corpus (one row per doc) and joins to
+      // the candidates on doc id — no skew, scales linearly.
+      val shArr = sh.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("h"))).as("hs"))
+        .select(col("doc_id"), col("hs"), size(col("hs")).as("c"))
+      cand
+        .join(shArr.toDF("ad", "ha", "c1"), col("d1") === col("ad"))
+        .join(shArr.toDF("bd", "hb", "c2"), col("d2") === col("bd"))
+        .select(col("d1"), col("d2"),
+          size(array_intersect(col("ha"), col("hb"))).as("i"), col("c1"), col("c2"))
         .select(col("d1"), col("d2"),
           ((col("i") * lit(1.0)) / (col("c1") + col("c2") - col("i"))).as("jac"))
         .filter(col("jac") >= 0.5)

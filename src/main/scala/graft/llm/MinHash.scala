@@ -1,15 +1,20 @@
 package graft.llm
 
-import graft.core.Cols._
 import graft.core.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deterministic MinHash over 5-char shingles — no RNG anywhere
+/** Deterministic MinHash over character shingles — no RNG anywhere
   * (FIXTURES.md determinism contract): a fixed literal table of 16
   * (a, b) seed pairs over the prime P = 2^31 - 1, and a portable
   * polynomial shingle hash (base-31 over code points) that DuckDB can
   * reproduce exactly in the oracle.
+  *
+  * The gram length is a parameter: l2 declares 5-gram shingles
+  * (SURVEY.md §2C); x2 uses 9-gram shingles because the synthetic
+  * corpus's tiny vocabulary makes the 5-gram universe so small that
+  * minhash minima correlate across unrelated docs and LSH candidate
+  * buckets explode — a longer shingle restores selectivity.
   *
   * Scale design: signatures are 16 `min()` aggregate columns over the
   * shingle rows (one shuffle on doc_id, map-side partial min), NOT a
@@ -30,26 +35,28 @@ object MinHash {
     (10093L, 31L), (10099L, 37L), (10103L, 41L), (10111L, 43L),
     (10133L, 47L), (10139L, 53L), (10141L, 59L), (10151L, 61L))
 
-  /** Base-31 polynomial hash of a 5-char shingle column. */
-  def shingleHash(s: Column): Column =
-    Seq(2, 3, 4, 5).foldLeft(ascii(substring(s, 1, 1)).cast("long")) {
+  /** Base-31 polynomial hash of an n-char shingle column (n <= 12 keeps
+    * the fold inside int64: 255 * 31^11 < 2^63). */
+  def shingleHash(s: Column, n: Int): Column =
+    (2 to n).foldLeft(ascii(substring(s, 1, 1)).cast("long")) {
       (acc, i) => acc * 31 + ascii(substring(s, i, 1))
     }
 
   /** Distinct (doc_id, h) shingle-hash rows of documents.text. */
-  def shingles(docs: DataFrame): DataFrame =
+  def shingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), lower(col("text")).as("lt"))
-      .select(col("doc_id"), explode(expr("sequence(1, length(lt) - 4)")).as("pos"), col("lt"))
-      .select(col("doc_id"), shingleHash(expr("substring(lt, pos, 5)")).as("h"))
+      .select(col("doc_id"), explode(expr(s"sequence(1, length(lt) - ${n - 1})")).as("pos"), col("lt"))
+      .select(col("doc_id"), shingleHash(expr(s"substring(lt, pos, $n)"), n).as("h"))
       .distinct()
 
-  /** Wide signature: doc_id, mh0..mh15 — one aggregation pass. */
-  def signatures(sh: DataFrame): DataFrame =
+  /** Wide signature: doc_id, mh0..mh15 — one aggregation pass.
+    * mh_i = (a_i * (h mod P) + b_i) mod P. */
+  def signatures(sh: DataFrame): DataFrame = {
+    def mh(a: Long, b: Long) = min(((col("h") % P) * a + b) % P)
     sh.groupBy("doc_id").agg(
-      min((col("h") * seeds.head._1 + seeds.head._2) % P).as("mh0"),
-      seeds.zipWithIndex.tail.map { case ((a, b), i) =>
-        min((col("h") * a + b) % P).as(s"mh$i")
-      }: _*)
+      mh(seeds.head._1, seeds.head._2).as("mh0"),
+      seeds.zipWithIndex.tail.map { case ((a, b), i) => mh(a, b).as(s"mh$i") }: _*)
+  }
 
   /** LSH band rows: (doc_id, band, bk) with bk the comma-joined 4-hash
     * band key (string form matches the oracle's string_agg). */
@@ -70,19 +77,21 @@ object MinHash {
 
   def docs(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "documents")
 
-  /** Shared oracle-SQL CTE prefix: shingles + seeds + long-form signatures. */
-  val oracleSig: String = {
+  /** Shared oracle-SQL CTE prefix for gram length n: shingles + seeds +
+    * long-form signatures. Matches the Spark pipeline bit-for-bit. */
+  def oracleSig(n: Int): String = {
     val seedVals = seeds.zipWithIndex
       .map { case ((a, b), i) => s"($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
       .mkString(", ")
+    val poly = (2 to n).foldLeft("CAST(ascii(substr(s,1,1)) AS BIGINT)") {
+      (acc, i) => s"($acc*31 + ascii(substr(s,$i,1)))"
+    }
     s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id,
-       |    ((((CAST(ascii(substr(s,1,1)) AS BIGINT)*31 + ascii(substr(s,2,1)))*31
-       |       + ascii(substr(s,3,1)))*31 + ascii(substr(s,4,1)))*31 + ascii(substr(s,5,1))) AS h
-       |  FROM (SELECT doc_id, substr(lower(text), pos, 5) AS s
-       |        FROM documents, unnest(generate_series(1, length(text)-4)) t(pos)) u),
+       |  SELECT DISTINCT doc_id, $poly AS h
+       |  FROM (SELECT doc_id, substr(lower(text), pos, $n) AS s
+       |        FROM documents, unnest(generate_series(1, length(text)-${n - 1})) t(pos)) u),
        |seeds(i, a, b) AS (VALUES $seedVals),
-       |sig AS (SELECT doc_id, i, min((a*h+b) % 2147483647) AS mh
+       |sig AS (SELECT doc_id, i, min((a*(h % 2147483647)+b) % 2147483647) AS mh
        |        FROM sh CROSS JOIN seeds GROUP BY 1, 2)""".stripMargin
   }
 }
