@@ -16,7 +16,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash signatures: identical texts get identical signatures") {
     val txt = "the quick brown fox jumps over the lazy dog again and again"
-    val sig = MinHash.signatures(MinHash.shingles(docsDF(Seq(1L -> txt, 2L -> txt, 3L -> "completely different content here with other words"))))
+    val sig = MinHash.signatures(MinHash.shingles(docsDF(Seq(1L -> txt, 2L -> txt, 3L -> "completely different content here with other words")), 5))
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(sig(1L) == sig(2L))
     assert(sig(1L) != sig(3L))
@@ -26,7 +26,7 @@ class DedupSpec extends AnyFunSuite {
     val txt = "the quick brown fox jumps over the lazy dog again and again"
     val sig = MinHash.signatures(MinHash.shingles(docsDF(Seq(
       1L -> txt, 2L -> txt,
-      3L -> "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn"))))
+      3L -> "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn")), 5))
     val cand = MinHash.candidates(sig).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand.contains((1L, 2L)))
     assert(!cand.contains((1L, 3L)))
@@ -45,9 +45,9 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("shingling is deterministic and lowercased") {
-    val a = MinHash.shingles(docsDF(Seq(1L -> "Hello World")))
+    val a = MinHash.shingles(docsDF(Seq(1L -> "Hello World")), 5)
       .collect().map(_.getLong(1)).sorted.toSeq
-    val b = MinHash.shingles(docsDF(Seq(1L -> "hello world")))
+    val b = MinHash.shingles(docsDF(Seq(1L -> "hello world")), 5)
       .collect().map(_.getLong(1)).sorted.toSeq
     assert(a == b)
     assert(a.size == "hello world".length - 4)
