@@ -13,6 +13,7 @@ object SparkEntry {
     graft.ops.WordCountQueries.all ++
       graft.gemm.GemmQueries.all ++
       graft.relational.RelationalQueries.all ++
+      graft.relational.SqlQueries.all ++
       graft.llm.DedupQueries.all ++
       graft.llm.SimilarityQueries.all ++
       graft.llm.TextQueries.all ++

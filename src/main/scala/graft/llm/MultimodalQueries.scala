@@ -69,6 +69,41 @@ object MultimodalQueries {
         .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // M2 — frame sampling over the binary payload: one output row per
+    // sampled "frame" (evenly spaced offsets, count from the stubbed
+    // metadata), each carrying the byte at its offset — the Spark-side
+    // shape of video frame extraction (flatMap over a typed Dataset,
+    // 1 record in -> k records out, partition-preserving).
+    Q(
+      "m2_frame_sample",
+      """WITH d AS (SELECT doc_id, text, length(text) AS len, length(text) % 30 + 1 AS frames
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, len, frames,
+        |      unnest(generate_series(0, frames - 1)) AS frame FROM d)
+        |SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+        |  CAST(frame * (len // frames) AS BIGINT) AS off,
+        |  CAST(ascii(substr(text, frame * (len // frames) + 1, 1)) AS BIGINT) AS b
+        |FROM f ORDER BY doc_id, frame""".stripMargin
+    ) { (spark, dir) =>
+      val sp = spark
+      import sp.implicits._
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          // STUB decode: frame count/offsets from payload length only.
+          val len = bytes.length
+          val frames = len % 30 + 1
+          val step = len / frames
+          (0 until frames).map { f =>
+            val off = f * step
+            (id, f.toLong, off.toLong, (bytes(off) & 0xff).toLong)
+          }
+        }
+        .toDF("doc_id", "frame", "off", "b")
+        .orderBy("doc_id", "frame")
     }
   )
 }

@@ -1,0 +1,56 @@
+package graft.relational
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SQL-surface queries: the same engine driven through `spark.sql` over
+  * registered views — exercising the parser/analyzer path rather than
+  * the DataFrame DSL (the reference has no SQL surface; ours is both).
+  */
+object SqlQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // R17 — TPC-H Q3 shape via spark.sql: 3-way join, pushed filters,
+    // exact cents revenue, top-10. Catalyst plans it identically to the
+    // DataFrame form (broadcast customer, shuffled orders x lineitem).
+    Q(
+      "r17_sql_shipping_priority",
+      """SELECT o.o_orderkey,
+        |  SUM(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+        |  epoch_us(o.o_orderdate) AS od_us, o.o_orderpriority
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 3, 4 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+    ) { (spark, dir) =>
+      Seq("customer", "orders", "lineitem")
+        .foreach(t => Tables(spark, dir, t).createOrReplaceTempView(s"graft_$t"))
+      spark.sql(
+        """SELECT o.o_orderkey,
+          |  SUM(CAST(round(l.l_extendedprice * (1.0D - l.l_discount) * 10000) AS BIGINT)) / 10000.0D AS revenue,
+          |  unix_micros(o.o_orderdate) AS od_us, o.o_orderpriority
+          |FROM graft_customer c JOIN graft_orders o ON c.c_custkey = o.o_custkey
+          |JOIN graft_lineitem l ON l.l_orderkey = o.o_orderkey
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+          |GROUP BY 1, 3, 4 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+    },
+
+    // X9 — approx_count_distinct (HLL++): implementation-defined
+    // cardinality sketch, so no DuckDB hash oracle (SURVEY.md §2C
+    // excludes HLL from the hash gate; driver records a rows-only
+    // check). The query emits the approx next to the exact count so the
+    // relative error is inspectable.
+    Q("x9_approx_distinct", None, (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"))
+  )
+}

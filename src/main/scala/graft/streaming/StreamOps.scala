@@ -1,8 +1,19 @@
 package graft.streaming
 
 import graft.core.Cols._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed event record for the stateful operators. */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user session state carried across micro-batches. */
+case class SessionState(lastTsUs: Long, sessions: Long, events: Long)
+
+/** Per-user rollup emitted by the stateful session counter. */
+case class UserSessions(user_id: Long, sessions: Long, events: Long)
 
 /** Structured-Streaming operator surface. Each transform takes an
   * unbounded events DataFrame (schema of the `events` table: event_id,
@@ -49,4 +60,34 @@ object StreamOps {
         (epochUs(max(col("ts"))) - epochUs(min(col("ts")))).as("dur_us"),
         sum(fixed(col("value"), 10000)).as("vc"))
       .select(col("user_id"), col("n_ev"), col("dur_us"), (col("vc") / 10000.0).as("val"))
+
+  /** Custom state machine via mapGroupsWithState: per-user session
+    * counting with the same 30-minute-gap rule as session_window, but
+    * with explicit user-managed state — the KeyValueGroupedDataset
+    * surface SURVEY.md §2B declares. State is one small record per
+    * user (bounded), emitted as an updated rollup every micro-batch.
+    * Assumes per-user in-order arrival (rows within a batch are sorted
+    * here; cross-batch order is the source's contract). */
+  def statefulSessionCounts(events: Dataset[Event]): Dataset[UserSessions] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[UserSessions]
+    val gapUs = 30L * 60 * 1000000
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            val newSession = st.lastTsUs == Long.MinValue || t - st.lastTsUs >= gapUs
+            st = SessionState(t, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          UserSessions(uid, st.sessions, st.events)
+      }
+  }
 }

@@ -19,8 +19,10 @@ class QuerySmokeSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle (or is explicitly rows-only)") {
-    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    // HLL sketches are implementation-defined → rows-only by design.
+    val rowsOnly = Set("x9_approx_distinct")
+    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == rowsOnly, s"queries without oracle: ${noOracle -- rowsOnly}")
   }
 
   test("entry() returns rows") {
