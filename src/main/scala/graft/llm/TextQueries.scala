@@ -140,11 +140,14 @@ object TextQueries {
         |FROM documents, unnest(generate_series(1, length(text))) t(pos)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (spark, dir) =>
+      // split('') + indexed transform is O(n) per doc; the
+      // substring(text, i, 1) form is O(n^2) because UTF8String
+      // substring walks from the start each call.
       Tables(spark, dir, "documents")
         .select(col("doc_id"),
           expr("""aggregate(
-                 |  transform(sequence(1, length(text)),
-                 |    i -> ascii(substring(text, i, 1)) * ((CAST(i AS BIGINT) * 2654435761) % 1000003)),
+                 |  transform(split(text, ''),
+                 |    (c, i) -> ascii(c) * ((CAST(i + 1 AS BIGINT) * 2654435761) % 1000003)),
                  |  0L, (s, x) -> s + x) % 2147483647""".stripMargin).cast("long").as("fp"))
         .orderBy("doc_id")
     }
