@@ -1,0 +1,39 @@
+package graft.core
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Catalyst extension pack: registers graft's native expressions with
+  * the SQL function registry, so `spark.sql("... graft_dot(a, b) ...")`
+  * works anywhere the session does — the SparkSessionExtensions path
+  * SURVEY.md §2C/§4 calls for custom operators. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(children(0), children(1))))
+  }
+}
+
+/** Session factory with the engine's tuned defaults: UTC, AQE (default
+  * on in Spark 4), shuffle parallelism sized to the core count rather
+  * than the 200 default, and graft's Catalyst extensions installed. */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

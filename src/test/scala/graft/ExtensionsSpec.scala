@@ -1,0 +1,41 @@
+package graft
+
+import graft.core.GraftSession
+import graft.ops.SkewSalt
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions SQL registration + salted aggregation semantics.
+  * TestSpark's shared session is built through GraftSession, so the
+  * extensions are installed at creation (getOrCreate would silently
+  * skip extensions on an already-existing session). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val gspark = TestSpark.spark
+
+  test("graft_dot is callable from SQL via SparkSessionExtensions") {
+    val r = gspark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("salted count equals plain count per key") {
+    val sp = gspark
+    import sp.implicits._
+    // heavy skew: 10k rows on one key, a handful elsewhere
+    val df = (Seq.fill(10000)("hot") ++ Seq("a", "a", "b")).toDF("k")
+    val salted = SkewSalt.saltedCount(df, Seq("k"), 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == Map("hot" -> 10000L, "a" -> 2L, "b" -> 1L))
+  }
+
+  test("salted sum equals plain sum per key") {
+    val sp = gspark
+    import sp.implicits._
+    val df = (1 to 1000).map(i => ("hot", i.toLong)).toDF("k", "v")
+    val salted = SkewSalt.saltedSum(df, Seq("k"), col("v"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == Map("hot" -> 500500L))
+  }
+}
