@@ -59,7 +59,11 @@ object DedupQueries {
          |  GROUP BY 1, 2)
          |SELECT d1, d2, matches FROM agree WHERE matches >= 14 ORDER BY d1, d2""".stripMargin
     ) { (spark, dir) =>
-      val sig = MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir), 5))
+      // The signature table is one short row per doc but feeds four plan
+      // branches (two band sides + two verify sides) — persist it so the
+      // shingle explode + 16-way min aggregation runs once. Tiny state
+      // (16 longs/doc), the right trade at any scale.
+      val sig = MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir), 5)).persist()
       val cand = MinHash.candidates(sig)
       val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
       val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
@@ -143,7 +147,7 @@ object DedupQueries {
          |SELECT d1, d2, jac AS jaccard FROM j WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin
     ) { (spark, dir) =>
       val sh = MinHash.shingles(MinHash.docs(spark, dir), 9)
-      val sig = MinHash.signatures(sh)
+      val sig = MinHash.signatures(sh).persist()
       val cand = MinHash.candidates(sig)
       // Exact verify via per-doc shingle-set arrays + array_intersect:
       // O(|set|) per candidate pair with zero shuffle amplification,

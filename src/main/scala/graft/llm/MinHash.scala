@@ -42,12 +42,14 @@ object MinHash {
       (acc, i) => acc * 31 + ascii(substring(s, i, 1))
     }
 
-  /** Distinct (doc_id, h) shingle-hash rows of documents.text. */
+  /** (doc_id, h) shingle-hash rows of documents.text, WITH duplicates:
+    * min() is multiset-invariant and collect_set dedupes, so both
+    * downstream consumers get set semantics without paying an extra
+    * distinct() shuffle here. */
   def shingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), lower(col("text")).as("lt"))
       .select(col("doc_id"), explode(expr(s"sequence(1, length(lt) - ${n - 1})")).as("pos"), col("lt"))
       .select(col("doc_id"), shingleHash(expr(s"substring(lt, pos, $n)"), n).as("h"))
-      .distinct()
 
   /** Wide signature: doc_id, mh0..mh15 — one aggregation pass.
     * mh_i = (a_i * (h mod P) + b_i) mod P. */

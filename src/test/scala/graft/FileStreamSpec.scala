@@ -1,0 +1,40 @@
+package graft
+
+import graft.core.Tables
+import graft.streaming.StreamOps
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Streaming from a real file source (not MemoryStream): events written
+  * as json files arrive in two batches; the tumbling aggregation over
+  * the stream equals the batch result over the union of the files. */
+class FileStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("file-source stream through StreamOps.tumbling == batch over all files") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ck").toString
+
+    val events = Tables(sp, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // two arrival chunks as json files
+    events.filter("event_id % 2 = 0").write.mode("append").json(dir)
+
+    val schema = events.schema
+    val stream = sp.readStream.schema(schema).json(dir)
+    val q = StreamOps.tumbling(stream).writeStream
+      .format("memory").queryName("filestream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      events.filter("event_id % 2 = 1").write.mode("append").json(dir)
+      q.processAllAvailable()
+      val got = sp.table("filestream").collect().map(_.toString).sorted.toSeq
+      val want = StreamOps.tumbling(events).collect().map(_.toString).sorted.toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+}

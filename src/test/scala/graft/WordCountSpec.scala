@@ -39,6 +39,16 @@ class WordCountSpec extends AnyFunSuite {
     assert(!got.contains("rage,"))
   }
 
+  test("WordCount API (reference-shaped surface) matches the hand oracle") {
+    val src = Source.fromFile(fixture)
+    val expected = try oracle(src.getLines().toSeq) finally src.close()
+    val wc = new graft.ops.WordCount(spark, fixture, partitions = 4)
+    assert(wc.scoreboard() == expected)
+    // the reducer-bin column matches the reference partitioner semantics
+    val bins = wc.bin(8).select("bin").distinct().collect().map(_.getInt(0)).toSet
+    assert(bins.subsetOf((0 until 8).toSet))
+  }
+
   test("wsTokens drops empty tokens") {
     val df = spark.createDataFrame(Seq(Tuple1("  a  b "))).toDF("text")
     val toks = df.select(Cols.wsTokens(col("text")).as("t"))
