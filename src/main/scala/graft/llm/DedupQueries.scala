@@ -187,10 +187,13 @@ object DedupQueries {
         .withColumn("nrm", l2norm(col("v")))
       val a = e.toDF("v1", "va", "na")
       val b = e.toDF("v2", "vb", "nb")
-      a.join(b, col("v1") < col("v2"))
-        .select(col("v1"), col("v2"),
-          r4(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-        .filter(col("sim") >= 0.45)
+      val sim = r4(dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // The threshold goes in the join condition AFTER the cheap pair
+      // predicate: And short-circuits left-to-right, so v1 < v2 prunes
+      // half the pairs before any dot product runs (a post-join filter
+      // would be pushed in FRONT of the cheap test by Catalyst).
+      a.join(b, col("v1") < col("v2") && sim >= 0.45)
+        .select(col("v1"), col("v2"), sim.as("sim"))
         .orderBy("v1", "v2")
     }
   )
