@@ -17,6 +17,7 @@ object SparkEntry {
       graft.llm.DedupQueries.all ++
       graft.llm.SimilarityQueries.all ++
       graft.llm.TextQueries.all ++
+      graft.llm.ChunkingQueries.all ++
       graft.llm.MultimodalQueries.all ++
       graft.streaming.StreamingQueries.all
 

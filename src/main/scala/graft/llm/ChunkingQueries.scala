@@ -1,0 +1,68 @@
+package graft.llm
+
+import graft.core.Cols._
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-data shaping ops: overlapping token-window chunking and
+  * deterministic hash sampling — the two staples between "raw corpus"
+  * and "training shards". Both are single-pass, shuffle-free per-row
+  * transforms (explode multiplies rows but never crosses partitions).
+  */
+object ChunkingQueries {
+
+  /** Chunk geometry: 50-token windows, stride 40 (10-token overlap). */
+  private val (win, stride) = (50, 40)
+
+  val all: Seq[Q] = Seq(
+
+    // X10 — overlapping token-window chunking: one row per chunk with
+    // its token span and reassembled text length.
+    Q(
+      "x10_chunking",
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, toks, len(toks) AS n_tok,
+         |        CASE WHEN len(toks) <= $win THEN 1
+         |             ELSE CAST(ceil((len(toks) - $win) / ${stride}.0) AS BIGINT) + 1 END AS n_chunks
+         |      FROM t),
+         |e AS (SELECT doc_id, n_tok, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, toks FROM c)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(len(toks[(chunk_id * $stride + 1):(chunk_id * $stride + $win)]) AS BIGINT) AS chunk_tok,
+         |  CAST(length(array_to_string(toks[(chunk_id * $stride + 1):(chunk_id * $stride + $win)], ' ')) AS BIGINT) AS chunk_chars
+         |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+    ) { (spark, dir) =>
+      val toks = wsTokens(col("text"))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+        .withColumn("n_chunks",
+          when(col("n_tok") <= win, lit(1L))
+            .otherwise(ceil((col("n_tok") - win) / lit(stride.toDouble)).cast("long") + 1))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          expr(s"slice(toks, chunk_id * $stride + 1, $win)").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("chunk_tok"),
+          length(concat_ws(" ", col("chunk"))).cast("long").as("chunk_chars"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // X11 — deterministic stratified sample: a portable hash of doc_id
+    // keeps ~10% per language stratum; no RNG, reproducible anywhere.
+    Q(
+      "x11_hash_sample",
+      """WITH s AS (SELECT lang, n_chars FROM documents
+        |  WHERE (doc_id * 2654435761) % 1000003 % 100 < 10)
+        |SELECT lang, count(*) AS n_sampled,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1 ORDER BY lang""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .filter((col("doc_id") * 2654435761L % 1000003L % 100) < 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }
+  )
+}
