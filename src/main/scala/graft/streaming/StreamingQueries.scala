@@ -95,6 +95,12 @@ object StreamingQueries {
         |FROM f WHERE wm IS NULL OR ts >= wm - INTERVAL 30 MINUTE
         |GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
     ) { (spark, dir) =>
+      // Scale note: the unpartitioned running max mirrors the DRIVER-side
+      // watermark scalar of a streaming run — it exists only in this
+      // batch-oracle form. At 100 TB this semantic runs as the streaming
+      // variant (StreamOps.tumblingWithWatermark), where the watermark is
+      // O(1) state and no global sort happens; the batch form stays for
+      // the deterministic oracle gate.
       val wm = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
       Tables(spark, dir, "events")
         .withColumn("wm", max(col("ts")).over(wm))
