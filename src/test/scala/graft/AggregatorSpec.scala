@@ -27,4 +27,20 @@ class AggregatorSpec extends AnyFunSuite {
     assert(viaAgg.size == viaCols.size)
     viaCols.foreach { case (id, sig) => assert(viaAgg(id) == sig, s"doc $id") }
   }
+
+  test("OverwriteMergeAggregator reproduces the reference scoreboard quirk") {
+    val sp = spark
+    import sp.implicits._
+    // word counted in rounds 0..2 with different per-round counts; the
+    // reference's extend-merge keeps only the LAST round's count.
+    val rows = Seq(
+      ("rage", 0L, 3L), ("rage", 1L, 5L), ("rage", 2L, 2L),
+      ("night", 0L, 7L),
+      ("light", 1L, 4L), ("light", 0L, 9L))
+    val got = rows.toDF("word", "round", "cnt").as[(String, Long, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(graft.functions.OverwriteMergeAggregator.toColumn.name("last"))
+      .collect().toMap
+    assert(got == Map("rage" -> 2L, "night" -> 7L, "light" -> 4L))
+  }
 }
