@@ -113,7 +113,7 @@ object DedupQueries {
       val simhash = (0 until 32)
         .map(b => when(col(s"acc$b") > 0, 1L << b).otherwise(0L))
         .reduce(_ + _)
-      val sh = acc.select(col("doc_id"), simhash.as("simhash"))
+      val sh = acc.select(col("doc_id"), simhash.as("simhash")).persist()
       val bands = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { k =>
           struct(lit(k).as("k"), shiftright(col("simhash"), 8 * k).bitwiseAND(255).as("byte"))
@@ -158,6 +158,7 @@ object DedupQueries {
       val shArr = sh.groupBy("doc_id")
         .agg(sort_array(collect_set(col("h"))).as("hs"))
         .select(col("doc_id"), col("hs"), size(col("hs")).as("c"))
+        .persist()
       cand
         .join(shArr.toDF("ad", "ha", "c1"), col("d1") === col("ad"))
         .join(shArr.toDF("bd", "hb", "c2"), col("d2") === col("bd"))

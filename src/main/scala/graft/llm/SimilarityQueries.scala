@@ -75,6 +75,7 @@ object SimilarityQueries {
       val e = vectors(spark, dir)
         .withColumn("nrm", l2norm(col("v")))
         .withColumn("sig", lshSig(col("v")))
+        .persist()
       val q = e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "qsig")
       val x = e.toDF("nid", "xv", "xn", "xsig")
       val scored = broadcast(q)
