@@ -40,6 +40,31 @@ object SqlQueries {
           |GROUP BY 1, 3, 4 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
     },
 
+    // R18 — pivot: order counts by status, pivoted across priorities
+    // (RelationalGroupedDataset.pivot with explicit values → no extra
+    // distinct-scan pass; a CASE-sum oracle states the same table).
+    Q(
+      "r18_pivot_status_priority",
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+    ) { (spark, dir) =>
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      Tables(spark, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus") +:
+          prios.zipWithIndex.map { case (p, i) =>
+            coalesce(col(s"`$p`"), lit(0L)).as(s"p${i + 1}")
+          }: _*)
+        .orderBy("o_orderstatus")
+    },
+
     // X9 — approx_count_distinct (HLL++): implementation-defined
     // cardinality sketch, so no DuckDB hash oracle (SURVEY.md §2C
     // excludes HLL from the hash gate; driver records a rows-only
