@@ -65,6 +65,27 @@ object SqlQueries {
         .orderBy("o_orderstatus")
     },
 
+    // R19 — bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) over
+    // order-priority multisets; complements r13's distinct set ops.
+    Q(
+      "r19_setops_all",
+      """WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
+        |b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'except_all' AS op, p, count(*) AS n FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b) e GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, p, count(*) AS n FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b) i GROUP BY 2
+        |ORDER BY op, p""".stripMargin
+    ) { (spark, dir) =>
+      val o = Tables(spark, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_orderpriority").as("p"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_orderpriority").as("p"))
+      val ex = a.exceptAll(b).groupBy("p").agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("p"), col("n"))
+      val in = a.intersectAll(b).groupBy("p").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("p"), col("n"))
+      ex.unionByName(in).orderBy("op", "p")
+    },
+
     // X9 — approx_count_distinct (HLL++): implementation-defined
     // cardinality sketch, so no DuckDB hash oracle (SURVEY.md §2C
     // excludes HLL from the hash gate; driver records a rows-only
