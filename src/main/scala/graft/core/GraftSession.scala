@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    // auto-accelerate the declarative aggregate(zip_with(...)) spelling
+    ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
   }
 }
 

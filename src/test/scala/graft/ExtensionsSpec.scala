@@ -20,6 +20,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("optimizer rule rewrites the declarative fold spelling to graft_dot") {
+    // parquet-backed input (a LocalRelation would be evaluated eagerly
+    // by ConvertToLocalRelation before the rewrite is observable)
+    graft.core.Tables(gspark, TestSpark.sf0001, "embeddings")
+      .createOrReplaceTempView("graft_vecs")
+    val df = gspark.sql(
+      """SELECT vec_id, aggregate(
+        |  zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>),
+        |           (x, y) -> x * y),
+        |  0.0D, (s, v) -> s + v) AS d FROM graft_vecs""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      df.queryExecution.optimizedPlan.toString)
+    // result equals the native expression's output
+    val viaFold = df.orderBy("vec_id").limit(5).collect().map(_.getDouble(1)).toSeq
+    val viaNative = gspark.sql(
+      """SELECT vec_id, graft_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                         CAST(embedding AS ARRAY<DOUBLE>)) AS d
+        |FROM graft_vecs""".stripMargin)
+      .orderBy("vec_id").limit(5).collect().map(_.getDouble(1)).toSeq
+    assert(viaFold == viaNative)
+  }
+
+  test("optimizer rule leaves non-dot folds untouched") {
+    graft.core.Tables(gspark, TestSpark.sf0001, "embeddings")
+      .createOrReplaceTempView("graft_vecs2")
+    val df = gspark.sql(
+      """SELECT aggregate(
+        |  zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>),
+        |           (x, y) -> x + y),
+        |  0.0D, (s, v) -> s + v) AS d FROM graft_vecs2""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    assert(df.count() == 500)
+  }
+
   test("salted count equals plain count per key") {
     val sp = gspark
     import sp.implicits._
