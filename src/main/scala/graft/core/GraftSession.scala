@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children(0), children(1))))
     // auto-accelerate the declarative aggregate(zip_with(...)) spelling
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
+    // whole-operator custom plan: per-key top-k (partial + final)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 
