@@ -86,6 +86,28 @@ object SqlQueries {
       ex.unionByName(in).orderBy("op", "p")
     },
 
+    // R20 — the custom TopKPerKey operator (graft.plans) on the gated
+    // surface: top-2 orders per priority. The oracle states the same
+    // semantics as a window row_number — the custom partial+final heap
+    // operator must agree exactly.
+    Q(
+      "r20_topk_per_priority",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) r
+        |WHERE rn <= 2 ORDER BY o_orderpriority, o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      graft.plans.TopKPerKey(
+          Tables(spark, dir, "orders"),
+          keys = Seq("o_orderpriority"),
+          orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)),
+          k = 2)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
     // X9 — approx_count_distinct (HLL++): implementation-defined
     // cardinality sketch, so no DuckDB hash oracle (SURVEY.md §2C
     // excludes HLL from the hash gate; driver records a rows-only
