@@ -1,5 +1,6 @@
 package graft.relational
 
+import graft.core.Cols.fixed
 import graft.core.{Q, Tables}
 import org.apache.spark.sql.functions._
 
@@ -106,6 +107,31 @@ object SqlQueries {
           k = 2)
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "o_orderkey")
+    },
+
+    // R21 — RANGE window frame (value-based, vs r12's ROWS frame): for
+    // each order, the customer's order count and exact spend within a
+    // +-30-day window of its date. Ordering key is epoch micros so the
+    // frame bounds are portable integers on both engines.
+    Q(
+      "r21_range_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER w AS cnt30,
+        |  SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w / 100.0 AS sum30
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |             RANGE BETWEEN 2592000000000 PRECEDING AND 2592000000000 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(unix_micros(col("o_orderdate")))
+        .rangeBetween(-2592000000000L, 2592000000000L)
+      Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("cnt30"),
+          (sum(fixed(col("o_totalprice"), 100)).over(w) / 100.0).as("sum30"))
+        .orderBy("o_custkey", "o_orderkey")
     },
 
     // X9 — approx_count_distinct (HLL++): implementation-defined
