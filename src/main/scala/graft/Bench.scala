@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Bench main: runs every registered query against SPARK_GRAFT_SF_DIR
@@ -26,7 +28,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries may persist() intermediates that feed multiple branches
+      // of their own plan; drop them afterwards so one query's cached
+      // blocks never steal storage memory from the next one's run.
+      spark.catalog.clearCache()
+      dt
     }
 
     // One warm run (JIT/codegen/parquet footers), then the timed run.
@@ -36,7 +43,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also write the line to a file: the driver launches Bench through
+    // sbt, whose log prefixes make stdout unparseable as bare JSON.
+    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), line + "\n")
     spark.stop()
   }
 }

