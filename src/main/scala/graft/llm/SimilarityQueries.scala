@@ -20,8 +20,10 @@ object SimilarityQueries {
   private def planes: Seq[Seq[Double]] =
     (0 until 8).map(p => (0 until 64).map(d => (((p * 131 + d * 17) % 19) - 9).toDouble))
 
-  /** LSH signature column for a 64-dim array<double> column. */
-  private def lshSig(v: Column): Column =
+  /** LSH signature column for a 64-dim array<double> column (shared with
+    * DedupQueries.x3, which buckets near-dup candidates on the same
+    * deterministic planes). */
+  private[llm] def lshSig(v: Column): Column =
     (0 until 8).map { p =>
       val dp = aggregate(zip_with(v, typedLit(planes(p)), (x, w) => x * w), lit(0.0), (s, x) => s + x)
       when(dp > 0, 1L << p).otherwise(0L)

@@ -32,6 +32,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!cand.contains((1L, 3L)))
   }
 
+  test("band-pair candidates: lossless for >= 14/16 pairs, subset of single-band") {
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val sig = MinHash.signatures(MinHash.shingles(docsDF(Seq(
+      1L -> txt, 2L -> txt,
+      3L -> "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn")), 5))
+    val paired = MinHash.candidatesPaired(sig).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = MinHash.candidates(sig).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs agree on all 16 minhashes -> must survive the
+    // stricter 2-of-4 banding; a band-pair match implies a band match
+    assert(paired.contains((1L, 2L)))
+    assert(!paired.contains((1L, 3L)))
+    assert(paired.subsetOf(single))
+  }
+
+  test("x3 plan is a keyed equi-join: no nested-loop over the pair space") {
+    val df = graft.SparkEntry.queries("x3_embedding_neardup")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    spark.catalog.clearCache()
+  }
+
   test("exact dedup counts duplicate groups") {
     val sp = spark
     import sp.implicits._
