@@ -95,15 +95,24 @@ object StreamingQueries {
         |FROM f WHERE wm IS NULL OR ts >= wm - INTERVAL 30 MINUTE
         |GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin
     ) { (spark, dir) =>
-      // Scale note: the unpartitioned running max mirrors the DRIVER-side
-      // watermark scalar of a streaming run — it exists only in this
-      // batch-oracle form. At 100 TB this semantic runs as the streaming
-      // variant (StreamOps.tumblingWithWatermark), where the watermark is
-      // O(1) state and no global sort happens; the batch form stays for
-      // the deterministic oracle gate.
-      val wm = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-      Tables(spark, dir, "events")
-        .withColumn("wm", max(col("ts")).over(wm))
+      // The global running max over arrival order (event_id) is computed
+      // in TWO passes so no stage is a single-task global sort: (1) an
+      // intra-bucket running max, windowed per event_id div 4096 bucket —
+      // fully parallel; (2) a prefix max over the per-bucket maxima — a
+      // window over the tiny bucket table (rows = events/4096), broadcast
+      // back. wm(e) = max of both; identical to the one-pass definition.
+      // (The streaming variant, StreamOps.tumblingWithWatermark, keeps
+      // the watermark as O(1) state instead; this is the batch form.)
+      val bucket = expr("event_id div 4096")
+      val intra = Window.partitionBy("bkt").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val ev = Tables(spark, dir, "events").withColumn("bkt", bucket)
+      val bucketPrefix = ev.groupBy("bkt").agg(max(col("ts")).as("bmax"))
+        .withColumn("pmax", max(col("bmax")).over(prefix))
+        .select("bkt", "pmax")
+      ev.join(broadcast(bucketPrefix), "bkt")
+        .withColumn("wm", greatest(max(col("ts")).over(intra), col("pmax")))
         .filter(col("wm").isNull || col("ts") >= col("wm") - expr("INTERVAL 30 MINUTES"))
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), (sum(fixed(col("value"), 10000)) / 10000.0).as("val"))

@@ -104,4 +104,22 @@ class StreamingSpec extends AnyFunSuite {
       emitted.foreach { case (_, c) => assert(c == 1L) }
     } finally q.stop()
   }
+
+  test("S4 batch form: bucketed two-pass running max equals the one-pass definition") {
+    import graft.core.Tables
+    val onePass = org.apache.spark.sql.expressions.Window
+      .orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val direct = Tables(spark, sf0001, "events")
+      .withColumn("wm", max(col("ts")).over(onePass))
+      .filter(col("wm").isNull || col("ts") >= col("wm") - expr("INTERVAL 30 MINUTES"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("event_type"), col("cnt"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = SparkEntry.queries("s4_watermark_drop")(spark, sf0001)
+      .select("ws_us", "event_type", "cnt")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == direct)
+  }
 }
