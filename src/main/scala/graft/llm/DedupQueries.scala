@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.core.Cols._
 import graft.core.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication surface: exact (content hash), MinHash near-dup,
@@ -24,6 +25,35 @@ object DedupQueries {
     }
     poly % 4294967296L
   }
+
+  /** MinHash near-dup pairs (d1 < d2, matches >= 14/16) over 5-gram
+    * shingles — the l2 pipeline, shared with x12's cluster resolution.
+    * Candidates come from the lossless 2-of-4 band-pair keys. */
+  private[llm] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // The signature table is one short row per doc but feeds four plan
+    // branches (two band sides + two verify sides) — persist it so the
+    // shingle explode + 16-way min aggregation runs once. Tiny state
+    // (16 longs/doc), the right trade at any scale.
+    val sig = MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir), 5)).persist()
+    val cand = MinHash.candidatesPaired(sig)
+    val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
+    val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
+    val matches = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(s1, col("d1") === col("s1_doc"))
+      .join(s2, col("d2") === col("s2_doc"))
+      .select(col("d1"), col("d2"), matches.as("matches"))
+      .filter(col("matches") >= 14)
+  }
+
+  /** Shared oracle CTE tail producing the l2 pair set: agree(d1, d2,
+    * matches) over the oracleSig(5) signatures. */
+  private val agreeSql =
+    """agree AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS matches
+      |  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
 
   private val tokenHash32Sql =
     """(((((((CAST(ascii(substr(p,1,1)) AS BIGINT)*31 + ascii(substr(p,2,1)))*31
@@ -54,34 +84,10 @@ object DedupQueries {
     Q(
       "l2_minhash_neardup",
       s"""${MinHash.oracleSig(5)},
-         |agree AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS matches
-         |  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
-         |  GROUP BY 1, 2)
+         |$agreeSql
          |SELECT d1, d2, matches FROM agree WHERE matches >= 14 ORDER BY d1, d2""".stripMargin
     ) { (spark, dir) =>
-      // The signature table is one short row per doc but feeds four plan
-      // branches (two band sides + two verify sides) — persist it so the
-      // shingle explode + 16-way min aggregation runs once. Tiny state
-      // (16 longs/doc), the right trade at any scale.
-      val sig = MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir), 5)).persist()
-      // 2-of-4 band-pair candidate keys, NOT single bands: the 5-gram
-      // shingle universe of this corpus is tiny, minhash minima correlate
-      // across unrelated docs, and single-band buckets explode
-      // quadratically (1.2M candidate pairs at sf0.1). Band-pair keys
-      // stay lossless for >= 14/16 (see MinHash.candidatesPaired) and
-      // cut candidates ~19x.
-      val cand = MinHash.candidatesPaired(sig)
-      val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
-      val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
-      val matches = (0 until 16)
-        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      cand
-        .join(s1, col("d1") === col("s1_doc"))
-        .join(s2, col("d2") === col("s2_doc"))
-        .select(col("d1"), col("d2"), matches.as("matches"))
-        .filter(col("matches") >= 14)
-        .orderBy("d1", "d2")
+      minhashPairs(spark, dir).orderBy("d1", "d2")
     },
 
     // X1 — SimHash near-dup: 32-bit simhash over tokens, hamming <= 1,
@@ -233,6 +239,36 @@ object DedupQueries {
         .select(col("v1"), col("v2"), sim.as("sim"))
         .filter(col("sim") >= 0.4)
         .orderBy("v1", "v2")
+    },
+
+    // X12 — near-dup cluster resolution: the l2 pair set treated as an
+    // undirected graph, resolved to connected components so a pipeline
+    // can keep one canonical doc per near-dup cluster. Components are
+    // labeled by their minimum doc_id via iterative min-label
+    // propagation — a converging join loop, all-distributed, no
+    // driver-side union-find; rounds = O(component diameter), and
+    // near-dup clusters are shallow. The oracle states the same fixpoint
+    // as a recursive reachability CTE.
+    Q(
+      "x12_dedup_clusters",
+      s"""${MinHash.oracleSig(5).replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$agreeSql,
+         |pairs AS (SELECT d1, d2 FROM agree WHERE matches >= 14),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+         |SELECT doc_id, min(r) AS cluster_id,
+         |  CAST(CASE WHEN doc_id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val pairs = minhashPairs(spark, dir).select("d1", "d2")
+      val nodes = MinHash.docs(spark, dir).select("doc_id")
+      graft.ops.ConnectedComponents.minLabel(nodes, pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
+        .orderBy("doc_id")
     }
   )
 }

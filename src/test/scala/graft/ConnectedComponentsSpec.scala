@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.ConnectedComponents
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Min-label connected components on constructed graphs. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val sp = spark
+    import sp.implicits._
+    ConnectedComponents.minLabel(nodes.toDF("id"), edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain + triangle + singletons resolve to component minima") {
+    // chain 1-2-3-4 (diameter 3, needs multiple rounds), triangle 10-11-12,
+    // singletons 20, 21
+    val got = run(Seq[Long](1, 2, 3, 4, 10, 11, 12, 20, 21),
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L, 11L -> 12L, 12L -> 10L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("edge direction does not matter") {
+    val a = run(Seq[Long](1, 2, 3), Seq(3L -> 2L, 2L -> 1L))
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("x12 clusters are consistent with the l2 pair set on sf0.001") {
+    val clusters = SparkEntry.queries("x12_dedup_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("l2_minhash_neardup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every near-dup pair lands in the same cluster
+    pairs.foreach { case (d1, d2) => assert(clusters(d1) == clusters(d2)) }
+    // labels are component minima: each cluster_id is a member of its own cluster
+    clusters.values.foreach(c => assert(clusters(c) == c))
+    spark.catalog.clearCache()
+  }
+}
