@@ -18,15 +18,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BlockGemm {
 
   /** Multiply two coordinate-form DataFrames (i, j, v) as BlockMatrices
-    * with the given block edge, returning coordinate-form (i, j, v). */
+    * with the given block edge, returning coordinate-form (i, j, v).
+    * `blockSize <= 0` (the default) picks the block grid from the
+    * matrix dims and session parallelism via [[Grid.blockSizes]] — the
+    * reference's closest_factor reducer tiling (set_gemm,
+    * outer_product.rs:162-167). */
   def multiply(spark: SparkSession, a: DataFrame, b: DataFrame,
-      blockSize: Int = 64): DataFrame = {
-    def toBlock(df: DataFrame): BlockMatrix = {
+      blockSize: Int = 0): DataFrame = {
+    def toBlock(df: DataFrame, rows: Int, cols: Int): BlockMatrix = {
       val entries = df.rdd.map(r =>
         MatrixEntry(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
-      new CoordinateMatrix(entries).toBlockMatrix(blockSize, blockSize).cache()
+      new CoordinateMatrix(entries).toBlockMatrix(rows, cols).cache()
     }
-    val c = toBlock(a).multiply(toBlock(b)).toCoordinateMatrix()
+    val (aRows, aCols, bRows, bCols) =
+      if (blockSize > 0) (blockSize, blockSize, blockSize, blockSize)
+      else {
+        // One tiny agg per input: the block planner needs (m, k, n),
+        // exactly as the reference's set_gemm takes them as arguments.
+        import org.apache.spark.sql.functions.{max => fmax}
+        val Array(am, ak) = a.agg(fmax(a(a.columns(0))), fmax(a(a.columns(1))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+        val Array(bk, bn) = b.agg(fmax(b(b.columns(0))), fmax(b(b.columns(1))))
+          .collect().head.toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+        val par = spark.sparkContext.defaultParallelism
+        // Result blocks tile C[m, n] over a near-square grid; the inner
+        // (k) edge is ceil(k / parallelism) — the reference's intended
+        // mapper split (the `(k + mappers - 1) / mappers` line set_gemm
+        // comments out in favor of a hardcoded 4) — and is shared by A's
+        // column blocks and B's row blocks, as BlockMatrix.multiply
+        // requires.
+        val (rows, cols) = Grid.blockSizes(am, bn, par)
+        val kEdge = ((ak.max(bk) + par - 1) / par).max(1L).min(Int.MaxValue.toLong).toInt
+        (rows, kEdge, kEdge, cols)
+      }
+    val c = toBlock(a, aRows, aCols).multiply(toBlock(b, bRows, bCols))
+      .toCoordinateMatrix()
     val sp = spark
     import sp.implicits._
     c.entries.map(e => (e.i, e.j, e.value)).toDF("i", "j", "v")
