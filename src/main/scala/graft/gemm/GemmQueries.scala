@@ -36,8 +36,10 @@ object GemmQueries {
     spark.range(k * n).selectExpr(
       s"id div $n AS k", s"id % $n AS j", s"(id div $n * 11 + id % $n * 3) % 10 AS b")
 
-  /** C = A ⋈ B on k, groupBy(i,j), sum(a*b) — exact integer GEMM. */
-  private def matC(spark: SparkSession): DataFrame =
+  /** C = A ⋈ B on k, groupBy(i,j), sum(a*b) — exact integer GEMM.
+    * Public: trace.TraceMain runs this reference-shape multiply to
+    * produce the EP3 artifact (reference main.rs:12-26). */
+  def matC(spark: SparkSession): DataFrame =
     matA(spark).join(matB(spark), "k")
       .groupBy("i", "j").agg(sum(col("a") * col("b")).as("v"))
 

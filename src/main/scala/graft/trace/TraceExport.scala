@@ -61,7 +61,9 @@ object TraceExport {
         case n if n.contains("Join") =>
           (id.toString,
             s"""{"k": -1, "m": -1, "n": -1, "complexity": $size, "type": "crossproduct"}""")
-        case n if n.contains("Scan") =>
+        case n if n.contains("Scan") || p.children.isEmpty =>
+          // any source leaf (file scan, Range generator, local relation)
+          // is the reference's memory→mapper load: src = -1 = main memory
           ("global", s"""{"src": -1, "dst": $id, "len": $size}""")
         case n if n.contains("Exchange") || n.contains("Broadcast") =>
           ("global", s"""{"src": ${deps.headOption.getOrElse(-1)}, "dst": $id, "len": $size}""")

@@ -28,4 +28,38 @@ class TraceExportSpec extends AnyFunSuite {
     assert(json.contains(""""type": "elementwise""""))  // aggregates
     assert(json.contains(""""op_content""""))
   }
+
+  test("GEMM trace artifact: every op carries the reference schema's required fields") {
+    // the op list TraceMain writes (reference main.rs:12-26 artifact)
+    val ops = TraceExport.opList(graft.gemm.GemmQueries.matC(spark))
+    assert(ops.nonEmpty)
+    // common fields on every record (op.rs:49-63, 92-105, 146-162)
+    ops.foreach { op =>
+      assert(op.contains("\"index\":") && op.contains("\"module\":") &&
+        op.contains("\"dependency\":") && op.contains("\"op\":") &&
+        op.contains("\"op_content\":"), op)
+    }
+    // per-type payloads: trans {src,dst,len}, elementwise {complexity,type},
+    // crossproduct {k,m,n,complexity,type}
+    val trans = ops.filter(_.contains("\"src\":"))
+    val vec = ops.filter(_.contains("\"type\": \"elementwise\""))
+    val cross = ops.filter(_.contains("\"type\": \"crossproduct\""))
+    assert(trans.nonEmpty && vec.nonEmpty && cross.nonEmpty)
+    trans.foreach(op => assert(op.contains("\"dst\":") && op.contains("\"len\":"), op))
+    vec.foreach(op => assert(op.contains("\"complexity\":"), op))
+    cross.foreach(op => assert(op.contains("\"k\":") && op.contains("\"m\":") &&
+      op.contains("\"n\":") && op.contains("\"complexity\":"), op))
+  }
+
+  test("TraceMain writes a parseable JSON artifact file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trace")
+    val out = dir.resolve("outer-product-trace.json")
+    // write the artifact the way TraceMain does, against the live session
+    val c = graft.gemm.GemmQueries.matC(spark)
+    java.nio.file.Files.writeString(out, TraceExport.toJson(c) + "\n")
+    val txt = java.nio.file.Files.readString(out)
+    assert(txt.trim.startsWith("[") && txt.trim.endsWith("]"))
+    // minimal JSON sanity: balanced and fields present
+    assert(txt.contains("\"op_content\""))
+  }
 }
