@@ -25,9 +25,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("r1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each run is
+    * wrapped in a CacheScope so query-internal persisted intermediates
+    * are released after the result's first materialization — library
+    * callers don't accumulate orphaned cached blocks across calls. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.run).toMap
+    registry.map { q =>
+      q.name -> ((s: SparkSession, d: String) =>
+        graft.core.CacheScope.scoped(q.run(s, d)))
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,89 @@
+package graft.core
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Scoped lifecycle for query-internal cached state.
+  *
+  * Several queries persist small intermediates that feed multiple
+  * branches of their own plan (LSH signatures, per-doc shingle arrays,
+  * connected-components label checkpoints). Left alone, those cached
+  * blocks outlive the query: a library caller running many queries
+  * through `Graft.queries` accumulates orphaned storage memory.
+  *
+  * `scoped` wraps a query builder so that every intermediate registered
+  * inside it (via `cache` / `release`) is freed automatically after the
+  * FIRST completed action that consumes the query's result — a one-shot
+  * [[QueryExecutionListener]] matched on plan containment
+  * (`qe.analyzed` contains a subtree `sameResult` to the query's plan).
+  * Re-running the same DataFrame afterwards is still correct — Spark
+  * recomputes from lineage — it just no longer reuses the cache.
+  *
+  * A result that is built but never materialized keeps its cache until
+  * the session's cache is cleared; `Bench`/`Verify` additionally call
+  * `spark.catalog.clearCache()` between queries as a belt-and-braces.
+  */
+object CacheScope {
+
+  private val pending = new ThreadLocal[ArrayBuffer[() => Unit]]
+
+  /** Persist `df` (MEMORY_AND_DISK) and register its release with the
+    * enclosing scope. Outside any scope this is persist-only — the
+    * caller owns the lifetime, exactly as a bare `.persist()`. */
+  def cache(df: DataFrame): DataFrame = {
+    df.persist()
+    release(() => { df.unpersist(false); () })
+    df
+  }
+
+  /** Register an arbitrary release action (e.g. an RDD unpersist) with
+    * the enclosing scope; no-op when no scope is active. */
+  def release(f: () => Unit): Unit = {
+    val buf = pending.get
+    if (buf != null) buf += f
+  }
+
+  /** Run `build`, collecting every `cache`/`release` registration made
+    * on this thread, and arm the cleanup on the returned result. */
+  def scoped(build: => DataFrame): DataFrame = {
+    val outer = pending.get
+    val buf = ArrayBuffer[() => Unit]()
+    pending.set(buf)
+    try {
+      val result = build
+      if (buf.nonEmpty) armed(result, buf.toList) else result
+    } finally {
+      if (outer != null) pending.set(outer) else pending.remove()
+    }
+  }
+
+  private def armed(result: DataFrame, releases: List[() => Unit]): DataFrame = {
+    val spark = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val done = new AtomicBoolean(false)
+    val listener = new QueryExecutionListener {
+      private def fire(qe: QueryExecution): Unit = {
+        // Conservative on any comparison failure: better to free the
+        // cache early (recompute stays correct) than to leak it.
+        val hit =
+          try qe.analyzed.find(_.sameResult(target)).isDefined
+          catch { case _: Throwable => true }
+        if (hit && done.compareAndSet(false, true)) {
+          releases.foreach(f => try f() catch { case _: Throwable => () })
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        fire(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        fire(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
+}

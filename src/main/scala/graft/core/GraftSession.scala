@@ -34,6 +34,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // parquet reader defaults Tables relies on: read TIMESTAMP(NANOS)
+      // as long (the vectorized reader rejects nanos) and don't infer
+      // NTZ — Tables normalizes everything to TimestampType itself.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()

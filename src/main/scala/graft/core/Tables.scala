@@ -24,8 +24,12 @@ object Tables {
     // micros (identical to DuckDB's nanos→micros truncation). Other
     // tables carry NTZ millis; normalize everything to TimestampType
     // (session TZ is pinned to UTC, so the instant is unchanged).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // GraftSession.builder sets the reader confs once; the guarded set
+    // below only fires on a vanilla session (e.g. a bare spark-shell)
+    // reading events — no steady-state per-call conf mutation.
+    if (name == "events" &&
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val withTs =
       if (name == "events" && raw.schema("ts").dataType == LongType)
@@ -34,5 +38,17 @@ object Tables {
     withTs.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(withTs) {
       (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
     }
+  }
+
+  /** Ensure at least the session's default parallelism ahead of a
+    * row-EXPANDING stage (tokenize/shingle/plane-projection). Split
+    * planning sizes scan tasks by input bytes, but an explode amplifies
+    * work 100-1000x past the bytes read — a small single-row-group
+    * parquet file would otherwise pin the whole map stage to ONE task.
+    * No-op when the scan already plans enough splits (the 100 TB case,
+    * where adding a shuffle here would be pure waste). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 }

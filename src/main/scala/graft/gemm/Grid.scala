@@ -19,7 +19,14 @@ package graft.gemm
 object Grid {
 
   /** The divisor of `value` nearest to `factor` (ties go down).
-    * `factor` is clamped into [1, value]. */
+    * `factor` is clamped into [1, value].
+    *
+    * Note: because the Rust original's underflowed `res[0] - factor`
+    * wraps to a huge usize, the reference effectively picks the FARTHER
+    * candidate whenever both divisors are strictly off-factor (e.g.
+    * `closest_factor(10, 3)` → 5 there, 2 here) — so grids ported from
+    * reference runs can differ in shape. Either factorization is a
+    * valid block grid; correctness is unaffected. */
   def closestFactor(value: Int, factor: Int): Int = {
     require(value >= 1, s"value must be >= 1, got $value")
     val f = factor.max(1).min(value)

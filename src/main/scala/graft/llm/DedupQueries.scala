@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.core.Cols._
-import graft.core.{Q, Tables}
+import graft.core.{CacheScope, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,10 +31,12 @@ object DedupQueries {
     * Candidates come from the lossless 2-of-4 band-pair keys. */
   private[llm] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // The signature table is one short row per doc but feeds four plan
-    // branches (two band sides + two verify sides) — persist it so the
-    // shingle explode + 16-way min aggregation runs once. Tiny state
-    // (16 longs/doc), the right trade at any scale.
-    val sig = MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir), 5)).persist()
+    // branches (two band sides + two verify sides) — cache it so the
+    // shuffle-free shingle-set scan runs once. Tiny state (16 longs per
+    // doc), the right trade at any scale; released after the query
+    // materializes (CacheScope).
+    val sig = CacheScope.cache(
+      MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir), 5)))
     val cand = MinHash.candidatesPaired(sig)
     val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
     val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
@@ -113,7 +115,7 @@ object DedupQueries {
          |  FROM cand JOIN sh2 s1 ON s1.doc_id = cand.d1 JOIN sh2 s2 ON s2.doc_id = cand.d2)
          |SELECT d1, d2, hamming FROM h WHERE hamming <= 1 ORDER BY d1, d2""".stripMargin
     ) { (spark, dir) =>
-      val toks = Tables(spark, dir, "documents")
+      val toks = Tables.fanOut(Tables(spark, dir, "documents"))
         .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
         .select(col("doc_id"), tokenHash32(col("t")).as("th32"))
       // 32 agg columns: per-bit signed counts in one aggregation pass.
@@ -125,7 +127,7 @@ object DedupQueries {
       val simhash = (0 until 32)
         .map(b => when(col(s"acc$b") > 0, 1L << b).otherwise(0L))
         .reduce(_ + _)
-      val sh = acc.select(col("doc_id"), simhash.as("simhash")).persist()
+      val sh = CacheScope.cache(acc.select(col("doc_id"), simhash.as("simhash")))
       // Candidate keys are 3-of-4 byte-band TRIPLES, not single bytes:
       // hamming <= 1 flips at most one of the 4 bytes, so a qualifying
       // pair agrees on the other 3 — key each doc 4 ways on (k, simhash
@@ -166,22 +168,19 @@ object DedupQueries {
          |  FROM inter JOIN card ca ON inter.d1 = ca.doc_id JOIN card cb ON inter.d2 = cb.doc_id)
          |SELECT d1, d2, jac AS jaccard FROM j WHERE jac >= 0.5 ORDER BY d1, d2""".stripMargin
     ) { (spark, dir) =>
-      // The 9-gram shingle rows feed BOTH the minhash signatures and the
-      // exact-verify set arrays; persist them so the explode + hash scan
-      // over the corpus runs once per bench run instead of twice.
-      val sh = MinHash.shingles(MinHash.docs(spark, dir), 9).persist()
-      val sig = MinHash.signatures(sh).persist()
+      // ONE explode over the corpus: aggregate straight to per-doc
+      // sorted shingle-SET arrays (one short row per doc — the only
+      // thing cached), then derive the 16 minhash signature columns
+      // from the arrays via array_min(transform(...)). Min over a set
+      // equals min over the multiset, so the bits — and the oracle —
+      // are unchanged; what's gone is the cache of ~10M raw exploded
+      // shingle rows that made this query 20x its baseline in round 2.
+      // Exact verify joins the same arrays to the candidates and runs
+      // array_intersect: O(|set|) per candidate pair with zero shuffle
+      // amplification, no skew, scales linearly.
+      val shArr = CacheScope.cache(MinHash.shingleSets(MinHash.docs(spark, dir), 9))
+      val sig = MinHash.signaturesFromSets(shArr)
       val cand = MinHash.candidates(sig)
-      // Exact verify via per-doc shingle-set arrays + array_intersect:
-      // O(|set|) per candidate pair with zero shuffle amplification,
-      // instead of exploding every candidate by its shingle rows (which
-      // materializes |cand| x ~300 join rows). The per-doc array table
-      // is tiny relative to the corpus (one row per doc) and joins to
-      // the candidates on doc id — no skew, scales linearly.
-      val shArr = sh.groupBy("doc_id")
-        .agg(sort_array(collect_set(col("h"))).as("hs"))
-        .select(col("doc_id"), col("hs"), size(col("hs")).as("c"))
-        .persist()
       cand
         .join(shArr.toDF("ad", "ha", "c1"), col("d1") === col("ad"))
         .join(shArr.toDF("bd", "hb", "c2"), col("d2") === col("bd"))
@@ -206,11 +205,8 @@ object DedupQueries {
     // sf0.1 pair space from 12.5M to ~225k candidates.
     Q(
       "x3_embedding_neardup",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |d AS (SELECT vec_id, p, SUM(v[dd] * (((p*131 + (dd-1)*17) % 19) - 9)) AS dp
-        |  FROM e, range(0, 8) rp(p), range(1, 65) rd(dd) GROUP BY 1, 2),
-        |sg AS (SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM d GROUP BY 1),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |${SimilarityQueries.sigSql},
         |ev AS (SELECT e.vec_id, e.v, sg.sig FROM e JOIN sg USING (vec_id))
         |SELECT v1, v2, sim FROM (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2,
@@ -220,11 +216,10 @@ object DedupQueries {
         |    ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 1) p
         |WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin
     ) { (spark, dir) =>
-      val e = Tables(spark, dir, "embeddings")
+      val e = CacheScope.cache(Tables.fanOut(Tables(spark, dir, "embeddings"))
         .select(col("vec_id"), vecD(col("embedding")).as("v"))
         .withColumn("nrm", l2norm(col("v")))
-        .withColumn("sig", SimilarityQueries.lshSig(col("v")))
-        .persist()
+        .withColumn("sig", SimilarityQueries.lshSig(col("v"))))
       // Multi-probe side: sig itself plus each one-bit flip. A pair at
       // hamming 0 meets on the exact key, a pair at hamming 1 meets on
       // exactly one flipped probe — every qualifying pair matches exactly

@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
   * minhash minima correlate across unrelated docs and LSH candidate
   * buckets explode — a longer shingle restores selectivity.
   *
-  * Scale design: signatures are 16 `min()` aggregate columns over the
-  * shingle rows (one shuffle on doc_id, map-side partial min), NOT a
-  * 16-way explode. Candidate generation is classic LSH banding — 4
-  * bands x 4 rows — so the self-join runs on small band buckets, never
-  * on the full doc x doc cross product. A pair with >= 14/16 matching
+  * Scale design: the hot path is fully shuffle-free up to candidate
+  * generation — `shingleSets` builds each doc's distinct shingle-hash
+  * array row-locally (char-code array + O(n) rolling fold per
+  * position; no explode) and `signaturesFromSets` derives the 16
+  * signature columns as array folds over it. The explode-based
+  * `shingles`/`signatures` pair remains for consumers that need
+  * shingle ROWS (e.g. MlLsh feature vectors) and computes identical
+  * bits. Candidate generation is classic LSH banding — 4 bands x 4
+  * rows — so the self-join runs on small band buckets, never on the
+  * full doc x doc cross product. A pair with >= 14/16 matching
   * minhashes always shares a full band (pigeonhole: 2 mismatches break
   * at most 2 of 4 bands), so banding is lossless for the >= 14 gate.
   */
@@ -58,6 +63,33 @@ object MinHash {
     sh.groupBy("doc_id").agg(
       mh(seeds.head._1, seeds.head._2).as("mh0"),
       seeds.zipWithIndex.tail.map { case ((a, b), i) => mh(a, b).as(s"mh$i") }: _*)
+  }
+
+  /** Per-doc sorted distinct shingle arrays: (doc_id, hs, c). ONE
+    * explode + one aggregation over the corpus, leaving one short row
+    * per doc — the only thing worth caching in a shingle pipeline. The
+    * arrays feed both signature derivation (`signaturesFromSets`) and
+    * exact set verification (`array_intersect`), so the raw exploded
+    * shingle rows are never materialized twice and never cached.
+    * (An all-array row-local variant — transform over a char-code
+    * array, no shuffle — was measured SLOWER at every SF: Spark's
+    * higher-order array functions evaluate interpreted, while this
+    * explode + collect_set pipeline stays inside whole-stage codegen.) */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    shingles(docs, n).groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("c"))
+
+  /** Wide signature derived from the per-doc shingle-set arrays —
+    * identical bits to `signatures` (min over a set equals min over the
+    * multiset), but computed by a per-row array fold instead of a
+    * second pass over exploded rows:
+    * mh_i = array_min(transform(hs, h -> (a_i*(h mod P)+b_i) mod P)). */
+  def signaturesFromSets(sets: DataFrame): DataFrame = {
+    def mh(a: Long, b: Long) =
+      array_min(transform(col("hs"), h => ((h % P) * a + b) % P))
+    sets.select(col("doc_id") +:
+      seeds.zipWithIndex.map { case ((a, b), i) => mh(a, b).as(s"mh$i") }: _*)
   }
 
   /** LSH band rows: (doc_id, band, bk) with bk the comma-joined 4-hash
@@ -105,7 +137,8 @@ object MinHash {
       .select("d1", "d2").distinct()
   }
 
-  def docs(spark: SparkSession, dir: String): DataFrame = Tables(spark, dir, "documents")
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables(spark, dir, "documents"))
 
   /** Shared oracle-SQL CTE prefix for gram length n: shingles + seeds +
     * long-form signatures. Matches the Spark pipeline bit-for-bit. */

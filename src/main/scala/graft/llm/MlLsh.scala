@@ -45,8 +45,8 @@ object MlLsh {
   /** Self-join candidates with Jaccard distance below `maxDistance`
     * (distance = 1 - Jaccard). Returns (d1, d2, jaccard_distance). */
   def neardupCandidates(spark: SparkSession, dir: String, gram: Int,
-      maxDistance: Double): DataFrame = {
-    val feats = shingleFeatures(spark, dir, gram).persist()
+      maxDistance: Double): DataFrame = graft.core.CacheScope.scoped {
+    val feats = graft.core.CacheScope.cache(shingleFeatures(spark, dir, gram))
     val model = fit(feats)
     model.approxSimilarityJoin(feats, feats, maxDistance, "dist")
       .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"), col("dist"))

@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.core.Cols._
-import graft.core.{Q, Tables}
+import graft.core.{CacheScope, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,8 +29,26 @@ object SimilarityQueries {
       when(dp > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Oracle-SQL `sg` CTE computing the same signatures as `lshSig`,
+    * stated as in-order list_dot_product against LITERAL weight lists —
+    * not an order-unspecified SUM over an unnested join — so the oracle
+    * folds each dot product in the same element order as the engine.
+    * FP addition is non-associative; a dp near zero under a different
+    * summation order could flip a sign bit and with it a candidate
+    * bucket. Shared by x8 and x3 (DedupQueries). */
+  private[llm] val sigSql: String = {
+    val terms = (0 until 8).map { p =>
+      val w = (0 until 64)
+        .map(d => (((p * 131 + d * 17) % 19) - 9).toDouble.toString)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $w) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"sg AS (SELECT vec_id, CAST($terms AS BIGINT) AS sig FROM e)"
+  }
+
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings").select(col("vec_id"), vecD(col("embedding")).as("v"))
+    Tables.fanOut(Tables(spark, dir, "embeddings"))
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
 
   val all: Seq[Q] = Seq(
 
@@ -61,11 +79,8 @@ object SimilarityQueries {
     // X8 — LSH-bucketed ANN: candidates restricted to the query's bucket.
     Q(
       "x8_ann_lsh",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |d AS (SELECT vec_id, p, SUM(v[dd] * (((p*131 + (dd-1)*17) % 19) - 9)) AS dp
-        |  FROM e, range(0, 8) rp(p), range(1, 65) rd(dd) GROUP BY 1, 2),
-        |sg AS (SELECT vec_id, CAST(SUM(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM d GROUP BY 1),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |$sigSql,
         |ev AS (SELECT e.vec_id, e.v, sg.sig FROM e JOIN sg USING (vec_id)),
         |p2 AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
         |    round(list_dot_product(q.v, x.v)
@@ -74,10 +89,9 @@ object SimilarityQueries {
         |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p2)
         |SELECT qid, nid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     ) { (spark, dir) =>
-      val e = vectors(spark, dir)
+      val e = CacheScope.cache(vectors(spark, dir)
         .withColumn("nrm", l2norm(col("v")))
-        .withColumn("sig", lshSig(col("v")))
-        .persist()
+        .withColumn("sig", lshSig(col("v"))))
       val q = e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "qsig")
       val x = e.toDF("nid", "xv", "xn", "xsig")
       val scored = broadcast(q)

@@ -42,7 +42,8 @@ object TextQueries {
         |FROM dl JOIN tl ON dl.lang = tl.lang ORDER BY dl.lang""".stripMargin
     ) { (spark, dir) =>
       val docs = Tables(spark, dir, "documents")
-      val tl = docs.select(col("lang"), explode(wsTokens(col("text"))).as("t"))
+      val tl = Tables.fanOut(docs)
+        .select(col("lang"), explode(wsTokens(col("text"))).as("t"))
         .groupBy("lang")
         .agg(count(lit(1)).as("total_tok"), countDistinct(col("t")).as("distinct_tok"))
       val dl = docs.groupBy(col("lang").as("dlang"))
@@ -75,7 +76,7 @@ object TextQueries {
          |SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
     ) { (spark, dir) =>
       val arr = wsTokens(col("text"))
-      val s = Tables(spark, dir, "documents").select(col("lang"),
+      val s = Tables.fanOut(Tables(spark, dir, "documents")).select(col("lang"),
         hits(arr, stopEn).as("s_en"), hits(arr, stopEs).as("s_es"),
         hits(arr, stopDe).as("s_de"), hits(arr, stopFr).as("s_fr"))
       s.select(col("lang"),
@@ -107,7 +108,7 @@ object TextQueries {
       val punctRatio = (length(col("text")) - length(translate(col("text"), ",.", ""))) /
         (lit(1.0) * length(col("text")))
       val stopRatio = hits(arr, stopEn) / (lit(1.0) * nTok)
-      Tables(spark, dir, "documents")
+      Tables.fanOut(Tables(spark, dir, "documents"))
         .select(col("doc_id"), nTok.cast("long").as("n_tok"),
           (lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) +
             lit(0.3) * least(stopRatio * 5.0, lit(1.0))).as("quality"))
@@ -123,7 +124,7 @@ object TextQueries {
         |  CAST(length(text) AS BIGINT) AS chars
         |FROM documents ORDER BY doc_id""".stripMargin
     ) { (spark, dir) =>
-      Tables(spark, dir, "documents")
+      Tables.fanOut(Tables(spark, dir, "documents"))
         .select(col("doc_id"),
           size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
           size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).cast("long").as("re_tokens"),
@@ -143,7 +144,7 @@ object TextQueries {
       // split('') + indexed transform is O(n) per doc; the
       // substring(text, i, 1) form is O(n^2) because UTF8String
       // substring walks from the start each call.
-      Tables(spark, dir, "documents")
+      Tables.fanOut(Tables(spark, dir, "documents"))
         .select(col("doc_id"),
           expr("""aggregate(
                  |  transform(split(text, ''),

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object WordCountQueries {
 
-  /** Normalized non-empty tokens of documents.text, with multiplicity. */
+  /** Normalized non-empty tokens of documents.text, with multiplicity.
+    * fanOut first: the explode amplifies ~50x past the bytes scanned,
+    * so split planning alone would under-parallelize small files. */
   private def tokens(docs: org.apache.spark.sql.DataFrame) =
-    docs
+    Tables.fanOut(docs)
       .select(explode(split(col("text"), "\\s+")).as("t"))
       .select(translate(lower(col("t")), ",.", "").as("word"))
       .filter(col("word") =!= "")

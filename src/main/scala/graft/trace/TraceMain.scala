@@ -14,8 +14,21 @@ import java.nio.file.{Files, Paths}
   * (main.rs:22's unwrap).
   */
 object TraceMain {
+
+  /** Artifact filename keyed by the amorphous-SRAM flag, exactly as the
+    * reference names it (main.rs:22 writes
+    * `result/outer-product-no-amorsram.json` for its `false` flag). The
+    * flag changes only the artifact name here: the reference's SRAM
+    * tier simulation maps to Spark's UnifiedMemoryManager (SURVEY §4),
+    * not to a graft code path. */
+  def defaultOut(amorsram: Boolean): String =
+    if (amorsram) "result/outer-product-amorsram.json"
+    else "result/outer-product-no-amorsram.json"
+
   def main(args: Array[String]): Unit = {
-    val out = Paths.get(args.headOption.getOrElse("result/outer-product-trace.json"))
+    val amorsram = args.contains("--amorsram")
+    val out = Paths.get(args.filterNot(_ == "--amorsram").headOption
+      .getOrElse(defaultOut(amorsram)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -10,9 +10,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   private def run(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val sp = spark
     import sp.implicits._
-    ConnectedComponents.minLabel(nodes.toDF("id"), edges.toDF("a", "b"))
+    val got = ConnectedComponents.minLabel(nodes.toDF("id"), edges.toDF("a", "b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    releaseLabelSnapshots()
+    got
   }
+
+  /** Direct (unscoped) minLabel calls keep their final label snapshot
+    * persisted for the caller; tests drop it so suites stay clean. */
+  private def releaseLabelSnapshots(): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
   test("chain + triangle + singletons resolve to component minima") {
     // chain 1-2-3-4 (diameter 3, needs multiple rounds), triangle 10-11-12,
@@ -21,6 +28,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 10L -> 11L, 11L -> 12L, 12L -> 10L))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("1000-node path converges in O(log diameter) rounds via pointer jumping") {
+    val sp = spark
+    import sp.implicits._
+    val n = 1000
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (df, rounds) = ConnectedComponents.minLabelCounted(nodes, edges)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "every node labels to the path minimum")
+    // pointer jumping reaches 2^(r-1) per round: 11 rounds to cover 999
+    // hops + 1 fixpoint-confirming round. Plain neighbor-min needs ~1000.
+    assert(rounds <= 13, s"expected O(log n) rounds, got $rounds")
+    releaseLabelSnapshots()
   }
 
   test("edge direction does not matter") {

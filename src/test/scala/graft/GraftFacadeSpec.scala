@@ -14,4 +14,22 @@ class GraftFacadeSpec extends AnyFunSuite {
       Seq("o_custkey"), Seq(("o_orderkey", true)), 1)
     assert(t.count() == 150) // one row per customer
   }
+
+  test("every facade query releases its cached intermediates after materialization") {
+    spark.catalog.clearCache()
+    // CacheScope can only manage what queries register; anything a
+    // prior suite persisted outside a scope is not this test's subject.
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val cm = spark.sharedState.cacheManager
+    def leftover = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    Graft.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, sf0001).write.mode("overwrite").format("noop").save()
+      // the one-shot CacheScope listener fires on the async listener bus
+      val deadline = System.currentTimeMillis() + 30000
+      while (!(cm.isEmpty && leftover.isEmpty) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(cm.isEmpty, s"$name left cached plans behind")
+      assert(leftover.isEmpty, s"$name left persisted RDDs behind: $leftover")
+    }
+  }
 }

@@ -51,9 +51,16 @@ class TraceExportSpec extends AnyFunSuite {
       op.contains("\"n\":") && op.contains("\"complexity\":"), op))
   }
 
+  test("TraceMain default artifact name matches the reference (main.rs:22)") {
+    assert(graft.trace.TraceMain.defaultOut(amorsram = false)
+      == "result/outer-product-no-amorsram.json")
+    assert(graft.trace.TraceMain.defaultOut(amorsram = true)
+      == "result/outer-product-amorsram.json")
+  }
+
   test("TraceMain writes a parseable JSON artifact file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_trace")
-    val out = dir.resolve("outer-product-trace.json")
+    val out = dir.resolve("outer-product-no-amorsram.json")
     // write the artifact the way TraceMain does, against the live session
     val c = graft.gemm.GemmQueries.matC(spark)
     java.nio.file.Files.writeString(out, TraceExport.toJson(c) + "\n")
