@@ -63,6 +63,38 @@ object ChunkingQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sum_chars"))
         .orderBy("lang")
+    },
+
+    // X15 — training-sequence packing: documents pack, in doc_id order
+    // within each language, into fixed 2048-token sequences by running
+    // token count — the "sample packing" step between a tokenized
+    // corpus and training shards. pack_id is a pure function of the
+    // running sum (exact integers end to end), so the assignment is
+    // deterministic, and the window partitions by lang — the same
+    // shape that keeps it parallel at 100 TB: partition by
+    // shard/language, never a global serial window.
+    Q(
+      "x15_seq_pack",
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS tok_before
+        |  FROM d)
+        |SELECT doc_id, lang, n_tok, CAST(tok_before // 2048 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("lang"), size(wsTokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("tok_before", sum("n_tok").over(w) - col("n_tok"))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr("tok_before DIV 2048").as("pack_id"))
+        .orderBy("doc_id")
     }
   )
 }

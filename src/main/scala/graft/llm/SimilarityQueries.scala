@@ -103,6 +103,59 @@ object SimilarityQueries {
       scored.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
+    },
+
+    // X13 — IVF-bucketed ANN, the inverted-file counterpart to x8's
+    // LSH: a fixed 16-vector codebook (the vectors with vec_id < 16 —
+    // deliberately data-independent so the DuckDB oracle can restate
+    // it; at scale the codebook comes from a k-means training job and
+    // is equally small), every vector assigned to its nearest centroid
+    // by L2 (argmin of cc - 2*v·c; ties to the smaller centroid id),
+    // probes searching ONLY their own cell (nprobe = 1, the recall
+    // knob). Assignment is a broadcast of the codebook + one partial
+    // aggregation — linear, map-side, no shuffle of the vectors beyond
+    // the argmin combine; the probe join keys on the cell id, cutting
+    // the candidate space ~K-fold. The argmin is an in-order
+    // struct-min, and both engines fold the dot products in element
+    // order, so cell assignment is bit-deterministic.
+    Q(
+      "x13_ann_ivf",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv, list_dot_product(v, v) AS cc FROM e WHERE vec_id < 16),
+        |s AS (SELECT e.vec_id, e.v, c.cid, (c.cc - 2 * list_dot_product(e.v, c.cv)) AS score
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk FROM s) t
+        |  WHERE rk = 1),
+        |p AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+        |    round(list_dot_product(q.v, x.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 4) AS sim
+        |  FROM a q JOIN a x ON q.cell = x.cell AND x.vec_id <> q.vec_id WHERE q.vec_id < 20),
+        |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p)
+        |SELECT qid, nid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    ) { (spark, dir) =>
+      val e = vectors(spark, dir).withColumn("nrm", l2norm(col("v")))
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          dot(col("v"), col("v")).as("cc"))
+      val assigned = CacheScope.cache(e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          struct((col("cc") - lit(2.0) * dot(col("v"), col("cv"))).as("score"),
+            col("cid").as("cid")).as("sc"))
+        .groupBy("vec_id")
+        .agg(min("sc").as("m"), first("v").as("v"), first("nrm").as("nrm"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("m.cid").as("cell")))
+      val q = assigned.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "qcell")
+      val x = assigned.toDF("nid", "xv", "xn", "xcell")
+      val scored = broadcast(q)
+        .join(x, col("qcell") === col("xcell") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          r4(dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
     }
   )
 }

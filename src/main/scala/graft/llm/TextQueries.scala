@@ -132,6 +132,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // X14 — TF-IDF term weighting: top-3 terms per document (docs
+    // 0-49) scored tf * N / df. The score is a single IEEE division of
+    // two exact integers, so both engines rank identical bits — no
+    // ln() (libm implementations disagree in the last ulp). One token
+    // explode feeds two aggregations (tf by (doc, term), df by term),
+    // joined on the term, finished by a per-doc top-k window. At scale
+    // tf and df are both map-side partial aggs, the df join keys on
+    // the term (vocabulary-sized), and the corpus size N arrives via a
+    // broadcast one-row cross join — no driver-side count.
+    Q(
+      "x14_tfidf",
+      """WITH tok AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents) u
+        |  WHERE t <> ''),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.t AS term, tf.tf, df.df, (tf.tf * n.n) / df.df AS score
+        |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n WHERE tf.doc_id < 50),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
+        |SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir, "documents")
+      val tok = Tables.fanOut(docs)
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("t").agg(count(lit(1)).as("df")).toDF("t2", "df")
+      val n = docs.agg(count(lit(1)).as("n"))
+      val s = tf.filter(col("doc_id") < 50)
+        .join(dfc, col("t") === col("t2"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+          ((col("tf") * col("n")) / col("df")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      s.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    },
+
     // X7 — document fingerprint: position-weighted rolling checksum mod
     // 2^31-1, computed as a single in-order array fold (no shuffle).
     Q(

@@ -22,6 +22,36 @@ class PropertySpec extends AnyFunSuite {
       twice.select("text").collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("connected components match a union-find oracle on random graphs, in O(log n) rounds") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(150)
+      val m = rnd.nextInt(2 * n)
+      val nodes = (0L until n.toLong)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // local union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val oracle = nodes.map(i => i -> find(i.toInt).toLong).toMap
+      val (df, rounds) = graft.ops.ConnectedComponents.minLabelCounted(
+        nodes.toDF("id"), edges.toDF("a", "b"))
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find parents compress toward minima by construction above
+      val canon = oracle.map { case (k, v) => k -> oracle(v) }
+      assert(got == canon, s"trial $trial (n=$n, m=${edges.size})")
+      val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 3
+      assert(rounds <= bound, s"trial $trial: $rounds rounds for n=$n (bound $bound)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+  }
+
   test("windowed counts are invariant under input row permutation") {
     val sp = spark
     import sp.implicits._
