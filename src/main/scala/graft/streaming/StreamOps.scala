@@ -12,6 +12,12 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Per-user session state carried across micro-batches. */
 case class SessionState(lastTsUs: Long, sessions: Long, events: Long)
 
+/** Open-session state for the completed-session emitter. */
+case class OpenSession(startUs: Long, lastTsUs: Long, events: Long)
+
+/** One finalized session emitted by `completedSessions`. */
+case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_ev: Long)
+
 /** Per-user rollup emitted by the stateful session counter. */
 case class UserSessions(user_id: Long, sessions: Long, events: Long)
 
@@ -61,6 +67,17 @@ object StreamOps {
         sum(fixed(col("value"), 10000)).as("vc"))
       .select(col("user_id"), col("n_ev"), col("dur_us"), (col("vc") / 10000.0).as("val"))
 
+  /** Streaming exact dedup by event_id — the pipeline's "drop replayed
+    * events" stage. State is bounded by the watermark: an id is
+    * remembered only until its event time falls behind the 30-minute
+    * watermark, so state size tracks the late-data horizon, not the
+    * stream's history — the property that keeps this viable on an
+    * unbounded 100 TB/day feed (dropDuplicates without the watermark
+    * variant would grow state forever). */
+  def dedupe(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom state machine via mapGroupsWithState: per-user session
     * counting with the same 30-minute-gap rule as session_window, but
     * with explicit user-managed state — the KeyValueGroupedDataset
@@ -88,6 +105,45 @@ object StreamOps {
           }
           state.update(st)
           UserSessions(uid, st.sessions, st.events)
+      }
+  }
+
+  /** flatMapGroupsWithState: emit each session AS IT COMPLETES (the
+    * 30-minute gap closes it), keeping only the open session in state —
+    * append-mode-friendly, one small state record per user. The dual of
+    * `statefulSessionCounts`, which re-emits a rollup every batch; this
+    * shape is what a downstream training-data writer wants (finalized,
+    * immutable session rows). Same in-order assumptions. */
+  def completedSessions(events: Dataset[Event]): Dataset[SessionOut] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[SessionOut]
+    val gapUs = 30L * 60 * 1000000
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          var open = state.getOption
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            open match {
+              case Some(s) if t - s.lastTsUs >= gapUs =>
+                out += SessionOut(uid, s.startUs, s.lastTsUs, s.events)
+                open = Some(OpenSession(t, t, 1L))
+              case Some(s) =>
+                open = Some(OpenSession(s.startUs, t, s.events + 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1L))
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
       }
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.streaming.StreamOps
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
@@ -64,5 +65,66 @@ class FileStreamSpec extends AnyFunSuite {
     val back = sp.read.parquet(out)
     assert(back.columns.toSet == Set("ws_us", "event_type", "cnt", "val"))
     assert(back.count() > 0) // finalized windows were emitted and are readable
+  }
+
+  test("streaming dedupe drops replayed events within the watermark") {
+    val sp = spark
+    val in = Files.createTempDirectory("graft_dedup_in").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ck").toString
+
+    val events = Tables(sp, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id").limit(200)
+    // first arrival, then a full replay of the same events (duplicates)
+    events.write.mode("append").json(in)
+
+    val stream = sp.readStream.schema(events.schema).json(in)
+    val q = StreamOps.dedupe(stream).writeStream
+      .format("memory").queryName("dedupe_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      events.write.mode("append").json(in) // replay
+      q.processAllAvailable()
+      val got = sp.table("dedupe_stream").count()
+      assert(got == events.count(), "each event_id survives exactly once")
+    } finally q.stop()
+  }
+
+  test("completedSessions emits exactly the closed sessions (flatMapGroupsWithState)") {
+    val sp = spark
+    import sp.implicits._
+    val in = Files.createTempDirectory("graft_sess_in").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ck").toString
+
+    val events = Tables(sp, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("append").json(in)
+    // one far-future closer event per user: every original session completes,
+    // the closer itself stays open in state and is never emitted
+    val closers = events.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("event_id").as("m"))
+      .select(
+        (col("m") + 1000000).as("event_id"),
+        org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")).as("ts"),
+        col("user_id"),
+        org.apache.spark.sql.functions.lit("close").as("event_type"),
+        org.apache.spark.sql.functions.lit(0.0).as("value"))
+
+    val stream = sp.readStream.schema(events.schema).json(in)
+      .as[graft.streaming.Event]
+    val q = StreamOps.completedSessions(stream).writeStream
+      .format("memory").queryName("completed_sessions")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      closers.write.mode("append").json(in)
+      q.processAllAvailable()
+      val got = sp.table("completed_sessions").count()
+      val want = StreamOps.sessions(events).count() // batch session_window islands
+      assert(got == want, s"emitted $got completed sessions, batch says $want")
+    } finally q.stop()
   }
 }

@@ -35,6 +35,16 @@ class SourcesSpec extends AnyFunSuite {
       src.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("orc sink/source round-trip preserves rows and schema") {
+    val dir = tmp("orc")
+    val src = Tables(spark, sf0001, "nation")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      src.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("text source reads lines (reference input format)") {
     val lines = spark.read.textFile("/root/reference/article/1.txt")
     assert(lines.count() > 20)
