@@ -53,6 +53,16 @@ object Graft {
   def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int): DataFrame =
     ops.SkewSalt.saltedCount(df, keys, saltBuckets)
 
+  /** Connected components by pointer-jumping min-label propagation:
+    * (id, lbl) with lbl = min node id of the component. The near-dup
+    * cluster resolver behind x12_dedup_clusters. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
+    ops.ConnectedComponents.minLabel(nodes, edges)
+
+  /** Streaming exact dedup by event_id, state bounded by the watermark. */
+  def streamDedupe(events: DataFrame): DataFrame =
+    streaming.StreamOps.dedupe(events)
+
   /** Codegen'd in-order dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column = core.Cols.dot(a, b)
 }

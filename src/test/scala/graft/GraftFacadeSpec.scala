@@ -15,6 +15,16 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(t.count() == 150) // one row per customer
   }
 
+  test("facade connected components resolve a chain") {
+    val sp = spark
+    import sp.implicits._
+    val got = Graft.connectedComponents(
+        Seq(1L, 2L, 3L, 9L).toDF("id"), Seq(1L -> 2L, 2L -> 3L).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("every facade query releases its cached intermediates after materialization") {
     spark.catalog.clearCache()
     // CacheScope can only manage what queries register; anything a
