@@ -55,9 +55,10 @@ object Graft {
 
   /** Connected components by pointer-jumping min-label propagation:
     * (id, lbl) with lbl = min node id of the component. The near-dup
-    * cluster resolver behind x12_dedup_clusters. */
+    * cluster resolver behind x12_dedup_clusters. Scoped: the internal
+    * label snapshot is released after the result materializes. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
-    ops.ConnectedComponents.minLabel(nodes, edges)
+    core.CacheScope.scoped(ops.ConnectedComponents.minLabel(nodes, edges))
 
   /** Streaming exact dedup by event_id, state bounded by the watermark. */
   def streamDedupe(events: DataFrame): DataFrame =

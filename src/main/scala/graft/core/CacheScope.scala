@@ -49,41 +49,72 @@ object CacheScope {
   }
 
   /** Run `build`, collecting every `cache`/`release` registration made
-    * on this thread, and arm the cleanup on the returned result. */
+    * on this thread, and arm the cleanup on the returned result. If the
+    * build itself throws, everything already registered is released
+    * before rethrowing — a half-built query must not leave orphaned
+    * cached blocks behind (Bench's failure path, a missing table, ...). */
   def scoped(build: => DataFrame): DataFrame = {
     val outer = pending.get
     val buf = ArrayBuffer[() => Unit]()
     pending.set(buf)
     try {
-      val result = build
+      val result =
+        try build
+        catch {
+          case e: Throwable =>
+            buf.foreach(f => try f() catch { case _: Throwable => () })
+            throw e
+        }
       if (buf.nonEmpty) armed(result, buf.toList) else result
     } finally {
       if (outer != null) pending.set(outer) else pending.remove()
     }
   }
 
-  private def armed(result: DataFrame, releases: List[() => Unit]): DataFrame = {
-    val spark = result.sparkSession
-    val target = result.queryExecution.analyzed
-    val done = new AtomicBoolean(false)
-    val listener = new QueryExecutionListener {
-      private def fire(qe: QueryExecution): Unit = {
-        // Conservative on any comparison failure: better to free the
-        // cache early (recompute stays correct) than to leak it.
-        val hit =
-          try qe.analyzed.find(_.sameResult(target)).isDefined
-          catch { case _: Throwable => true }
-        if (hit && done.compareAndSet(false, true)) {
-          releases.foreach(f => try f() catch { case _: Throwable => () })
-          spark.listenerManager.unregister(this)
-        }
+  /** Armed-but-unfired listeners, oldest first. A result that is built
+    * and then never materialized would otherwise pin its listener (and
+    * caches) for the session's lifetime and add an O(plan) walk to
+    * every later action; past this cap the oldest armed scope is
+    * force-released. */
+  private val MaxArmed = 64
+  private val armedScopes =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]
+
+  private final class ScopeListener(
+      spark: org.apache.spark.sql.SparkSession,
+      target: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      releases: List[() => Unit]) extends QueryExecutionListener {
+    private val done = new AtomicBoolean(false)
+    def forceRelease(): Unit =
+      if (done.compareAndSet(false, true)) {
+        releases.foreach(f => try f() catch { case _: Throwable => () })
+        spark.listenerManager.unregister(this)
       }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        fire(qe)
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        fire(qe)
+    private def fire(qe: QueryExecution): Unit = {
+      // Conservative on any comparison failure: better to free the
+      // cache early (recompute stays correct) than to leak it.
+      val hit =
+        try qe.analyzed.find(_.sameResult(target)).isDefined
+        catch { case _: Throwable => true }
+      if (hit) forceRelease()
     }
-    spark.listenerManager.register(listener)
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      fire(qe)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      fire(qe)
+  }
+
+  private def armed(result: DataFrame, releases: List[() => Unit]): DataFrame = {
+    val listener =
+      new ScopeListener(result.sparkSession, result.queryExecution.analyzed, releases)
+    result.sparkSession.listenerManager.register(listener)
+    armedScopes.add(() => listener.forceRelease())
+    // fired listeners linger in the queue until displaced; forceRelease
+    // is idempotent, so force-draining them is a no-op
+    while (armedScopes.size > MaxArmed) {
+      val oldest = armedScopes.poll()
+      if (oldest != null) oldest()
+    }
     result
   }
 }

@@ -24,12 +24,17 @@ object Tables {
     // micros (identical to DuckDB's nanos→micros truncation). Other
     // tables carry NTZ millis; normalize everything to TimestampType
     // (session TZ is pinned to UTC, so the instant is unchanged).
-    // GraftSession.builder sets the reader confs once; the guarded set
-    // below only fires on a vanilla session (e.g. a bare spark-shell)
-    // reading events — no steady-state per-call conf mutation.
-    if (name == "events" &&
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+    // GraftSession.builder sets the reader confs once; the guarded sets
+    // below only fire on a vanilla session (e.g. a bare spark-shell) —
+    // no steady-state per-call conf mutation. Both matter there:
+    // nanosAsLong so the events scan doesn't reject TIMESTAMP(NANOS),
+    // and inferTimestampNTZ=false so NTZ-millis columns load as
+    // TimestampType UTC instants rather than NTZ values that a non-UTC
+    // session would shift when cast.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val withTs =
       if (name == "events" && raw.schema("ts").dataType == LongType)

@@ -108,12 +108,18 @@ object StreamOps {
       }
   }
 
-  /** flatMapGroupsWithState: emit each session AS IT COMPLETES (the
-    * 30-minute gap closes it), keeping only the open session in state —
-    * append-mode-friendly, one small state record per user. The dual of
-    * `statefulSessionCounts`, which re-emits a rollup every batch; this
-    * shape is what a downstream training-data writer wants (finalized,
-    * immutable session rows). Same in-order assumptions. */
+  /** flatMapGroupsWithState: emit each session AS IT COMPLETES, keeping
+    * only the open session in state — append-mode-friendly, one small
+    * state record per user. A session closes two ways: a newer event
+    * arrives past the 30-minute gap, or the EVENT-TIME TIMEOUT fires —
+    * the watermark passing lastTs + gap proves no in-gap event can
+    * still arrive, so an idle user's final session is emitted and the
+    * state entry removed. That timeout is what bounds state on an
+    * unbounded feed (state tracks currently-active users, not all users
+    * ever seen) and guarantees no session is withheld forever. The dual
+    * of `statefulSessionCounts`, which re-emits a rollup every batch;
+    * this shape is what a downstream training-data writer wants
+    * (finalized, immutable session rows). Same in-order assumptions. */
   def completedSessions(events: Dataset[Event]): Dataset[SessionOut] = {
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.product[OpenSession]
@@ -123,27 +129,41 @@ object StreamOps {
     def micros(t: java.sql.Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
 
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
-          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-          var open = state.getOption
-          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-            val t = micros(e.ts)
-            open match {
-              case Some(s) if t - s.lastTsUs >= gapUs =>
-                out += SessionOut(uid, s.startUs, s.lastTsUs, s.events)
-                open = Some(OpenSession(t, t, 1L))
-              case Some(s) =>
-                open = Some(OpenSession(s.startUs, t, s.events + 1))
-              case None =>
-                open = Some(OpenSession(t, t, 1L))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.startUs, s.lastTsUs, s.events))
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var open = state.getOption
+            it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val t = micros(e.ts)
+              open match {
+                case Some(s) if t - s.lastTsUs >= gapUs =>
+                  out += SessionOut(uid, s.startUs, s.lastTsUs, s.events)
+                  open = Some(OpenSession(t, t, 1L))
+                case Some(s) =>
+                  open = Some(OpenSession(s.startUs, t, s.events + 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the watermark proves the gap elapsed; clamp
+              // above the current watermark (Spark rejects earlier)
+              state.setTimeoutTimestamp(
+                math.max(s.lastTsUs / 1000 + gapUs / 1000,
+                  state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
           }
-          open.foreach(state.update)
-          out.iterator
       }
   }
 }

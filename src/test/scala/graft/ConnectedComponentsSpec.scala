@@ -19,7 +19,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   /** Direct (unscoped) minLabel calls keep their final label snapshot
     * persisted for the caller; tests drop it so suites stay clean. */
   private def releaseLabelSnapshots(): Unit =
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    TestSpark.releaseAllRdds()
 
   test("chain + triangle + singletons resolve to component minima") {
     // chain 1-2-3-4 (diameter 3, needs multiple rounds), triangle 10-11-12,

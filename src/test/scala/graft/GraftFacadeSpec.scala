@@ -22,7 +22,7 @@ class GraftFacadeSpec extends AnyFunSuite {
         Seq(1L, 2L, 3L, 9L).toDF("id"), Seq(1L -> 2L, 2L -> 3L).toDF("a", "b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    TestSpark.releaseAllRdds()
   }
 
   test("every facade query releases its cached intermediates after materialization") {

@@ -48,7 +48,7 @@ class PropertySpec extends AnyFunSuite {
       assert(got == canon, s"trial $trial (n=$n, m=${edges.size})")
       val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 3
       assert(rounds <= bound, s"trial $trial: $rounds rounds for n=$n (bound $bound)")
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      TestSpark.releaseAllRdds()
     }
   }
 

@@ -14,4 +14,10 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Drop every persisted RDD — used by suites that call minLabel
+    * directly (outside a CacheScope), whose final label snapshot is
+    * otherwise retained for the caller. */
+  def releaseAllRdds(): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 }
