@@ -22,18 +22,21 @@ object Bench {
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      } finally {
+        // Queries may persist() intermediates that feed multiple
+        // branches of their own plan; drop them afterwards — ALSO on
+        // failure — so one query's cached blocks never distort the
+        // next one's run.
+        spark.catalog.clearCache()
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries may persist() intermediates that feed multiple branches
-      // of their own plan; drop them afterwards so one query's cached
-      // blocks never steal storage memory from the next one's run.
-      spark.catalog.clearCache()
-      dt
     }
 
     // One warm run (JIT/codegen/parquet footers), then the timed run.

@@ -156,6 +156,44 @@ object SimilarityQueries {
       scored.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
+    },
+
+    // X16 — embedding scalar quantization: per-vector min/max int8
+    // encoding (the storage-shrink step ahead of large-scale ANN — 4x
+    // smaller than float32, 8x smaller than the double working form),
+    // reported as the code checksum plus the max reconstruction error.
+    // Every output is either an exact integer sum or an element-wise
+    // chain of IEEE ops in fixed order with an order-independent max —
+    // no floating-point SUM anywhere, so the oracle matches bit-for-bit.
+    // At scale this is a pure map over the vectors: no shuffle, no
+    // state, codec parameters (mn, mx) ride with each row.
+    Q(
+      "x16_embedding_quantize",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |g AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx,
+        |    CASE WHEN list_aggregate(v, 'max') = list_aggregate(v, 'min') THEN 1.0
+        |         ELSE list_aggregate(v, 'max') - list_aggregate(v, 'min') END AS rng
+        |  FROM e)
+        |SELECT vec_id, mn, mx,
+        |  CAST(list_sum(list_transform(v, x -> CAST(floor(((x - mn) / rng) * 255) AS BIGINT))) AS BIGINT) AS qsum,
+        |  list_aggregate(list_transform(v,
+        |    x -> abs(x - (mn + (floor(((x - mn) / rng) * 255) * rng) / 255))), 'max') AS max_err
+        |FROM g ORDER BY vec_id""".stripMargin
+    ) { (spark, dir) =>
+      Tables.fanOut(Tables(spark, dir, "embeddings"))
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+        .withColumn("mn", array_min(col("v")))
+        .withColumn("mx", array_max(col("v")))
+        .withColumn("rng",
+          when(col("mx") === col("mn"), lit(1.0)).otherwise(col("mx") - col("mn")))
+        .select(col("vec_id"), col("mn"), col("mx"),
+          aggregate(
+            transform(col("v"), x => floor((x - col("mn")) / col("rng") * 255).cast("long")),
+            lit(0L), (s, x) => s + x).as("qsum"),
+          array_max(transform(col("v"), x =>
+            abs(x - (col("mn") + floor((x - col("mn")) / col("rng") * 255) * col("rng") / lit(255)))))
+            .as("max_err"))
+        .orderBy("vec_id")
     }
   )
 }
