@@ -16,6 +16,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[graft.functions.ShingleHashSet].getName, "graft_shingle_set"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_set(str, n): n must be an integer literal, got $other")
+        }
+        graft.functions.ShingleHashSet(children(0), n)
+      }))
     // auto-accelerate the declarative aggregate(zip_with(...)) spelling
     ext.injectOptimizerRule(_ => graft.functions.DotProductRewrite)
     // whole-operator custom plan: per-key top-k (partial + final)

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression computing a document's SORTED DISTINCT
+  * n-gram shingle-hash set in one primitive pass.
+  *
+  * The declarative spelling — explode a position sequence, take an
+  * O(pos) `substring` per position, fold 9 `ascii(substring(...))`
+  * calls per shingle, shuffle (doc_id, h) rows into a `collect_set` —
+  * amplifies a ~300-byte document into ~300 rows and ~3000 UTF8String
+  * allocations just to build a per-doc array. This expression walks the
+  * code-point array once (O(len·n) integer ops, zero allocation per
+  * shingle), sorts, dedupes, and returns the array — same hash bits as
+  * `MinHash.shingleHash` (base-31 fold over code points; min/intersect
+  * consumers are set-semantics, so dedup order is immaterial), with no
+  * row amplification and no shuffle. At 100 TB this turns the dedup
+  * family's dominant stage into a pure map over the corpus.
+  */
+case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 12, s"gram length must be in [1, 12] (int64 fold bound), got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_set requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashSet.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashSet.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+object ShingleHashSet {
+  /** Shared by interpreted eval and generated code. Code points index
+    * characters exactly as `ascii(substring(s, i, 1))` does, so the
+    * bits match the SQL fold for any input, not just ASCII. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val m = cps.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](m)
+    var pos = 0
+    while (pos < m) {
+      var acc = cps(pos).toLong
+      var i = 1
+      while (i < n) { acc = acc * 31 + cps(pos + i); i += 1 }
+      hs(pos) = acc
+      pos += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var r = 1
+    while (r < m) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/** Native 32-bit SimHash of pre-lowercased text: whitespace-tokenize,
+  * hash each token's first 8 characters right-padded with spaces
+  * (base-31 fold over code points, mod 2^32 — `tokenHash32`'s exact
+  * bits), accumulate a signed count per bit, emit the sign vector as a
+  * long. One pass per document; the declarative form explodes ~50
+  * token rows per doc and runs a 32-column signed-sum aggregation just
+  * to fold them back. NULL for token-less input — mirroring the
+  * declarative pipeline, where a doc with no tokens never reaches the
+  * aggregation and so has no simhash row. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash32.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("boxed")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |Object $boxed = graft.functions.SimHash32.compute($c);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $boxed).longValue(); }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+  /** Returns java.lang.Long (null when the text has no tokens). */
+  def compute(s: UTF8String): java.lang.Long = {
+    val toks = s.toString.split("\\s+")
+    val counts = new Array[Int](32)
+    var any = false
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (tok.nonEmpty) {
+        any = true
+        var acc = 0L
+        var i = 0
+        var ci = 0 // char index walking code points
+        while (i < 8) {
+          val cp =
+            if (ci < tok.length) { val c = tok.codePointAt(ci); ci += Character.charCount(c); c }
+            else 32 // rpad with spaces
+          acc = acc * 31 + cp
+          i += 1
+        }
+        val h = acc % 4294967296L
+        var b = 0
+        while (b < 32) {
+          counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      t += 1
+    }
+    if (!any) return null
+    var sh = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) sh |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(sh)
+  }
+}
+
+object ShingleExpressions {
+  /** Sorted distinct n-gram shingle-hash array of a string column. */
+  def shingleSet(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashSet(Bridge.expression(text), n))
+
+  /** Native 32-bit simhash of a (pre-lowercased) string column. */
+  def simhash32(text: Column): Column =
+    Bridge.column(SimHash32(Bridge.expression(text)))
+}

@@ -17,8 +17,10 @@ object DedupQueries {
 
   /** Portable 32-bit token hash: base-31 polynomial over the first 8
     * chars of the token right-padded with spaces (fixed length keeps the
-    * SQL closed-form; padding keeps ascii() total). */
-  private def tokenHash32(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    * SQL closed-form; padding keeps ascii() total). The declarative
+    * reference definition for the native SimHash32 expression (x1 runs
+    * the native form; DedupSpec asserts bit equality). */
+  private[graft] def tokenHash32(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val p = rpad(substring(tok, 1, 8), 8, " ")
     val poly = (2 to 8).foldLeft(ascii(substring(p, 1, 1)).cast("long")) {
       (acc, i) => acc * 31 + ascii(substring(p, i, 1))
@@ -32,11 +34,11 @@ object DedupQueries {
   private[llm] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // The signature table is one short row per doc but feeds four plan
     // branches (two band sides + two verify sides) — cache it so the
-    // shuffle-free shingle-set scan runs once. Tiny state (16 longs per
-    // doc), the right trade at any scale; released after the query
-    // materializes (CacheScope).
+    // shuffle-free native shingle-set scan runs once. Tiny state (16
+    // longs per doc), the right trade at any scale; released after the
+    // query materializes (CacheScope).
     val sig = CacheScope.cache(
-      MinHash.signatures(MinHash.shingles(MinHash.docs(spark, dir), 5)))
+      MinHash.signaturesFromSets(MinHash.shingleSets(MinHash.docs(spark, dir), 5)))
     val cand = MinHash.candidatesPaired(sig)
     val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
     val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
@@ -115,19 +117,15 @@ object DedupQueries {
          |  FROM cand JOIN sh2 s1 ON s1.doc_id = cand.d1 JOIN sh2 s2 ON s2.doc_id = cand.d2)
          |SELECT d1, d2, hamming FROM h WHERE hamming <= 1 ORDER BY d1, d2""".stripMargin
     ) { (spark, dir) =>
-      val toks = Tables.fanOut(Tables(spark, dir, "documents"))
-        .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
-        .select(col("doc_id"), tokenHash32(col("t")).as("th32"))
-      // 32 agg columns: per-bit signed counts in one aggregation pass.
-      val acc = toks.groupBy("doc_id").agg(
-        sum(when(shiftright(col("th32"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("acc0"),
-        (1 until 32).map { b =>
-          sum(when(shiftright(col("th32"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"acc$b")
-        }: _*)
-      val simhash = (0 until 32)
-        .map(b => when(col(s"acc$b") > 0, 1L << b).otherwise(0L))
-        .reduce(_ + _)
-      val sh = CacheScope.cache(acc.select(col("doc_id"), simhash.as("simhash")))
+      // Native SimHash32 expression: one pass per doc replaces the
+      // token explode + 32-column signed-sum aggregation (same bits —
+      // DedupSpec asserts equality against the declarative
+      // pipeline). isNotNull mirrors token-less docs never reaching
+      // the aggregation in the declarative form.
+      val sh = CacheScope.cache(Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.ShingleExpressions.simhash32(lower(col("text"))).as("simhash"))
+        .filter(col("simhash").isNotNull))
       // Candidate keys are 3-of-4 byte-band TRIPLES, not single bytes:
       // hamming <= 1 flips at most one of the 4 bytes, so a qualifying
       // pair agrees on the other 3 — key each doc 4 ways on (k, simhash

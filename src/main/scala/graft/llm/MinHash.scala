@@ -65,19 +65,18 @@ object MinHash {
       seeds.zipWithIndex.tail.map { case ((a, b), i) => mh(a, b).as(s"mh$i") }: _*)
   }
 
-  /** Per-doc sorted distinct shingle arrays: (doc_id, hs, c). ONE
-    * explode + one aggregation over the corpus, leaving one short row
-    * per doc — the only thing worth caching in a shingle pipeline. The
-    * arrays feed both signature derivation (`signaturesFromSets`) and
-    * exact set verification (`array_intersect`), so the raw exploded
-    * shingle rows are never materialized twice and never cached.
-    * (An all-array row-local variant — transform over a char-code
-    * array, no shuffle — was measured SLOWER at every SF: Spark's
-    * higher-order array functions evaluate interpreted, while this
-    * explode + collect_set pipeline stays inside whole-stage codegen.) */
+  /** Per-doc sorted distinct shingle arrays: (doc_id, hs, c), computed
+    * by the native `ShingleHashSet` expression — one primitive pass per
+    * document, NO explode, NO shuffle. Same hash bits as `shingles` +
+    * `collect_set` (base-31 fold over code points; sorted-distinct).
+    * The arrays feed both signature derivation (`signaturesFromSets`)
+    * and exact set verification (`array_intersect`). History: the
+    * explode + collect_set pipeline beat an interpreted higher-order-
+    * function rewrite (HOFs don't codegen), and the native expression
+    * beats both — no row amplification, no per-shingle allocation. */
   def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    shingles(docs, n).groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("hs"))
+    docs.select(col("doc_id"),
+        graft.functions.ShingleExpressions.shingleSet(lower(col("text")), n).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("c"))
 
   /** Wide signature derived from the per-doc shingle-set arrays —

@@ -14,6 +14,55 @@ class DedupSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("native shingle-set expression == explode + collect_set on real documents") {
+    val docs = graft.core.Tables(spark, sf0001, "documents").limit(50)
+    for (n <- Seq(5, 9)) {
+      val native = MinHash.shingleSets(docs, n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val declarative = MinHash.shingles(docs, n).groupBy("doc_id")
+        .agg(sort_array(collect_set(col("h"))).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native == declarative, s"n=$n")
+    }
+    // degenerate inputs: shorter than the gram, exactly the gram, empty
+    val edge = MinHash.shingleSets(docsDF(Seq(1L -> "ab", 2L -> "abcde", 3L -> "")), 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(edge(1L).isEmpty && edge(3L).isEmpty && edge(2L).length == 1)
+  }
+
+  test("native simhash expression == declarative token pipeline on real documents") {
+    val docs = graft.core.Tables(spark, sf0001, "documents").limit(100)
+    val native = docs.select(col("doc_id"),
+        graft.functions.ShingleExpressions.simhash32(lower(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = docs
+      .select(col("doc_id"), explode(graft.core.Cols.wsTokens(col("text"))).as("t"))
+      .select(col("doc_id"), graft.llm.DedupQueries.tokenHash32(col("t")).as("th32"))
+    val acc = toks.groupBy("doc_id").agg(
+      sum(when(shiftright(col("th32"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("acc0"),
+      (1 until 32).map { b =>
+        sum(when(shiftright(col("th32"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"acc$b")
+      }: _*)
+    val simhash = (0 until 32)
+      .map(b => when(col(s"acc$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _)
+    val declarative = acc.select(col("doc_id"), simhash.as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == declarative)
+    // token-less text → null, mirroring absence from the aggregation
+    val empty = docsDF(Seq(1L -> "   ", 2L -> "x"))
+      .select(col("doc_id"), graft.functions.ShingleExpressions.simhash32(lower(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(empty(1L).isEmpty && empty(2L).nonEmpty)
+  }
+
+  test("graft_shingle_set is callable from SQL via SparkSessionExtensions") {
+    val got = spark.sql("SELECT graft_shingle_set('ababa', 2) AS hs")
+      .collect()(0).getSeq[Long](0)
+    // 'ab' -> 97*31+98 = 3105, 'ba' -> 98*31+97 = 3135; sorted distinct
+    assert(got == Seq(3105L, 3135L))
+  }
+
   test("minhash signatures: identical texts get identical signatures") {
     val txt = "the quick brown fox jumps over the lazy dog again and again"
     val sig = MinHash.signatures(MinHash.shingles(docsDF(Seq(1L -> txt, 2L -> txt, 3L -> "completely different content here with other words")), 5))
