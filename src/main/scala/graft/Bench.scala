@@ -34,8 +34,13 @@ object Bench {
         // Queries may persist() intermediates that feed multiple
         // branches of their own plan; drop them afterwards — ALSO on
         // failure — so one query's cached blocks never distort the
-        // next one's run.
-        spark.catalog.clearCache()
+        // next one's run. Guarded: on a dead session clearCache can
+        // itself throw, and that must not mask the -1.0 sentinel or
+        // abort the remaining queries.
+        try spark.catalog.clearCache()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] clearCache after $name failed: ${e.getMessage}")
+        }
       }
     }
 

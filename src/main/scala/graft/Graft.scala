@@ -56,7 +56,11 @@ object Graft {
   /** Connected components by pointer-jumping min-label propagation:
     * (id, lbl) with lbl = min node id of the component. The near-dup
     * cluster resolver behind x12_dedup_clusters. Scoped: the internal
-    * label snapshot is released after the result materializes. */
+    * label snapshot is released after the result's FIRST materialization
+    * (no per-call storage leak). A later re-materialization is still
+    * correct and stays cheap — recompute re-reads the loop's retained
+    * shuffle files rather than re-running the iteration — but callers
+    * that will act on the result many times should persist it. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
     core.CacheScope.scoped(ops.ConnectedComponents.minLabel(nodes, edges))
 

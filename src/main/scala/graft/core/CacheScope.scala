@@ -85,10 +85,16 @@ object CacheScope {
       target: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       releases: List[() => Unit]) extends QueryExecutionListener {
     private val done = new AtomicBoolean(false)
+    /** The queue entry pointing at this listener; removed on fire so a
+      * fired scope doesn't pin its plan and closures until 64 newer
+      * scopes displace it. */
+    @volatile var queueEntry: () => Unit = null
     def forceRelease(): Unit =
       if (done.compareAndSet(false, true)) {
         releases.foreach(f => try f() catch { case _: Throwable => () })
         spark.listenerManager.unregister(this)
+        val e = queueEntry
+        if (e != null) armedScopes.remove(e)
       }
     private def fire(qe: QueryExecution): Unit = {
       // Conservative on any comparison failure: better to free the
@@ -107,10 +113,10 @@ object CacheScope {
   private def armed(result: DataFrame, releases: List[() => Unit]): DataFrame = {
     val listener =
       new ScopeListener(result.sparkSession, result.queryExecution.analyzed, releases)
+    val entry: () => Unit = () => listener.forceRelease()
+    listener.queueEntry = entry
     result.sparkSession.listenerManager.register(listener)
-    armedScopes.add(() => listener.forceRelease())
-    // fired listeners linger in the queue until displaced; forceRelease
-    // is idempotent, so force-draining them is a no-op
+    armedScopes.add(entry)
     while (armedScopes.size > MaxArmed) {
       val oldest = armedScopes.poll()
       if (oldest != null) oldest()

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[graft.functions.ShingleHashSet].getName, "graft_shingle_set"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.size != 2) throw new IllegalArgumentException(
+          s"graft_shingle_set(str, n) takes 2 arguments, got ${children.size}")
         val n = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

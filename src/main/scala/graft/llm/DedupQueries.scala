@@ -37,8 +37,12 @@ object DedupQueries {
     // shuffle-free native shingle-set scan runs once. Tiny state (16
     // longs per doc), the right trade at any scale; released after the
     // query materializes (CacheScope).
-    val sig = CacheScope.cache(
-      MinHash.signaturesFromSets(MinHash.shingleSets(MinHash.docs(spark, dir), 5)))
+    // filter(c > 0): docs shorter than the gram have an empty shingle
+    // set → all-NULL signatures → one shared empty band key, which
+    // would pair every such doc with every other (a k^2 skew bomb on
+    // real crawl data). The oracle's sig CTE omits them identically.
+    val sig = CacheScope.cache(MinHash.signaturesFromSets(
+      MinHash.shingleSets(MinHash.docs(spark, dir), 5).filter(col("c") > 0)))
     val cand = MinHash.candidatesPaired(sig)
     val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
     val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
@@ -176,7 +180,11 @@ object DedupQueries {
       // Exact verify joins the same arrays to the candidates and runs
       // array_intersect: O(|set|) per candidate pair with zero shuffle
       // amplification, no skew, scales linearly.
-      val shArr = CacheScope.cache(MinHash.shingleSets(MinHash.docs(spark, dir), 9))
+      // filter(c > 0) mirrors the oracle's sig CTE (no rows for docs
+      // shorter than the gram) and prevents an all-empty-doc band
+      // bucket from going quadratic — see minhashPairs.
+      val shArr = CacheScope.cache(
+        MinHash.shingleSets(MinHash.docs(spark, dir), 9).filter(col("c") > 0))
       val sig = MinHash.signaturesFromSets(shArr)
       val cand = MinHash.candidates(sig)
       cand

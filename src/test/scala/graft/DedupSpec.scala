@@ -30,6 +30,20 @@ class DedupSpec extends AnyFunSuite {
     assert(edge(1L).isEmpty && edge(3L).isEmpty && edge(2L).length == 1)
   }
 
+  test("short documents (empty shingle sets) never form LSH candidate pairs") {
+    val docs = docsDF(Seq(1L -> "ab", 2L -> "cd", 3L -> "ef",
+      4L -> "the quick brown fox jumps over the lazy dog",
+      5L -> "the quick brown fox jumps over the lazy dog"))
+    // 9-gram: docs 1-3 are shorter than the gram. Unfiltered, their
+    // all-NULL signatures would share one empty band key and pair
+    // quadratically; the c > 0 filter (as in x2/l2) drops them.
+    val sig = MinHash.signaturesFromSets(
+      MinHash.shingleSets(docs, 9).filter(col("c") > 0))
+    val cand = MinHash.candidates(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set(4L -> 5L))
+  }
+
   test("native simhash expression == declarative token pipeline on real documents") {
     val docs = graft.core.Tables(spark, sf0001, "documents").limit(100)
     val native = docs.select(col("doc_id"),
