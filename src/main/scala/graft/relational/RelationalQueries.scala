@@ -403,6 +403,45 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("ca_avg").as("cust_avg"))
         .orderBy("o_orderkey")
+    },
+
+    // R22 — exact distributed quantiles: DISCRETE p50/p90/p99 of order
+    // totalprice per priority (value at rank ceil(q*n) of the sorted
+    // group — no interpolation, so the value is an actual data element
+    // and both engines agree bit-for-bit; interpolated quantiles hide
+    // an engine-specific FP formula). Sort-per-group is the standard
+    // exact shape at scale — one shuffle on the group key, rank via
+    // window; the sketch alternative (approx_percentile/HLL-style) is
+    // the x9 path. Ties in price are safe: any row_number assignment
+    // among equal values yields the same value at a fixed rank.
+    Q(
+      "r22_quantiles",
+      """WITH r AS (SELECT o_orderpriority AS pri, o_totalprice AS p,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |SELECT pri, q, value FROM (
+        |  SELECT pri, 'p50' AS q, p AS value FROM r WHERE rn = CAST(ceil(0.5*cnt) AS BIGINT)
+        |  UNION ALL SELECT pri, 'p90', p FROM r WHERE rn = CAST(ceil(0.9*cnt) AS BIGINT)
+        |  UNION ALL SELECT pri, 'p99', p FROM r WHERE rn = CAST(ceil(0.99*cnt) AS BIGINT)) u
+        |ORDER BY pri, q""".stripMargin
+    ) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pri").orderBy("p")
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("pri")
+      val ranked = Tables(spark, dir, "orders")
+        .select(col("o_orderpriority").as("pri"), col("o_totalprice").as("p"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wc))
+      // one explode, not a 3-way union — a union would re-run the
+      // window sort once per quantile
+      val specs = explode(array(Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).map {
+        case (name, f) => struct(lit(name).as("q"), lit(f).as("f"))
+      }: _*))
+      ranked.select(col("pri"), col("p"), col("rn"), col("cnt"), specs.as("e"))
+        .filter(col("rn") === ceil(col("e.f") * col("cnt")))
+        .select(col("pri"), col("e.q").as("q"), col("p").as("value"))
+        .orderBy("pri", "q")
     }
   )
 }
