@@ -67,12 +67,15 @@ object ConnectedComponents {
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Active nodes (edge endpoints), labeled by themselves; reduceByKey
-    // keeps `part`, and mapPartitions preserves it.
+    // Active nodes (edge endpoints). Initialization already performs
+    // the first neighbor-min round for free: lbl0(v) = min(v, min
+    // neighbor of v) is one reduceByKey over the partitioned edge list
+    // — the values at key v ARE v's neighbors — where a join-based
+    // round would cost the same shuffle plus a join.
     var prevRdd: RDD[(Long, Long)] = symBySrc
-      .mapPartitions(_.map { case (src, _) => (src, ()) }, preservesPartitioning = true)
-      .reduceByKey(part, (a, _) => a)
-      .mapPartitions(_.map { case (id, _) => (id, id) }, preservesPartitioning = true)
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      .mapPartitions(_.map { case (id, minNbr) => (id, math.min(id, minNbr)) },
+        preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nActive = prevRdd.count()
 
@@ -86,11 +89,9 @@ object ConnectedComponents {
         .map { case (_, (tgt, lbl)) => (tgt, lbl) }
       // Pointer-jump reads: node id asks for its label's label. The
       // request side shuffles (it's keyed by the label), the label side
-      // stays put. Round 1 is the identity — skip it.
-      val jump =
-        if (rounds == 1) sc.emptyRDD[(Long, Long)]
-        else labels.map { case (id, lbl) => (lbl, id) }.join(labels)
-          .map { case (_, (tgt, lbl)) => (tgt, lbl) }
+      // stays put.
+      val jump = labels.map { case (id, lbl) => (lbl, id) }.join(labels)
+        .map { case (_, (tgt, lbl)) => (tgt, lbl) }
       // Min-label reduce; each node's own row carries its previous
       // label so the convergence check needs no extra join. Value =
       // (candidate lbl, old lbl, hasOld).
