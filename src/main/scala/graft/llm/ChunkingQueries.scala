@@ -14,6 +14,12 @@ object ChunkingQueries {
   /** Chunk geometry: 50-token windows, stride 40 (10-token overlap). */
   private val (win, stride) = (50, 40)
 
+  /** x10's chunk count for a given token count — shared with the x17
+    * end-to-end pipeline so both state the same geometry. */
+  private[llm] def nChunks(nTok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nTok <= win, lit(1L))
+      .otherwise(ceil((nTok - win) / lit(stride.toDouble)).cast("long") + 1)
+
   val all: Seq[Q] = Seq(
 
     // X10 — overlapping token-window chunking: one row per chunk with
@@ -35,9 +41,7 @@ object ChunkingQueries {
       val toks = wsTokens(col("text"))
       Tables(spark, dir, "documents")
         .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
-        .withColumn("n_chunks",
-          when(col("n_tok") <= win, lit(1L))
-            .otherwise(ceil((col("n_tok") - win) / lit(stride.toDouble)).cast("long") + 1))
+        .withColumn("n_chunks", nChunks(col("n_tok")))
         .select(col("doc_id"), col("toks"),
           explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),

@@ -12,17 +12,42 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private val stopEn = Seq("the", "and", "of", "to", "in", "is", "a", "that")
-  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "los", "se")
-  private val stopDe = Seq("der", "die", "und", "den", "von", "zu", "das", "ist")
-  private val stopFr = Seq("le", "la", "et", "les", "des", "en", "un", "du")
+  private[llm] val stopEn = Seq("the", "and", "of", "to", "in", "is", "a", "that")
+  private[llm] val stopEs = Seq("el", "la", "de", "que", "y", "en", "los", "se")
+  private[llm] val stopDe = Seq("der", "die", "und", "den", "von", "zu", "das", "ist")
+  private[llm] val stopFr = Seq("le", "la", "et", "les", "des", "en", "un", "du")
 
-  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private[llm] def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
   /** Count of tokens of `arr` that are in `ws`. */
   private def hits(arr: Column, ws: Seq[String]): Column =
     size(filter(arr, t => t.isin(stopAny(ws): _*)))
   private def stopAny(ws: Seq[String]): Seq[Any] = ws
+
+  /** The x5 quality score as a reusable column over (text, n_chars) —
+    * shared with the x17 end-to-end pipeline so both state the SAME
+    * formula the oracle does. */
+  private[llm] def qualityCol: Column = {
+    val arr = wsTokens(col("text"))
+    val lenScore = least(col("n_chars"), lit(500)) / lit(500.0)
+    val punctRatio = (length(col("text")) - length(translate(col("text"), ",.", ""))) /
+      (lit(1.0) * length(col("text")))
+    val stopRatio = hits(arr, stopEn) / (lit(1.0) * size(arr))
+    lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.3) * least(stopRatio * 5.0, lit(1.0))
+  }
+
+  /** The x4 language prediction as a reusable column over text. */
+  private[llm] def predictedCol: Column = {
+    val arr = wsTokens(col("text"))
+    val (sEn, sEs, sDe, sFr) =
+      (hits(arr, stopEn), hits(arr, stopEs), hits(arr, stopDe), hits(arr, stopFr))
+    when(sEn >= sEs && sEn >= sDe && sEn >= sFr && sEn > 0, "en")
+      .when(sEs >= sDe && sEs >= sFr && sEs > 0, "es")
+      .when(sDe >= sFr && sDe > 0, "de")
+      .when(sFr > 0, "fr")
+      .otherwise("und")
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -75,17 +100,8 @@ object TextQueries {
          |    ELSE 'und' END AS predicted FROM s)
          |SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
     ) { (spark, dir) =>
-      val arr = wsTokens(col("text"))
-      val s = Tables.fanOut(Tables(spark, dir, "documents")).select(col("lang"),
-        hits(arr, stopEn).as("s_en"), hits(arr, stopEs).as("s_es"),
-        hits(arr, stopDe).as("s_de"), hits(arr, stopFr).as("s_fr"))
-      s.select(col("lang"),
-          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
-            col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
-            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
-            .when(col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
-            .when(col("s_fr") > 0, "fr")
-            .otherwise("und").as("predicted"))
+      Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("lang"), predictedCol.as("predicted"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "predicted")
     },
@@ -102,16 +118,9 @@ object TextQueries {
          |        / (1.0 * len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))) * 5.0, 1.0) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     ) { (spark, dir) =>
-      val arr = wsTokens(col("text"))
-      val nTok = size(arr)
-      val lenScore = least(col("n_chars"), lit(500)) / lit(500.0)
-      val punctRatio = (length(col("text")) - length(translate(col("text"), ",.", ""))) /
-        (lit(1.0) * length(col("text")))
-      val stopRatio = hits(arr, stopEn) / (lit(1.0) * nTok)
       Tables.fanOut(Tables(spark, dir, "documents"))
-        .select(col("doc_id"), nTok.cast("long").as("n_tok"),
-          (lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) +
-            lit(0.3) * least(stopRatio * 5.0, lit(1.0))).as("quality"))
+        .select(col("doc_id"), size(wsTokens(col("text"))).cast("long").as("n_tok"),
+          qualityCol.as("quality"))
         .orderBy("doc_id")
     },
 
