@@ -20,6 +20,12 @@ object ChunkingQueries {
     when(nTok <= win, lit(1L))
       .otherwise(ceil((nTok - win) / lit(stride.toDouble)).cast("long") + 1)
 
+  /** Oracle-SQL form of [[nChunks]] over a token-count expression —
+    * interpolated by both the x10 and x17 oracles so the geometry has
+    * one source of truth on the SQL side too. */
+  private[llm] def nChunksSql(nTok: String): String =
+    s"CASE WHEN $nTok <= $win THEN 1 ELSE CAST(ceil(($nTok - $win) / ${stride}.0) AS BIGINT) + 1 END"
+
   val all: Seq[Q] = Seq(
 
     // X10 — overlapping token-window chunking: one row per chunk with
@@ -29,8 +35,7 @@ object ChunkingQueries {
       s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
          |  FROM documents),
          |c AS (SELECT doc_id, toks, len(toks) AS n_tok,
-         |        CASE WHEN len(toks) <= $win THEN 1
-         |             ELSE CAST(ceil((len(toks) - $win) / ${stride}.0) AS BIGINT) + 1 END AS n_chunks
+         |        ${nChunksSql("len(toks)")} AS n_chunks
          |      FROM t),
          |e AS (SELECT doc_id, n_tok, n_chunks, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, toks FROM c)
          |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,

@@ -32,33 +32,27 @@ object PipelineQueries {
          |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rk
          |    FROM documents) t WHERE rk = 1),
          |q AS (SELECT doc_id, text,
-         |    0.4 * (least(n_chars, 500) / 500.0)
-         |      + 0.3 * (1.0 - (length(text) - length(translate(text, ',.', ''))) / (1.0 * length(text)))
-         |      + 0.3 * least((len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${TextQueries.sqlList(TextQueries.stopEn)})))
-         |          / (1.0 * len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))) * 5.0, 1.0) AS quality
+         |    ${TextQueries.qualitySql} AS quality
          |  FROM d),
          |f AS (SELECT doc_id, text FROM q WHERE quality >= 0.5),
          |s AS (SELECT doc_id,
-         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${TextQueries.sqlList(TextQueries.stopEn)}))) AS s_en,
-         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${TextQueries.sqlList(TextQueries.stopEs)}))) AS s_es,
-         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${TextQueries.sqlList(TextQueries.stopDe)}))) AS s_de,
-         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${TextQueries.sqlList(TextQueries.stopFr)}))) AS s_fr,
-         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+         |    ${TextQueries.stopScoresSql},
+         |    CAST(len(${TextQueries.toksSql}) AS BIGINT) AS n_tok
          |  FROM f),
-         |p AS (SELECT CASE
-         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
-         |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-         |    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-         |    WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS predicted,
+         |p AS (SELECT ${TextQueries.predictedSql} AS predicted,
          |    n_tok,
-         |    CASE WHEN n_tok <= 50 THEN 1
-         |         ELSE CAST(ceil((n_tok - 50) / 40.0) AS BIGINT) + 1 END AS n_chunks
+         |    ${ChunkingQueries.nChunksSql("n_tok")} AS n_chunks
          |  FROM s)
          |SELECT predicted, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
          |  CAST(SUM(n_chunks) AS BIGINT) AS total_chunks
          |FROM p GROUP BY 1 ORDER BY predicted""".stripMargin
     ) { (spark, dir) =>
-      val deduped = Tables.fanOut(Tables(spark, dir, "documents"))
+      // No fanOut here: the only pre-exchange work is the cheap sha2
+      // projection, and the dedup window's own hash Exchange already
+      // spreads rows across all cores before the heavy token stages
+      // (which run after rk=1) — a fanOut would just add a second
+      // full-corpus shuffle.
+      val deduped = Tables(spark, dir, "documents")
         .withColumn("rk", row_number().over(
           Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")))
         .filter(col("rk") === 1)

@@ -19,6 +19,35 @@ object TextQueries {
 
   private[llm] def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Oracle-SQL (DuckDB) fragments mirroring the column builders below.
+    * The x4/x5 oracles AND the x17 end-to-end pipeline oracle all
+    * interpolate these, so a formula change updates every gate at once
+    * — the SQL can't silently drift from the Scala it verifies. */
+  private[llm] val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+  private[llm] def hitsSql(ws: Seq[String]): String =
+    s"""len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(ws)})))"""
+  /** The x5 quality formula over (text, n_chars). */
+  private[llm] def qualitySql: String =
+    s"""0.4 * (least(n_chars, 500) / 500.0)
+       |      + 0.3 * (1.0 - (length(text) - length(translate(text, ',.', ''))) / (1.0 * length(text)))
+       |      + 0.3 * least((${hitsSql(stopEn)}
+       |          / (1.0 * len($toksSql))) * 5.0, 1.0)""".stripMargin
+  /** The four per-language stopword scores, `AS s_en .. s_fr`. */
+  private[llm] def stopScoresSql: String =
+    s"""${hitsSql(stopEn)} AS s_en,
+       |    ${hitsSql(stopEs)} AS s_es,
+       |    ${hitsSql(stopDe)} AS s_de,
+       |    ${hitsSql(stopFr)} AS s_fr""".stripMargin
+  /** The x4 argmax CASE over s_en..s_fr. */
+  private[llm] val predictedSql: String =
+    """CASE
+      |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+      |    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+      |    WHEN s_fr > 0 THEN 'fr'
+      |    ELSE 'und' END""".stripMargin
+
   /** Count of tokens of `arr` that are in `ws`. */
   private def hits(arr: Column, ws: Seq[String]): Column =
     size(filter(arr, t => t.isin(stopAny(ws): _*)))
@@ -87,17 +116,9 @@ object TextQueries {
     Q(
       "x4_langid",
       s"""WITH s AS (SELECT lang,
-         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(stopEn)}))) AS s_en,
-         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(stopEs)}))) AS s_es,
-         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(stopDe)}))) AS s_de,
-         |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(stopFr)}))) AS s_fr
+         |    $stopScoresSql
          |  FROM documents),
-         |p AS (SELECT lang, CASE
-         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
-         |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-         |    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-         |    WHEN s_fr > 0 THEN 'fr'
-         |    ELSE 'und' END AS predicted FROM s)
+         |p AS (SELECT lang, $predictedSql AS predicted FROM s)
          |SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
     ) { (spark, dir) =>
       Tables.fanOut(Tables(spark, dir, "documents"))
@@ -111,11 +132,8 @@ object TextQueries {
     Q(
       "x5_quality_score",
       s"""SELECT doc_id,
-         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
-         |  0.4 * (least(n_chars, 500) / 500.0)
-         |    + 0.3 * (1.0 - (length(text) - length(translate(text, ',.', ''))) / (1.0 * length(text)))
-         |    + 0.3 * least((len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN (${sqlList(stopEn)})))
-         |        / (1.0 * len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))) * 5.0, 1.0) AS quality
+         |  CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |  $qualitySql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     ) { (spark, dir) =>
       Tables.fanOut(Tables(spark, dir, "documents"))
