@@ -442,6 +442,31 @@ object RelationalQueries {
         .filter(col("rn") === ceil(col("e.f") * col("cnt")))
         .select(col("pri"), col("e.q").as("q"), col("p").as("value"))
         .orderBy("pri", "q")
+    },
+
+    // R23 — distribution ranks: ntile/percent_rank/cume_dist complete
+    // the window-rank family r11 starts (row_number/rank/dense_rank).
+    // The window order carries the unique o_orderkey tiebreak, so every
+    // rank is total-order deterministic, and percent_rank/cume_dist are
+    // then exact quotients of small integers — bit-identical across
+    // engines. Same scale shape as r11: one hash exchange on the
+    // partition key, per-partition sort, no global window.
+    Q(
+      "r23_rank_distributions",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }
