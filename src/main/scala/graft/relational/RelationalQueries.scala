@@ -349,13 +349,20 @@ object RelationalQueries {
     // on array<double> (exact widening) with in-order folds.
     Q(
       "r15_array_battery",
+      // No round() anywhere here: the raw values are already
+      // bit-identical across engines (mn/mx/e1 are exact array
+      // elements, s and l2n are in-order folds + IEEE sqrt), and the
+      // embeddings are QUANTIZED floats — rounding quantized values is
+      // not a measure-zero half-boundary risk; at sf0.1 an element sat
+      // exactly on a 1e-4 boundary and Spark (shortest-decimal HALF_UP)
+      // and DuckDB (binary value) rounded it apart.
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT vec_id, len(v) AS dim,
-        |  round(list_sum(v), 4) AS s,
-        |  round(list_min(v), 4) AS mn,
-        |  round(list_max(v), 4) AS mx,
-        |  round(v[1], 4) AS e1,
-        |  round(sqrt(list_dot_product(v, v)), 4) AS l2n
+        |  list_sum(v) AS s,
+        |  list_min(v) AS mn,
+        |  list_max(v) AS mx,
+        |  v[1] AS e1,
+        |  sqrt(list_dot_product(v, v)) AS l2n
         |FROM e ORDER BY vec_id""".stripMargin
     ) { (spark, dir) =>
       val v = vecD(col("embedding"))
@@ -363,11 +370,11 @@ object RelationalQueries {
         .select(col("vec_id"), v.as("v"))
         .select(col("vec_id"),
           size(col("v")).cast("long").as("dim"),
-          r4(aggregate(col("v"), lit(0.0), (s, x) => s + x)).as("s"),
-          r4(array_min(col("v"))).as("mn"),
-          r4(array_max(col("v"))).as("mx"),
-          r4(element_at(col("v"), 1)).as("e1"),
-          r4(l2norm(col("v"))).as("l2n"))
+          aggregate(col("v"), lit(0.0), (s, x) => s + x).as("s"),
+          array_min(col("v")).as("mn"),
+          array_max(col("v")).as("mx"),
+          element_at(col("v"), 1).as("e1"),
+          l2norm(col("v")).as("l2n"))
         .orderBy("vec_id")
     },
 
@@ -467,6 +474,38 @@ object RelationalQueries {
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // R24 — explicit GROUPING SETS: the general multi-aggregation form
+    // that r8's ROLLUP and r9's CUBE are shorthands for — here the two
+    // single-column marginals WITHOUT the (prio, status) cross or the
+    // grand total, a set no rollup/cube spelling can express. One scan,
+    // one expand+aggregate pass — at scale this halves the input reads
+    // vs running the marginal aggregations as separate queries.
+    Q(
+      "r24_grouping_sets",
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio, coalesce(o_orderstatus, 'ALL') AS status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  count(*) AS order_cnt,
+        |  SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY prio, status, g_prio, g_status""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          count(lit(1)).as("order_cnt"),
+          (sum(fixed(col("o_totalprice"), 100)) / 100.0).as("total_price"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("g_prio"), col("g_status"), col("order_cnt"), col("total_price"))
+        .orderBy("prio", "status", "g_prio", "g_status")
     }
   )
 }
