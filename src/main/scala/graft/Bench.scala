@@ -44,8 +44,19 @@ object Bench {
       }
     }
 
-    // One warm run (JIT/codegen/parquet footers), then the timed run.
-    def exec(name: String): Double = if (once(name) < 0) -1.0 else once(name)
+    // One warm run (JIT/codegen/parquet footers), then three timed runs;
+    // reported value = the MEDIAN — the same protocol BASELINE.md's rows
+    // were recorded under. A single sample carries ±30% measured noise,
+    // which a 2x threshold misreads as regressions; the median of 3 is
+    // stable within ~15%.
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def exec(name: String): Double = {
+      if (once(name) < 0) -1.0
+      else {
+        val ts = Array.fill(timedRuns)(once(name))
+        if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(timedRuns / 2)
+      }
+    }
 
     val results = SparkEntry.registry.map(q => q.name -> exec(q.name))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

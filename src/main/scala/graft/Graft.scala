@@ -24,7 +24,17 @@ object Graft {
   def session(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession =
     GraftSession.local(cores)
 
-  /** The full named-query registry (SparkEntry.queries). */
+  /** The full named-query registry (SparkEntry.queries).
+    *
+    * Cache lifecycle: every query builds inside a [[core.CacheScope]],
+    * so internal cached intermediates (LSH signatures, shingle arrays,
+    * CC label snapshots) are released after the FIRST completed action
+    * on the returned DataFrame — run-and-consume-once costs no storage.
+    * Acting on the same result AGAIN recomputes from lineage (still
+    * correct, no longer cache-assisted); a consumer that will
+    * materialize a result several times should `.persist()` it — a
+    * caller-owned persist is never touched by the scope. Results built
+    * but never materialized are reclaimed after 64 newer scopes arm. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = SparkEntry.queries
 
   /** Load one of the standard tables from a scale-factor directory. */

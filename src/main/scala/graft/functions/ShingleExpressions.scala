@@ -48,8 +48,14 @@ case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
 
 object ShingleHashSet {
   /** Shared by interpreted eval and generated code. Code points index
-    * characters exactly as `ascii(substring(s, i, 1))` does, so the
-    * bits match the SQL fold for any input, not just ASCII. */
+    * characters exactly as `ascii(substring(s, i, 1))` does for ASCII
+    * input, so the bits match the SQL fold there — and the corpus plus
+    * every oracle are pure ASCII. The parity claim is scoped to ASCII:
+    * for non-ASCII input `ascii()` semantics differ between engines,
+    * and supplementary code points break the n<=12 int64 headroom
+    * bound — the JVM wraps silently where the DuckDB oracle raises a
+    * BIGINT overflow error. Normalize or pre-filter non-ASCII text
+    * before relying on cross-engine parity. */
   def compute(s: UTF8String, n: Int): ArrayData = {
     val cps = s.toString.codePoints().toArray
     val m = cps.length - n + 1

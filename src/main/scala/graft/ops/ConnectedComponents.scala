@@ -39,11 +39,27 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Sum of collection time across all GC beans — cheap driver-side
+    * read used by the round instrumentation to attribute in-suite
+    * slowdowns (a long-lived bench JVM can spend seconds of a "round"
+    * in GC caused by the 50 queries that ran before it). */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   /** @param nodes single-column DataFrame of node ids (numeric)
     * @param edges two-column DataFrame of undirected edges, each pair
     *              listed once in either direction
     * @return (id, lbl) with lbl = min node id of the component; every
-    *         id of `nodes` appears exactly once
+    *         id of `nodes` appears exactly once.
+    *
+    * Cache lifecycle: the loop's final label snapshot stays persisted
+    * to back the returned DataFrame, and is released automatically
+    * after the first completed action that consumes the result (its own
+    * [[CacheScope]]; nested transparently inside any enclosing scope) —
+    * library callers get no orphaned RDDs.
     */
   def minLabel(nodes: DataFrame, edges: DataFrame): DataFrame =
     minLabelCounted(nodes, edges)._1
@@ -51,6 +67,13 @@ object ConnectedComponents {
   /** As `minLabel`, also returning the number of rounds run (the last
     * round is the fixpoint-confirming one that changes nothing). */
   private[graft] def minLabelCounted(nodes: DataFrame, edges: DataFrame): (DataFrame, Int) = {
+    var rounds = 0
+    val out = CacheScope.scoped(minLabelBody(nodes, edges, r => rounds = r))
+    (out, rounds)
+  }
+
+  private def minLabelBody(
+      nodes: DataFrame, edges: DataFrame, reportRounds: Int => Unit): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val idCol = nodes.columns.head
@@ -58,12 +81,28 @@ object ConnectedComponents {
     val sc = spark.sparkContext
     val part = new HashPartitioner(sc.defaultParallelism)
 
+    // Synchronous round-trip to the block-manager master BEFORE any
+    // timing-sensitive work: non-blocking unpersists from earlier
+    // queries in a long-lived session queue up on that single-threaded
+    // endpoint, and this loop talks to it every round (persist
+    // registrations, removals). Draining the backlog here makes the
+    // per-round numbers below measure THIS loop, and surfaces inherited
+    // congestion as one visible fence cost instead of a mysterious
+    // per-round tax.
+    val tFence = System.nanoTime()
+    sc.getExecutorMemoryStatus
+    val fenceMs = (System.nanoTime() - tFence) / 1e6
+    val gc0 = gcMillis()
+
     // (src, tgt) request edges in both directions, partitioned once by
     // the label owner (src) — every round's neighbor join is narrow.
-    val symBySrc = edges
+    // The edge accumulator piggybacks on the first materializing job;
+    // task retries may overcount, which only nudges a sizing heuristic.
+    val edgeAcc = sc.longAccumulator("cc-edges")
+    val symBySrcWide = edges
       .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
       .as[(Long, Long)].rdd
-      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .flatMap { case (a, b) => edgeAcc.add(2); Iterator((a, b), (b, a)) }
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -72,17 +111,46 @@ object ConnectedComponents {
     // neighbor of v) is one reduceByKey over the partitioned edge list
     // — the values at key v ARE v's neighbors — where a join-based
     // round would cost the same shuffle plus a join.
-    var prevRdd: RDD[(Long, Long)] = symBySrc
+    var prevRdd: RDD[(Long, Long)] = symBySrcWide
       .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       .mapPartitions(_.map { case (id, minNbr) => (id, math.min(id, minNbr)) },
         preservesPartitioning = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nActive = prevRdd.count()
 
+    // Right-size the loop. The dup GRAPH is typically minuscule next to
+    // the corpus (near-dup pairs, not all docs), yet the loop's cost is
+    // dominated by fixed per-task driver overhead: rounds x stages x
+    // partitions tiny tasks — the exact quantity a congested long-lived
+    // driver amplifies. Target ~64k nodes / ~256k edges per partition,
+    // floor 1, cap defaultParallelism: at 100 TB the graph is large and
+    // this keeps full parallelism; at bench scale it collapses ~770
+    // scheduled tasks to ~30. One narrow repartition of the tiny graph
+    // pays for itself within the first round.
+    val nEdges: Long = edgeAcc.value
+    val loopN = math.max(1L, math.max(nActive / 65536L + 1L, nEdges / 262144L + 1L))
+      .min(part.numPartitions.toLong).toInt
+    val loopPart = if (loopN == part.numPartitions) part else new HashPartitioner(loopN)
+    val symBySrc =
+      if (loopPart eq part) symBySrcWide
+      else {
+        val e2 = symBySrcWide.partitionBy(loopPart).persist(StorageLevel.MEMORY_AND_DISK)
+        val l2 = prevRdd.partitionBy(loopPart).persist(StorageLevel.MEMORY_AND_DISK)
+        e2.count(); l2.count()
+        symBySrcWide.unpersist(blocking = true)
+        prevRdd.unpersist(blocking = true)
+        prevRdd = l2
+        e2
+      }
+    System.err.println(f"[cc] init fence_ms=$fenceMs%.0f active=$nActive " +
+      f"edges=$nEdges parts=${loopPart.numPartitions}")
+
     var rounds = 0
     var changed = nActive > 0
     while (changed) {
       rounds += 1
+      val tRound = System.nanoTime()
+      val gcBefore = gcMillis()
       val labels = prevRdd
       // Neighbor reads: co-partitioned narrow join, no shuffle.
       val nbr = symBySrc.join(labels)
@@ -100,7 +168,7 @@ object ConnectedComponents {
       val upd = (nbr ++ jump).map { case (id, lbl) => (id, (lbl, 0L, false)) }
       val acc = sc.longAccumulator("cc-changed")
       val rdd = (self ++ upd)
-        .reduceByKey(part,
+        .reduceByKey(loopPart,
           (x: (Long, Long, Boolean), y: (Long, Long, Boolean)) =>
             (math.min(x._1, y._1), if (x._3) x._2 else y._2, x._3 || y._3))
         .mapPartitions(_.map { case (id, (lbl, old, _)) =>
@@ -110,10 +178,18 @@ object ConnectedComponents {
         .persist(StorageLevel.MEMORY_AND_DISK)
       rdd.count() // the round's one job
       changed = acc.value > 0
-      prevRdd.unpersist(false)
+      // Blocking: the previous snapshot is ~one small row per active
+      // node, so waiting is cheap — and it guarantees removal requests
+      // never accumulate on the block-manager endpoint across rounds
+      // (the async variant let a long-lived bench JVM snowball them).
+      prevRdd.unpersist(blocking = true)
       prevRdd = rdd
+      System.err.println(f"[cc] round=$rounds ms=${(System.nanoTime() - tRound) / 1e6}%.0f " +
+        f"gc_ms=${gcMillis() - gcBefore} changed=${acc.value}")
     }
-    symBySrc.unpersist(false)
+    symBySrc.unpersist(blocking = true)
+    reportRounds(rounds)
+    System.err.println(f"[cc] done rounds=$rounds gc_total_ms=${gcMillis() - gc0}")
 
     // Inert nodes (no edges) label themselves; actives take the loop's
     // fixpoint.
@@ -121,10 +197,11 @@ object ConnectedComponents {
     val out = nodes.select(col(idCol).cast("long").as("id"))
       .join(active, col("id") === col("aid"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
-    // The final snapshot backs the returned DataFrame; free it once the
-    // caller's query materializes (no-op outside a CacheScope).
+    // The final snapshot backs the returned DataFrame; the enclosing
+    // scope (always present — minLabelCounted opens one) frees it after
+    // the first action that consumes the result.
     val last = prevRdd
     CacheScope.release(() => { last.unpersist(false); () })
-    (out, rounds)
+    out
   }
 }

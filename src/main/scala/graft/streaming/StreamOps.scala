@@ -149,7 +149,12 @@ object StreamOps {
                   out += SessionOut(uid, s.startUs, s.lastTsUs, s.events)
                   open = Some(OpenSession(t, t, 1L))
                 case Some(s) =>
-                  open = Some(OpenSession(s.startUs, t, s.events + 1))
+                  // min/max, not (startUs, t): a late event admitted by
+                  // the 30-min watermark can carry t < s.lastTsUs, and
+                  // moving lastTs backward would let a later event
+                  // spuriously split the session vs batch session_window
+                  open = Some(OpenSession(math.min(s.startUs, t),
+                    math.max(s.lastTsUs, t), s.events + 1))
                 case None =>
                   open = Some(OpenSession(t, t, 1L))
               }

@@ -16,8 +16,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     got
   }
 
-  /** Direct (unscoped) minLabel calls keep their final label snapshot
-    * persisted for the caller; tests drop it so suites stay clean. */
+  /** minLabel self-scopes, so its snapshot is released after the first
+    * consuming action — but the release rides the async listener bus;
+    * force-drop anything still pending so suites never interleave. */
   private def releaseLabelSnapshots(): Unit =
     TestSpark.releaseAllRdds()
 
@@ -44,6 +45,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // hops + 1 fixpoint-confirming round. Plain neighbor-min needs ~1000.
     assert(rounds <= 13, s"expected O(log n) rounds, got $rounds")
     releaseLabelSnapshots()
+  }
+
+  test("minLabel leaves no persisted RDDs after its result materializes (library caller, no scope)") {
+    val sp = spark
+    import sp.implicits._
+    sp.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val df = ConnectedComponents.minLabel(
+      Seq[Long](1, 2, 3, 4).toDF("id"), Seq(1L -> 2L, 3L -> 4L).toDF("a", "b"))
+    assert(df.count() == 4)
+    // the scope's release fires on the async listener bus — poll, don't assume
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (sp.sparkContext.getPersistentRDDs.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(sp.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${sp.sparkContext.getPersistentRDDs.values.map(_.name).mkString(", ")}")
   }
 
   test("edge direction does not matter") {

@@ -28,4 +28,21 @@ class QuerySmokeSpec extends AnyFunSuite {
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("x9 approx_count_distinct is within 5% of exact per group (declared tolerance gate)") {
+    // SURVEY.md §2C: HLL is excluded from the hash oracle but promises
+    // approx within 5% of exact — x9 emits both side by side, so the
+    // bound is directly assertable. sf0.01 exercises real cardinalities
+    // (thousands of distinct parts per returnflag), not toy counts.
+    val rows = SparkEntry.queries("x9_approx_distinct")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(exact > 0, s"group ${r.get(0)} has zero exact cardinality")
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 0.05,
+        f"group ${r.get(0)}: approx=$approx%.0f exact=$exact%.0f relErr=$relErr%.4f > 5%%")
+    }
+  }
 }

@@ -14,6 +14,7 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
 
   /** Drop every persisted RDD — used by suites that call minLabel
     * directly (outside a CacheScope), whose final label snapshot is
