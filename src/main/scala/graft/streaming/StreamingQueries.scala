@@ -118,6 +118,62 @@ object StreamingQueries {
         .agg(count(lit(1)).as("cnt"), (sum(fixed(col("value"), 10000)) / 10000.0).as("val"))
         .select(epochUs(col("w.start")).as("ws_us"), col("event_type"), col("cnt"), col("val"))
         .orderBy("ws_us", "event_type")
+    },
+
+    // S5 — a REAL streaming run, oracle-gated end to end (not a batch
+    // form): events arrive as json files in two chunks, StreamOps
+    // .tumblingWithWatermark streams them append-mode into a parquet
+    // sink, and the query's result is the sink read back. Append mode
+    // emits exactly the windows finalized by the last watermark =
+    // ms-floored global max event time minus 30 min (the watermark
+    // tracker works in milliseconds), so the oracle is the batch hourly
+    // aggregate restricted to windows whose end is at or below it.
+    // Chunked arrival exercises a mid-stream watermark advance and the
+    // trailing no-data flush batch; the emitted SET is chunking-
+    // independent — the watermark depends only on the global max ts —
+    // which is what makes a streaming run hashable at all.
+    Q(
+      "s5_stream_hourly_finalized",
+      """WITH m AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 1800000000 AS wm_us FROM events),
+        |agg AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type, count(*) AS cnt,
+        |    SUM(CAST(round(value*10000) AS BIGINT)) / 10000.0 AS val
+        |  FROM events GROUP BY 1, 2)
+        |SELECT ws_us, event_type, cnt, val FROM agg, m
+        |WHERE ws_us + 3600000000 <= wm_us
+        |ORDER BY ws_us, event_type""".stripMargin
+    ) { (spark, dir) =>
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = java.nio.file.Files.createTempDirectory("graft_s5_in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_s5_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_s5_ck").toString
+      // Chunk the arrival BY TIME, not arbitrarily: after chunk 1 the
+      // watermark sits 30 min behind chunk 1's max ts, and any chunk-2
+      // row older than that would be dropped as late — silently thinning
+      // the counts vs the all-events oracle. Splitting at the midpoint
+      // of the time range keeps every chunk-2 row ahead of the chunk-1
+      // watermark, so nothing is late and the oracle stays exact. The
+      // min/max fetch collects two scalars (bounded, driver-safe).
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val midMs = b.getTimestamp(0).getTime +
+        (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      events.filter(col("ts") < mid).write.mode("append").json(in)
+      val stream = spark.readStream.schema(events.schema).json(in)
+      val q = StreamOps.tumblingWithWatermark(stream).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        events.filter(col("ts") >= mid).write.mode("append").json(in)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(out)
+        .select("ws_us", "event_type", "cnt", "val")
+        .orderBy("ws_us", "event_type")
     }
   )
 }
