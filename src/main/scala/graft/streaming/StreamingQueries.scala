@@ -160,20 +160,95 @@ object StreamingQueries {
       val midMs = b.getTimestamp(0).getTime +
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
-      events.filter(col("ts") < mid).write.mode("append").json(in)
-      val stream = spark.readStream.schema(events.schema).json(in)
-      val q = StreamOps.tumblingWithWatermark(stream).writeStream
-        .format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
+      // parquet chunks, not json: exact microsecond ts roundtrip and a
+      // cheaper write — the arrival format a real feed would use.
+      events.filter(col("ts") < mid).write.mode("append").parquet(in)
+      val stream = spark.readStream.schema(events.schema).parquet(in)
+      // The stream's state-store width is frozen from
+      // spark.sql.shuffle.partitions at start; 32 stores for a few
+      // thousand (window, type) keys is pure per-batch commit overhead
+      // (3 batches x 32 commits), so narrow it for the stream's
+      // lifetime only. A production feed with real key volume would
+      // keep the session default.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        q.processAllAvailable()
-        events.filter(col("ts") >= mid).write.mode("append").json(in)
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = StreamOps.tumblingWithWatermark(stream).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          events.filter(col("ts") >= mid).write.mode("append").parquet(in)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.read.parquet(out)
         .select("ws_us", "event_type", "cnt", "val")
         .orderBy("ws_us", "event_type")
+    },
+
+    // S6 — completed-session finalization, oracle-gated end to end: the
+    // flatMapGroupsWithState emitter (custom per-user state, the
+    // hardest streaming shape) streams two time-split parquet chunks
+    // into an append parquet sink. A session row is emitted when (a) a
+    // later event of the same user arrives >= 30 min after its last
+    // event — the in-stream close — or (b) the event-time timeout
+    // fires, which happens exactly when the terminal watermark
+    // (ms-floored global max ts - 30 min) passes STRICTLY beyond
+    // ms-floored last_ts + 30 min. So the oracle is the batch islands
+    // query minus each user's final island unless that island clears
+    // the timeout predicate. Time-split arrival preserves the
+    // emitter's in-order contract across batches.
+    Q(
+      "s6_completed_sessions",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |g AS (SELECT user_id, sid, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |    count(*) AS n_ev
+        |  FROM s GROUP BY 1, 2),
+        |g2 AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM g),
+        |m AS (SELECT (epoch_us(max(ts)) // 1000) - 1800000 AS wm_ms FROM events)
+        |SELECT user_id, start_us, end_us, n_ev FROM g2, m
+        |WHERE sid < last_sid OR wm_ms > (end_us // 1000) + 1800000
+        |ORDER BY user_id, start_us""".stripMargin
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = java.nio.file.Files.createTempDirectory("graft_s6_in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_s6_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_s6_ck").toString
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val midMs = b.getTimestamp(0).getTime +
+        (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      events.filter(col("ts") < mid).write.mode("append").parquet(in)
+      val stream = spark.readStream.schema(events.schema).parquet(in)
+        .as[Event]
+      // Narrowed state width for the stream's lifetime — see s5.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = StreamOps.completedSessions(stream).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          events.filter(col("ts") >= mid).write.mode("append").parquet(in)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.read.parquet(out)
+        .select("user_id", "start_us", "end_us", "n_ev")
+        .orderBy("user_id", "start_us")
     }
   )
 }
