@@ -74,6 +74,62 @@ object ChunkingQueries {
         .orderBy("lang")
     },
 
+    // X18 — deterministic train/val/test split: every doc lands in
+    // exactly one split by hash range (90/5/5), reproducible anywhere
+    // with no RNG and no coordination — the property that lets a
+    // 1000-executor job and a laptop agree on membership. A different
+    // odd multiplier than x11's sampler decorrelates the two hashes
+    // (a doc being sampled says nothing about its split). Emitted as
+    // per-(lang, split) stats so the assignment itself is what the
+    // oracle hashes.
+    Q(
+      "x18_dataset_split",
+      """WITH b AS (SELECT lang, n_chars,
+        |    (doc_id * 2246822519) % 1000003 % 100 AS bkt
+        |  FROM documents),
+        |s AS (SELECT lang, n_chars,
+        |    CASE WHEN bkt < 90 THEN 'train' WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+    ) { (spark, dir) =>
+      val bkt = col("doc_id") * 2246822519L % 1000003L % 100
+      Tables(spark, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          when(bkt < 90, "train").when(bkt < 95, "val").otherwise("test").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "split")
+    },
+
+    // X19 — stratified sampling at per-language rates (corpus
+    // rebalancing: downsample the dominant language, keep the tail) —
+    // x11's uniform sampler with a per-stratum threshold. The rate
+    // table is a tiny CASE (a broadcast map at scale); membership stays
+    // a pure per-row hash decision: no shuffle, no RNG, reproducible.
+    // Third salt, decorrelated from both x11 and x18.
+    Q(
+      "x19_stratified_sample",
+      """WITH r AS (SELECT lang, n_chars,
+        |    (doc_id * 2654435769) % 1000003 % 100 AS bkt,
+        |    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
+        |              WHEN 'es' THEN 25 ELSE 50 END AS rate
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_sampled,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM r WHERE bkt < rate GROUP BY 1 ORDER BY lang""".stripMargin
+    ) { (spark, dir) =>
+      val bkt = col("doc_id") * 2654435769L % 1000003L % 100
+      val rate = when(col("lang") === "en", 10).when(col("lang") === "de", 25)
+        .when(col("lang") === "fr", 25).when(col("lang") === "es", 25).otherwise(50)
+      Tables(spark, dir, "documents")
+        .filter(bkt < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
+
     // X15 — training-sequence packing: documents pack, in doc_id order
     // within each language, into fixed 2048-token sequences by running
     // token count — the "sample packing" step between a tokenized

@@ -29,6 +29,18 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("x18 splits partition the corpus: every doc in exactly one split, ratios near 90/5/5") {
+    val sp = spark
+    val byCorpus = graft.core.Tables(sp, sf001, "documents").count()
+    val rows = SparkEntry.queries("x18_dataset_split")(sp, sf001).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.values.sum == byCorpus, "splits must partition the corpus exactly")
+    val train = bySplit("train").toDouble / byCorpus
+    assert(train > 0.85 && train < 0.95, s"train fraction $train far from 0.90")
+    assert(bySplit.contains("val") && bySplit.contains("test"))
+  }
+
   test("x9 approx_count_distinct is within 5% of exact per group (declared tolerance gate)") {
     // SURVEY.md §2C: HLL is excluded from the hash oracle but promises
     // approx within 5% of exact — x9 emits both side by side, so the
