@@ -26,16 +26,22 @@ import org.apache.spark.storage.StorageLevel
   * tool: Catalyst re-analyzes, re-optimizes and re-codegens the plan
   * EVERY round (measured ~0.6 s/round of pure driver time at sf0.1,
   * 10x the actual 0.06 s/round of cluster work), while the RDD loop
-  * replans nothing. The edge list is hash-partitioned once; labels
-  * come back from each round's reduceByKey with the same partitioner,
-  * so the neighbor join is narrow (zero shuffle) every round — the
-  * Pregel shape. Per round exactly ONE job runs: neighbor + jump label
-  * reads, the min-label reduce, and the convergence check (an
-  * accumulator counting changed labels) all ride the materializing
-  * `count()`. The previous round's blocks are unpersisted as soon as
-  * the next round lands, so executor storage holds at most two label
-  * snapshots regardless of round count. No driver-side union-find, no
-  * collected adjacency.
+  * replans nothing. The edge list is hash-partitioned once — at a
+  * width RIGHT-SIZED to the measured graph (~64k nodes / 256k edges
+  * per partition, floor 1, cap defaultParallelism), because the dup
+  * graph is usually minuscule next to the corpus and the loop's cost
+  * is per-task driver overhead, not data — labels come back from each
+  * round's reduceByKey with the same partitioner, so the neighbor join
+  * is narrow (zero shuffle) every round: the Pregel shape. Per round
+  * exactly ONE job runs: neighbor + jump label reads, the min-label
+  * reduce, and the convergence check (an accumulator counting changed
+  * labels) all ride the materializing `count()`. The previous round's
+  * blocks are unpersisted (blocking) as soon as the next round lands,
+  * so executor storage holds at most two label snapshots and the
+  * block-manager endpoint never accumulates removal backlog. No
+  * driver-side union-find, no collected adjacency. Per-round wall/GC
+  * timings stream to stderr as `[cc] round=...` for in-suite
+  * diagnosis.
   */
 object ConnectedComponents {
 

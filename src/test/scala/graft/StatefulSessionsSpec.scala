@@ -38,4 +38,34 @@ class StatefulSessionsSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("completedSessions merges a late in-watermark event without moving lastTs backward") {
+    // Arrival: [10:00, 10:10], then 10:05 (late, but above the 9:40
+    // watermark so it's admitted), then 10:36. Event-time order gives
+    // gaps of 5/5/26 min — ONE session of 4 events. A merge that set
+    // lastTs to the late 10:05 would see 10:36 as a 31-min gap and
+    // spuriously split; the min/max merge must not.
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    def ev(id: Long, hhmm: String) = Event(id,
+      java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 1L, "click", 1.0)
+
+    val stream = MemoryStream[Event]
+    val q = StreamOps.completedSessions(stream.toDS()).writeStream
+      .format("memory").queryName("late_merge")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, "10:00"), ev(2, "10:10")); q.processAllAvailable()
+      stream.addData(ev(3, "10:05")); q.processAllAvailable() // late, admitted
+      stream.addData(ev(4, "10:36")); q.processAllAvailable() // 26 min after true lastTs
+      stream.addData(ev(5, "23:59")); q.processAllAvailable() // closes the session
+      val got = sp.table("late_merge").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val us = (hhmm: String) =>
+        java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00").getTime * 1000L
+      assert(got.toSeq == Seq((1L, us("10:00"), us("10:36"), 4L)),
+        s"expected one merged 4-event session, got ${got.mkString(", ")}")
+    } finally q.stop()
+  }
 }
