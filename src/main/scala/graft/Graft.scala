@@ -14,7 +14,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * val dups  = Graft.queries("l2_minhash_neardup")(spark, dataDir)   // + LLM pipeline ops
   * }}}
   *
-  * Everything else (the 62-query registry, dedup/similarity/text/
+  * Everything else (the 63-query registry, dedup/similarity/text/
   * multimodal/streaming operators, custom plans) hangs off the same
   * packages this object delegates to.
   */

@@ -199,6 +199,57 @@ object TextQueries {
         .orderBy("doc_id", "rk")
     },
 
+    // X20 — bigram collocation extraction (tokenizer/vocab prep): top
+    // 50 adjacent-token pairs by count with a PMI-style association
+    // score. The score is EXACT integer arithmetic — cnt_ab * N * 1e6
+    // integer-divided by cnt_a * cnt_b — because ln() differs between
+    // libm implementations in the last ulp (same reasoning as x14's
+    // score); monotone in true PMI at fixed counts, which is what a
+    // ranking consumer needs. One bigram explode and one token explode,
+    // both map-side-partial aggregated; the unigram join keys on the
+    // vocabulary (broadcast-sized at any corpus scale); N arrives by
+    // broadcast one-row cross join, no driver count.
+    Q(
+      "x20_bigram_pmi",
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |bgs AS (SELECT toks[i] || ' ' || toks[i+1] AS bg
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)),
+        |cb AS (SELECT bg, count(*) AS cnt_ab FROM bgs GROUP BY 1),
+        |tok AS (SELECT unnest(toks) AS t FROM t),
+        |cu AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM tok),
+        |s AS (SELECT cb.bg AS bigram, cb.cnt_ab, ca.cnt AS cnt_a, c2.cnt AS cnt_b,
+        |    (cb.cnt_ab * n.n * 1000000) // (ca.cnt * c2.cnt) AS pmi_scaled
+        |  FROM cb
+        |  JOIN cu ca ON ca.t = string_split(cb.bg, ' ')[1]
+        |  JOIN cu c2 ON c2.t = string_split(cb.bg, ' ')[2]
+        |  CROSS JOIN n)
+        |SELECT bigram, cnt_ab, cnt_a, cnt_b, pmi_scaled
+        |FROM s ORDER BY cnt_ab DESC, bigram LIMIT 50""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(wsTokens(col("text")).as("toks"))
+      // guard size >= 2: sequence(1, 0) would DESCEND ([1, 0]), not
+      // produce an empty list like DuckDB's generate_series
+      val bg = t.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bg"))
+      val cb = bg.groupBy("bg").agg(count(lit(1)).as("cnt_ab"))
+      val tok = t.select(explode(col("toks")).as("t"))
+      val cu = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+      val n = tok.agg(count(lit(1)).as("n"))
+      cb.withColumn("a", split(col("bg"), " ").getItem(0))
+        .withColumn("b", split(col("bg"), " ").getItem(1))
+        .join(cu.toDF("ta", "cnt_a"), col("a") === col("ta"))
+        .join(cu.toDF("tb", "cnt_b"), col("b") === col("tb"))
+        .crossJoin(broadcast(n))
+        .select(col("bg").as("bigram"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
+          expr("(cnt_ab * n * 1000000) DIV (cnt_a * cnt_b)").as("pmi_scaled"))
+        .orderBy(col("cnt_ab").desc, col("bigram")).limit(50)
+    },
+
     // X7 — document fingerprint: position-weighted rolling checksum mod
     // 2^31-1, computed as a single in-order array fold (no shuffle).
     Q(
