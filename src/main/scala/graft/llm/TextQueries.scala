@@ -96,10 +96,18 @@ object TextQueries {
         |FROM dl JOIN tl ON dl.lang = tl.lang ORDER BY dl.lang""".stripMargin
     ) { (spark, dir) =>
       val docs = Tables(spark, dir, "documents")
+      // Two-level aggregation instead of count + countDistinct in one
+      // groupBy: Spark plans the mixed form through an Expand that
+      // doubles every exploded token row before the shuffle. Grouping
+      // by (lang, token) first lets the map-side partial agg collapse
+      // the token explosion to vocabulary size, then the second agg
+      // reads rows-per-lang (= distinct tokens) and sum-of-counts
+      // (= total tokens) off that tiny table. Identical result.
       val tl = Tables.fanOut(docs)
         .select(col("lang"), explode(wsTokens(col("text"))).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as("c"))
         .groupBy("lang")
-        .agg(count(lit(1)).as("total_tok"), countDistinct(col("t")).as("distinct_tok"))
+        .agg(sum("c").as("total_tok"), count(lit(1)).as("distinct_tok"))
       val dl = docs.groupBy(col("lang").as("dlang"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
       dl.join(tl, col("dlang") === col("lang"))
@@ -205,7 +213,15 @@ object TextQueries {
     // integer-divided by cnt_a * cnt_b — because ln() differs between
     // libm implementations in the last ulp (same reasoning as x14's
     // score); monotone in true PMI at fixed counts, which is what a
-    // ranking consumer needs. One bigram explode and one token explode,
+    // ranking consumer needs. INT64 HEADROOM: the numerator
+    // cnt_ab * N * 1e6 must stay under 2^63 ≈ 9.2e18, i.e.
+    // cnt_ab * N < 9.2e12 — safe while the corpus is under ~3e6 tokens
+    // even for a bigram appearing every time (cnt_ab <= N), and far
+    // beyond that for real Zipfian counts; past it Spark's DIV would
+    // wrap silently while DuckDB raises, so a corpus-scale deployment
+    // should lift the score into DECIMAL(38,0) on both engines (same
+    // discipline as ShingleHashSet's documented bound).
+    // One bigram explode and one token explode,
     // both map-side-partial aggregated; the unigram join keys on the
     // vocabulary (broadcast-sized at any corpus scale); N arrives by
     // broadcast one-row cross join, no driver count.

@@ -45,6 +45,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Per-round `[cc]` diagnostics go to stderr only when enabled —
+    * `SPARK_GRAFT_CC_TRACE` env or `spark.graft.cc.trace` sysprop
+    * (graft.Bench sets the sysprop; library embedders get silence,
+    * ADVICE r4). Checked per call, not cached: tests and embedders can
+    * toggle it at runtime. */
+  private def traceEnabled: Boolean =
+    sys.env.get("SPARK_GRAFT_CC_TRACE").orElse(sys.props.get("spark.graft.cc.trace"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+  private def trace(msg: => String): Unit =
+    if (traceEnabled) System.err.println(msg)
+
   /** Sum of collection time across all GC beans — cheap driver-side
     * read used by the round instrumentation to attribute in-suite
     * slowdowns (a long-lived bench JVM can spend seconds of a "round"
@@ -148,7 +159,7 @@ object ConnectedComponents {
         prevRdd = l2
         e2
       }
-    System.err.println(f"[cc] init fence_ms=$fenceMs%.0f active=$nActive " +
+    trace(f"[cc] init fence_ms=$fenceMs%.0f active=$nActive " +
       f"edges=$nEdges parts=${loopPart.numPartitions}")
 
     var rounds = 0
@@ -190,12 +201,12 @@ object ConnectedComponents {
       // (the async variant let a long-lived bench JVM snowball them).
       prevRdd.unpersist(blocking = true)
       prevRdd = rdd
-      System.err.println(f"[cc] round=$rounds ms=${(System.nanoTime() - tRound) / 1e6}%.0f " +
+      trace(f"[cc] round=$rounds ms=${(System.nanoTime() - tRound) / 1e6}%.0f " +
         f"gc_ms=${gcMillis() - gcBefore} changed=${acc.value}")
     }
     symBySrc.unpersist(blocking = true)
     reportRounds(rounds)
-    System.err.println(f"[cc] done rounds=$rounds gc_total_ms=${gcMillis() - gc0}")
+    trace(f"[cc] done rounds=$rounds gc_total_ms=${gcMillis() - gc0}")
 
     // Inert nodes (no edges) label themselves; actives take the loop's
     // fixpoint.

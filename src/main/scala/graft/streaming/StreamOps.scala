@@ -119,7 +119,22 @@ object StreamOps {
     * ever seen) and guarantees no session is withheld forever. The dual
     * of `statefulSessionCounts`, which re-emits a rollup every batch;
     * this shape is what a downstream training-data writer wants
-    * (finalized, immutable session rows). Same in-order assumptions. */
+    * (finalized, immutable session rows). Same in-order assumptions.
+    *
+    * ARRIVAL-ORDER CONTRACT (explicit): the in-stream close fires the
+    * moment a past-gap event ARRIVES, before the watermark proves
+    * finality. An out-of-order late event that would BRIDGE an
+    * already-emitted session and the open one (session emitted on a
+    * past-gap arrival, then an in-watermark event lands inside the
+    * emitted session's gap) is NOT merged back — the emitted row is
+    * immutable — so such arrival orders diverge from batch
+    * `session_window`. Supported input is per-user non-decreasing
+    * event time across micro-batches (in-batch disorder is fine — rows
+    * are sorted before folding; a late event inside the OPEN session
+    * is also fine — the min/max merge handles it). s6 feeds time-split
+    * chunks precisely to honor this contract; a feed that cannot
+    * guarantee it should use `sessions` (session_window) instead,
+    * whose state merges windows until the watermark closes them. */
   def completedSessions(events: Dataset[Event]): Dataset[SessionOut] = {
     implicit val keyEnc = Encoders.scalaLong
     implicit val stateEnc = Encoders.product[OpenSession]

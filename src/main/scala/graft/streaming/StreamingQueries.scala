@@ -146,9 +146,9 @@ object StreamingQueries {
     ) { (spark, dir) =>
       val events = Tables(spark, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
-      val in = java.nio.file.Files.createTempDirectory("graft_s5_in").toString
-      val out = java.nio.file.Files.createTempDirectory("graft_s5_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_s5_ck").toString
+      val in = TempWork.dir("graft_s5_in")
+      val out = TempWork.dir("graft_s5_out")
+      val ckpt = TempWork.dir("graft_s5_ck")
       // Chunk the arrival BY TIME, not arbitrarily: after chunk 1 the
       // watermark sits 30 min behind chunk 1's max ts, and any chunk-2
       // row older than that would be dropped as late — silently thinning
@@ -163,15 +163,17 @@ object StreamingQueries {
       // parquet chunks, not json: exact microsecond ts roundtrip and a
       // cheaper write — the arrival format a real feed would use.
       events.filter(col("ts") < mid).write.mode("append").parquet(in)
-      val stream = spark.readStream.schema(events.schema).parquet(in)
-      // The stream's state-store width is frozen from
-      // spark.sql.shuffle.partitions at start; 32 stores for a few
-      // thousand (window, type) keys is pure per-batch commit overhead
-      // (3 batches x 32 commits), so narrow it for the stream's
-      // lifetime only. A production feed with real key volume would
-      // keep the session default.
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // The stream runs on its own CHILD session (shared SparkContext
+      // and extensions, isolated SQLConf): the state-store width is
+      // frozen from spark.sql.shuffle.partitions at stream start, and
+      // 32 stores for a few thousand (window, type) keys is pure
+      // per-batch commit overhead (3 batches x 32 commits) — but
+      // narrowing it must not touch the caller's session, which may be
+      // running other queries concurrently (ADVICE r4). A production
+      // feed with real key volume would keep the default width.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(events.schema).parquet(in)
       try {
         val q = StreamOps.tumblingWithWatermark(stream).writeStream
           .format("parquet").option("path", out)
@@ -182,7 +184,13 @@ object StreamingQueries {
           events.filter(col("ts") >= mid).write.mode("append").parquet(in)
           q.processAllAvailable()
         } finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally {
+        // The full events copy (arrival) and the checkpoint die with
+        // the stream; only the small sink outlives the query (the
+        // returned DataFrame reads it lazily — JVM-exit cleanup).
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
       spark.read.parquet(out)
         .select("ws_us", "event_type", "cnt", "val")
         .orderBy("ws_us", "event_type")
@@ -219,22 +227,23 @@ object StreamingQueries {
         |WHERE sid < last_sid OR wm_ms > (end_us // 1000) + 1800000
         |ORDER BY user_id, start_us""".stripMargin
     ) { (spark, dir) =>
-      import spark.implicits._
       val events = Tables(spark, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
-      val in = java.nio.file.Files.createTempDirectory("graft_s6_in").toString
-      val out = java.nio.file.Files.createTempDirectory("graft_s6_out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_s6_ck").toString
+      val in = TempWork.dir("graft_s6_in")
+      val out = TempWork.dir("graft_s6_out")
+      val ckpt = TempWork.dir("graft_s6_ck")
       val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
       val midMs = b.getTimestamp(0).getTime +
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
       events.filter(col("ts") < mid).write.mode("append").parquet(in)
-      val stream = spark.readStream.schema(events.schema).parquet(in)
-        .as[Event]
-      // Narrowed state width for the stream's lifetime — see s5.
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // Child session with narrowed state width — see s5.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = {
+        import ss.implicits._
+        ss.readStream.schema(events.schema).parquet(in).as[Event]
+      }
       try {
         val q = StreamOps.completedSessions(stream).writeStream
           .format("parquet").option("path", out)
@@ -245,7 +254,10 @@ object StreamingQueries {
           events.filter(col("ts") >= mid).write.mode("append").parquet(in)
           q.processAllAvailable()
         } finally q.stop()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally {
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
       spark.read.parquet(out)
         .select("user_id", "start_us", "end_us", "n_ev")
         .orderBy("user_id", "start_us")

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+/** Lifecycle for the scratch directories the end-to-end streaming
+  * queries need (arrival dir, checkpoint, sink). Each run of s5/s6
+  * writes a full parquet copy of the events table into its arrival dir;
+  * left behind, a median-of-3 bench run accumulates 4 such triples per
+  * query (ADVICE r4). The arrival and checkpoint dirs are deleted
+  * explicitly the moment the stream stops; the sink dir must outlive
+  * the query (the returned DataFrame reads it lazily, possibly more
+  * than once), so it is reclaimed by a single JVM-exit hook instead.
+  */
+private[streaming] object TempWork {
+
+  private val pending = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Boolean = {
+    sys.addShutdownHook { pending.forEach(d => deleteNow(d)) }
+    true
+  }
+
+  /** Create a temp dir registered for deletion at JVM exit. */
+  def dir(prefix: String): String = {
+    hookInstalled
+    val p = Files.createTempDirectory(prefix).toString
+    pending.add(p)
+    p
+  }
+
+  /** Delete now (recursively, best-effort) and drop the exit hook entry. */
+  def delete(path: String): Unit = {
+    deleteNow(path)
+    pending.remove(path)
+  }
+
+  private def deleteNow(path: String): Unit =
+    try {
+      val root = Paths.get(path)
+      if (Files.exists(root)) {
+        val s = Files.walk(root)
+        try s.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+        finally s.close()
+      }
+    } catch { case _: Throwable => () }
+}

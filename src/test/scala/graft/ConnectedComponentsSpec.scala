@@ -47,6 +47,36 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     releaseLabelSnapshots()
   }
 
+  test("100k-node path (adversarial diameter): log2(d) rounds, bounded state") {
+    // The one 100 TB claim the small graphs above don't cover: a
+    // WORST-CASE diameter graph — a single path of 10^5 nodes
+    // (diameter 99,999; a real near-dup chain this long would mean a
+    // template corpus gone pathological). Plain neighbor-min would need
+    // ~10^5 rounds; pointer jumping must do it in ~log2(d).
+    val sp = spark
+    val n = 100000L
+    val nodes = sp.range(n).toDF("id")
+    val edges = sp.range(n - 1).selectExpr("id AS a", "id + 1 AS b")
+    val (df, rounds) = ConnectedComponents.minLabelCounted(nodes, edges)
+    val got = df.groupBy("lbl").count().collect()
+    assert(got.length == 1 && got.head.getLong(0) == 0L && got.head.getLong(1) == n,
+      "all 100k nodes label to the path minimum")
+    // reach is 2^(r-1) hops after r rounds: 18 rounds cover 99,999 hops,
+    // +1 fixpoint-confirming round; a couple of slack rounds for the
+    // min-label (not max-reach) propagation pattern.
+    assert(rounds <= 21, s"expected ~log2(99999)+1 = 18-19 rounds, got $rounds")
+    assert(rounds >= 10, s"suspiciously few rounds ($rounds) — is the graph wired?")
+    // Bounded state: the loop unpersists each superseded snapshot
+    // blocking-ly; after the consuming action only the final snapshot
+    // (released via the async bus) may linger.
+    releaseLabelSnapshots()
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (sp.sparkContext.getPersistentRDDs.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(sp.sparkContext.getPersistentRDDs.isEmpty,
+      s"persisted RDDs left after 100k-path CC: ${sp.sparkContext.getPersistentRDDs.size}")
+  }
+
   test("minLabel leaves no persisted RDDs after its result materializes (library caller, no scope)") {
     val sp = spark
     import sp.implicits._

@@ -106,6 +106,30 @@ class FileStreamSpec extends AnyFunSuite {
     assert(got == want, s"restart produced ${got.size} rows, uninterrupted ${want.size}")
   }
 
+  test("two gated streams run concurrently in one session (race-safe confs)") {
+    // Real pipelines multiplex streams. s5/s6 narrow the state-store
+    // width on a CHILD session (spark.newSession), so two streams
+    // sharing the parent session must neither race each other's conf
+    // nor perturb the parent's. Concurrent results must equal the
+    // sequential (driver-hash-gated) runs bit for bit.
+    val sp = spark
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    def runQ(name: String): Seq[String] =
+      SparkEntry.queries(name)(sp, sf0001).collect().map(_.toString).sorted.toSeq
+    val seqS5 = runQ("s5_stream_hourly_finalized")
+    val seqS6 = runQ("s6_completed_sessions")
+    val shuffleBefore = sp.conf.get("spark.sql.shuffle.partitions")
+    val f5 = Future(runQ("s5_stream_hourly_finalized"))
+    val f6 = Future(runQ("s6_completed_sessions"))
+    val (conc5, conc6) = (Await.result(f5, 180.seconds), Await.result(f6, 180.seconds))
+    assert(conc5 == seqS5, "concurrent s5 diverged from its sequential run")
+    assert(conc6 == seqS6, "concurrent s6 diverged from its sequential run")
+    assert(sp.conf.get("spark.sql.shuffle.partitions") == shuffleBefore,
+      "a stream leaked its narrowed shuffle width into the shared session")
+  }
+
   test("streaming dedupe drops replayed events within the watermark") {
     val sp = spark
     val in = Files.createTempDirectory("graft_dedup_in").toString
