@@ -270,6 +270,63 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
         .orderBy("doc_id")
-    }
+    },
+
+    // X21 — adversarial-skew near-dup stress (non-gated bench row; no
+    // SQL oracle — the corpus is generated in-plan, and DedupSpec
+    // asserts the exact expected cluster distribution). A synthetic
+    // 5,000-doc corpus with ONE 1,000-doc template cluster: each
+    // template doc is the same ~180-char text plus a tiny per-doc
+    // suffix, so exact dedup CANNOT collapse it and every band-pair
+    // bucket holds ~1,000 docs — the worst-case skew the banded path
+    // must absorb (a real template corpus: boilerplate pages, license
+    // headers). The true pair set here genuinely IS quadratic
+    // (C(1000,2) ≈ 500k near-dup pairs) — the stress is that candidate
+    // generation, 16-column verify, and cluster resolution all survive
+    // the hot bucket; the 4,000 distinct docs (pseudo-random words
+    // hashed from doc_id, deterministic, no RNG) verify that selectivity
+    // elsewhere is unharmed. Corpus size is FIXED (sf-independent):
+    // the stress is bucket skew, not corpus scale, so the bench row
+    // measures the same work at every sf.
+    Q(
+      "x21_skew_neardup",
+      None,
+      (spark: SparkSession, dir: String) => {
+        val template = "the quick brown fox jumps over the lazy dog while " +
+          "the patient cat watches from the warm stone wall and the small " +
+          "bird sings in the tall green tree beside the quiet river "
+        // 1,000 near-identical docs (template + short unique suffix) +
+        // 4,000 mutually-distinct docs of id-hashed pseudo-words.
+        val docsDf = spark.range(5000).select(
+          col("id").as("doc_id"),
+          when(col("id") < 1000, concat(lit(template), lit("copy "), col("id")))
+            .otherwise(concat_ws(" ",
+              transform(sequence(lit(1), lit(30)),
+                i => concat(lit("w"), pmod(col("id") * 2654435761L + i * 40503L, lit(99991L))))))
+            .as("text"))
+        val sets = CacheScope.cache(
+          MinHash.shingleSets(Tables.fanOut(docsDf), 9).filter(col("c") > 0))
+        val sig = CacheScope.cache(MinHash.signaturesFromSets(sets))
+        val cand = MinHash.candidatesPaired(sig)
+        val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
+        val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
+        val matches = (0 until 16)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        val pairs = cand
+          .join(s1, col("d1") === col("s1_doc"))
+          .join(s2, col("d2") === col("s2_doc"))
+          .select(col("d1"), col("d2"), matches.as("m"))
+          .filter(col("m") >= 14)
+          .select("d1", "d2")
+        val cc = graft.ops.ConnectedComponents.minLabel(
+          docsDf.select("doc_id"), pairs)
+        // Output: the cluster-size histogram — tiny, and the strongest
+        // summary of whether the skewed bucket resolved correctly
+        // (expected: 4,000 singletons + one 1,000-doc cluster).
+        cc.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      })
   )
 }

@@ -67,6 +67,43 @@ object StreamOps {
         sum(fixed(col("value"), 10000)).as("vc"))
       .select(col("user_id"), col("n_ev"), col("dur_us"), (col("vc") / 10000.0).as("val"))
 
+  /** Stream-stream interval self-join — the streaming form of R6's
+    * range join: pairs of events of the same user at most 1 hour apart
+    * (id1 < id2 de-dupes the symmetric match). Both inputs carry a
+    * 30-minute watermark and the join condition bounds EVENT TIME on
+    * both sides — the two things Spark's stream-stream join needs to
+    * expire buffered rows: a row can leave the join state as soon as
+    * the other side's watermark passes its ts + 1 hour, so state holds
+    * a ~90-minute sliding slice of each stream regardless of total
+    * volume (the property that makes the join viable on an unbounded
+    * feed). Inner join: matches emit as soon as both rows have
+    * arrived; nothing waits for the watermark. */
+  def eventPairs(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("u1"), col("ts").as("ts1"), col("event_id").as("id1"))
+    val r = right.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("u2"), col("ts").as("ts2"), col("event_id").as("id2"))
+    l.join(r,
+      col("u1") === col("u2") &&
+        col("ts2") >= col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR") &&
+        col("id1") < col("id2"))
+      .select(col("u1").as("user_id"), col("id1"), col("id2"))
+  }
+
+  /** Stream-static enrichment join: attach a dimension row (here the
+    * customer's market segment, user_id = c_custkey) to every event.
+    * The static side is broadcast — no shuffle of the stream, no state
+    * at all (the dimension is re-read per micro-batch, so a slowly-
+    * changing dim picks up updates between batches). The standard shape
+    * for decorating a 100 TB/day feed with reference data. */
+  def enriched(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+      broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("c_mktsegment"))
+
   /** Streaming exact dedup by event_id — the pipeline's "drop replayed
     * events" stage. State is bounded by the watermark: an id is
     * remembered only until its event time falls behind the 30-minute

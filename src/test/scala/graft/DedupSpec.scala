@@ -130,6 +130,18 @@ class DedupSpec extends AnyFunSuite {
     assert(g.getLong(0) == 6 && g.getLong(1) == 3 && g.getLong(2) == 2)
   }
 
+  test("x21 skew stress: 1000-doc template bucket resolves to one cluster, singletons intact") {
+    // The adversarial-skew row's entire contract (it has no SQL oracle —
+    // its corpus is generated in-plan): every hot-bucket doc lands in
+    // ONE 1000-doc cluster and none of the 4000 distinct docs is
+    // spuriously merged. The dir argument is ignored by design.
+    val rows = SparkEntry.queries("x21_skew_neardup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 4000L), (1000L, 1L)),
+      s"cluster-size histogram diverged: $rows")
+    spark.catalog.clearCache()
+  }
+
   test("shingling is deterministic and lowercased") {
     val a = MinHash.shingles(docsDF(Seq(1L -> "Hello World")), 5)
       .collect().map(_.getLong(1)).sorted.toSeq

@@ -106,6 +106,60 @@ class FileStreamSpec extends AnyFunSuite {
     assert(got == want, s"restart produced ${got.size} rows, uninterrupted ${want.size}")
   }
 
+  test("stream-stream interval join == batch range join (watermarked both sides)") {
+    val sp = spark
+    val in = Files.createTempDirectory("graft_ssj_in").toString
+    val ckpt = Files.createTempDirectory("graft_ssj_ck").toString
+    val events = Tables(sp, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // time-split arrival (see s5): keeps chunk-2 rows ahead of the
+    // chunk-1 watermark so no join state is expired before its match
+    import org.apache.spark.sql.functions.{lit, min, max}
+    val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+    val midMs = b.getTimestamp(0).getTime +
+      (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
+    val mid = lit(new java.sql.Timestamp(midMs))
+    events.filter(col("ts") < mid).write.mode("append").parquet(in)
+
+    val stream = sp.readStream.schema(events.schema).parquet(in)
+    val q = StreamOps.eventPairs(stream, stream).writeStream
+      .format("memory").queryName("ssj")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      events.filter(col("ts") >= mid).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val got = sp.table("ssj").collect().map(_.toString).sorted.toSeq
+      val want = StreamOps.eventPairs(events, events) // same plan, batch inputs
+        .collect().map(_.toString).sorted.toSeq
+      assert(got.nonEmpty && got == want,
+        s"stream-stream join emitted ${got.size} pairs, batch says ${want.size}")
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrichment == batch join") {
+    val sp = spark
+    val in = Files.createTempDirectory("graft_enr_in").toString
+    val ckpt = Files.createTempDirectory("graft_enr_ck").toString
+    val events = Tables(sp, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val customer = Tables(sp, sf0001, "customer")
+    events.write.mode("append").parquet(in)
+    val stream = sp.readStream.schema(events.schema).parquet(in)
+    val q = StreamOps.enriched(stream, customer).writeStream
+      .format("memory").queryName("enriched_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = sp.table("enriched_stream").collect().map(_.toString).sorted.toSeq
+      val want = StreamOps.enriched(events, customer)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("two gated streams run concurrently in one session (race-safe confs)") {
     // Real pipelines multiplex streams. s5/s6 narrow the state-store
     // width on a CHILD session (spark.newSession), so two streams
