@@ -79,6 +79,12 @@ object Bench {
             if (!org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext))
               System.err.println(s"[bench] listener bus drain timed out after $name")
             spark.catalog.clearCache()
+            // Unload orphaned state-store providers left by finished
+            // streaming runs (s5/s6 checkpoint-per-run) so the periodic
+            // maintenance thread can't snapshot dozens of dead stores
+            // inside a later timed window. Safe here: queries run
+            // serially, so no stream is active at the barrier.
+            org.apache.spark.sql.graftbridge.StateDrain.unloadAll()
             spark.sparkContext.getExecutorMemoryStatus
           } catch { case e: Throwable =>
             System.err.println(s"[bench] barrier after $name failed: ${e.getMessage}")

@@ -18,6 +18,7 @@ object SparkEntry {
       graft.llm.SimilarityQueries.all ++
       graft.llm.TextQueries.all ++
       graft.llm.ChunkingQueries.all ++
+      graft.llm.CurationQueries.all ++
       graft.llm.PipelineQueries.all ++
       graft.llm.MultimodalQueries.all ++
       graft.streaming.StreamingQueries.all

@@ -1,0 +1,258 @@
+package graft.llm
+
+import graft.core.Cols._
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation surface — the pipeline stages between raw crawl and
+  * training shards that the dedup/quality queries don't cover yet:
+  * eval-set decontamination, denylist scrubbing, incremental snapshot
+  * dedup, repetition filtering, and the sequential quality funnel a
+  * pipeline report prints.
+  *
+  * Scale discipline shared by all five: per-document work is a single
+  * row-local pass (token arrays built once, no driver round-trips);
+  * anything cross-document goes through either a broadcast of a
+  * provably-small side (x22's eval shingle set) or the bucketed LSH
+  * candidate machinery (x24 reuses l2's band-pair keys) — never an
+  * all-pairs join.
+  */
+object CurationQueries {
+
+  /** Shared DuckDB token expression — identical split/lower/drop-empty
+    * semantics to [[graft.core.Cols.wsTokens]]. */
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  /** (doc_id, lang, toks) over documents, scan fanned out ahead of the
+    * row-expanding transforms. */
+  private def toks(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        wsTokens(col("text")).as("toks"))
+
+  /** n-token shingle strings of a `toks` array column, one row per
+    * shingle position (docs shorter than n emit nothing). */
+  private def shingleRows(t: DataFrame, n: Int): DataFrame =
+    t.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
+
+  val all: Seq[Q] = Seq(
+
+    // X22 — eval-set decontamination: flag every training document that
+    // shares at least one 8-token shingle with the held-out eval slice
+    // (doc_id % 100 == 7 — a deterministic 1% sample standing in for a
+    // benchmark suite). The industry-standard n-gram-overlap decontam
+    // check (GPT-3 used 13-grams, Llama 8-grams). SCALE SHAPE: the eval
+    // side is by definition tiny (benchmarks are KBs against a 100 TB
+    // corpus), so its distinct shingle set is broadcast and the train
+    // side never shuffles; at real scale the join key would be
+    // xxhash64(shingle) to dodge long-string comparisons, which the
+    // cross-engine gate can't hash-match, so the gated form joins on
+    // the string itself. Per-train-doc distinct eval links aggregate in
+    // tiny per-doc groups (not a global countDistinct).
+    Q(
+      "x22_decontaminate",
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS sh
+         |       FROM t, unnest(generate_series(1, len(toks) - 7)) u(i)
+         |       WHERE len(toks) >= 8),
+         |ev AS (SELECT DISTINCT sh, doc_id AS ev_doc FROM sh WHERE doc_id % 100 = 7),
+         |hits AS (SELECT s.doc_id, count(DISTINCT e.ev_doc) AS n_ev
+         |         FROM sh s JOIN ev e USING (sh) WHERE s.doc_id % 100 <> 7 GROUP BY 1)
+         |SELECT d.lang, count(*) AS n_train,
+         |  CAST(SUM(CASE WHEN h.n_ev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(SUM(coalesce(h.n_ev, 0)) AS BIGINT) AS n_eval_links
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 100 <> 7
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val t = toks(spark, dir)
+      val sh = shingleRows(t, 8)
+      val isEval = col("doc_id") % 100 === 7
+      val evalSh = sh.filter(isEval)
+        .select(col("sh"), col("doc_id").as("ev_doc")).distinct()
+      val hits = sh.filter(!isEval)
+        .join(broadcast(evalSh), "sh")
+        .groupBy("doc_id").agg(countDistinct("ev_doc").as("n_ev"))
+      t.filter(!isEval).select("doc_id", "lang")
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_train"),
+          sum(when(col("n_ev").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+          sum(coalesce(col("n_ev"), lit(0L))).as("n_eval_links"))
+        .orderBy("lang")
+    },
+
+    // X23 — denylist scrubbing: replace blocked terms with a redaction
+    // marker and report the damage per language (docs touched, total
+    // redactions, post-scrub character volume). The term list is a
+    // 2-entry stand-in for a real blocklist (LDNOOBW-style); the regex
+    // (\b word-boundary alternation) runs identically under Java regex
+    // and DuckDB's RE2. Pure per-row map + one small rollup — linear at
+    // any scale, no shuffle before the 5-group aggregate.
+    Q(
+      "x23_blocklist_scrub",
+      """WITH s AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '\b(customer|merge)\b')) AS BIGINT) AS n_red,
+        |    CAST(length(regexp_replace(text, '\b(customer|merge)\b', '<BLOCKED>', 'g')) AS BIGINT) AS sc_len
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_red > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+        |  CAST(SUM(n_red) AS BIGINT) AS total_redactions,
+        |  CAST(SUM(sc_len) AS BIGINT) AS scrubbed_chars
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val pat = "\\b(customer|merge)\\b"
+      Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("lang"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_red"),
+          length(regexp_replace(col("text"), pat, "<BLOCKED>")).cast("long").as("sc_len"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_red") > 0, 1L).otherwise(0L)).as("docs_affected"),
+          sum("n_red").as("total_redactions"),
+          sum("sc_len").as("scrubbed_chars"))
+        .orderBy("lang")
+    },
+
+    // X24 — incremental snapshot dedup: a new crawl batch (doc_id % 4
+    // == 3, a deterministic 25% slice standing in for "today's crawl")
+    // lands against the existing corpus; report per language how many
+    // incoming docs are exact duplicates of the base (sha-256 semi-join
+    // on the hash, never the text) and how many are NEAR-duplicates of
+    // a base doc (>= 14/16 minhash agreement — l2's gate, candidates
+    // from the same lossless band-pair keys, so the cross-snapshot
+    // check inherits the bucketed, never-all-pairs shape). This is the
+    // daily-ingest shape of dedup: the base side at 100 TB is a hash
+    // index, not a text store, and the incoming batch is the small
+    // side of both joins.
+    Q(
+      "x24_snapshot_dedup",
+      s"""${MinHash.oracleSig(5)},
+         |${DedupQueries.agreeSql},
+         |near AS (SELECT DISTINCT CASE WHEN d1 % 4 = 3 THEN d1 ELSE d2 END AS doc_id
+         |         FROM agree WHERE matches >= 14 AND ((d1 % 4 = 3) <> (d2 % 4 = 3))),
+         |b AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 <> 3),
+         |nw AS (SELECT doc_id, lang, sha256(text) AS h FROM documents WHERE doc_id % 4 = 3)
+         |SELECT lang, count(*) AS n_new,
+         |  CAST(SUM(CASE WHEN h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
+         |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val isBatch = col("doc_id") % 4 === 3
+      val hashed = Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"))
+      val baseH = hashed.filter(!isBatch).select("h").distinct()
+      val batch = hashed.filter(isBatch)
+      val exact = batch.join(baseH, Seq("h"), "left_semi")
+        .select(col("doc_id")).withColumn("is_exact", lit(1L))
+      val nearIds = DedupQueries.minhashPairs(spark, dir)
+        .filter((col("d1") % 4 === 3) =!= (col("d2") % 4 === 3))
+        .select(when(col("d1") % 4 === 3, col("d1")).otherwise(col("d2")).as("doc_id"))
+        .distinct().withColumn("is_near", lit(1L))
+      batch.select("doc_id", "lang")
+        .join(exact, Seq("doc_id"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_new"),
+          sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+          sum(coalesce(col("is_near"), lit(0L))).as("n_neardup"))
+        .orderBy("lang")
+    },
+
+    // X25 — repetition filter (Gopher-style rep signal): per-document
+    // duplicate word-3-gram fraction, scaled to integer ten-thousandths
+    // (exact on both engines — no float division), worst 50 documents.
+    // A high ratio marks boilerplate/template text that survives exact
+    // dedup. Row-local array work only; the only shuffle is the top-50
+    // TakeOrdered, which reduces map-side at any scale.
+    Q(
+      "x25_repetition_filter",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks) - 2)] AS g3
+         |      FROM t WHERE len(toks) >= 3),
+         |r AS (SELECT doc_id, CAST(len(g3) AS BIGINT) AS n3,
+         |        CAST(len(list_distinct(g3)) AS BIGINT) AS d3 FROM g)
+         |SELECT doc_id, n3, d3, (n3 - d3) * 10000 // n3 AS rep_scaled
+         |FROM r ORDER BY rep_scaled DESC, doc_id LIMIT 50""".stripMargin
+    ) { (spark, dir) =>
+      toks(spark, dir)
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', slice(toks, i, 3)))").as("g3"))
+        .select(col("doc_id"), size(col("g3")).cast("long").as("n3"),
+          size(array_distinct(col("g3"))).cast("long").as("d3"))
+        .withColumn("rep_scaled", expr("(n3 - d3) * 10000 DIV n3"))
+        .orderBy(col("rep_scaled").desc, col("doc_id"))
+        .limit(50)
+    },
+
+    // X26 — sequential quality funnel: the per-stage drop report every
+    // curation pipeline prints (C4/Gopher style). Stages apply IN ORDER
+    // — a doc dropped by an earlier rule is not counted against later
+    // ones — so each row reads "of n_in docs reaching this stage,
+    // n_dropped fell here". All predicates are exact integer
+    // arithmetic (ratio thresholds as cross-multiplications, no float
+    // division). One linear scan, one 1-row aggregate, rows unpacked
+    // from it — no second pass over the data.
+    Q(
+      "x26_quality_funnel",
+      s"""WITH t AS (SELECT n_chars, $toksSql AS toks FROM documents),
+         |s AS (SELECT CAST(len(toks) AS BIGINT) AS n_tok,
+         |        CAST(n_chars AS BIGINT) AS nc,
+         |        CAST(len(list_distinct(toks)) AS BIGINT) AS d_tok,
+         |        CAST(len(list_filter(toks, x -> x IN ('a','the'))) AS BIGINT) AS stop_cnt
+         |      FROM t),
+         |f AS (SELECT n_tok < 20 AS f1,
+         |        (n_tok >= 20 AND nc > 400) AS f2,
+         |        (n_tok >= 20 AND nc <= 400 AND d_tok * 100 < 40 * n_tok) AS f3,
+         |        (n_tok >= 20 AND nc <= 400 AND d_tok * 100 >= 40 * n_tok
+         |         AND stop_cnt * 1000 < 20 * n_tok) AS f4
+         |      FROM s),
+         |a AS (SELECT count(*) AS n,
+         |        CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |        CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |        CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |        CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+         |      FROM f)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_no, 'too_short' AS stage, n AS n_in, s1 AS n_dropped FROM a
+         |  UNION ALL SELECT 2, 'too_long', n - s1, s2 FROM a
+         |  UNION ALL SELECT 3, 'low_diversity', n - s1 - s2, s3 FROM a
+         |  UNION ALL SELECT 4, 'low_stopword', n - s1 - s2 - s3, s4 FROM a
+         |  UNION ALL SELECT 5, 'survivors', n - s1 - s2 - s3 - s4, 0 FROM a)
+         |ORDER BY stage_no""".stripMargin
+    ) { (spark, dir) =>
+      val s = toks(spark, dir).select(
+        size(col("toks")).cast("long").as("n_tok"),
+        col("n_chars").cast("long").as("nc"),
+        size(array_distinct(col("toks"))).cast("long").as("d_tok"),
+        size(filter(col("toks"), (t: Column) => t === "a" || t === "the"))
+          .cast("long").as("stop_cnt"))
+      val pass1 = col("n_tok") >= 20
+      val pass2 = pass1 && col("nc") <= 400
+      val pass3 = pass2 && col("d_tok") * 100 >= col("n_tok") * 40
+      val a = s.agg(
+        count(lit(1)).as("n"),
+        sum(when(!pass1, 1L).otherwise(0L)).as("s1"),
+        sum(when(pass1 && col("nc") > 400, 1L).otherwise(0L)).as("s2"),
+        sum(when(pass2 && col("d_tok") * 100 < col("n_tok") * 40, 1L).otherwise(0L)).as("s3"),
+        sum(when(pass3 && col("stop_cnt") * 1000 < col("n_tok") * 20, 1L).otherwise(0L)).as("s4"))
+      a.selectExpr(
+        """stack(5,
+          |  1L, 'too_short',     n,                     s1,
+          |  2L, 'too_long',      n - s1,                s2,
+          |  3L, 'low_diversity', n - s1 - s2,           s3,
+          |  4L, 'low_stopword',  n - s1 - s2 - s3,      s4,
+          |  5L, 'survivors',     n - s1 - s2 - s3 - s4, 0L
+          |) AS (stage_no, stage, n_in, n_dropped)""".stripMargin)
+        .orderBy("stage_no")
+    }
+  )
+}

@@ -57,8 +57,9 @@ object DedupQueries {
   }
 
   /** Shared oracle CTE tail producing the l2 pair set: agree(d1, d2,
-    * matches) over the oracleSig(5) signatures. */
-  private val agreeSql =
+    * matches) over the oracleSig(5) signatures. Also used by x24's
+    * cross-snapshot near-dup oracle (CurationQueries). */
+  private[llm] val agreeSql =
     """agree AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS matches
       |  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
       |  GROUP BY 1, 2)""".stripMargin

@@ -162,7 +162,11 @@ object StreamingQueries {
       val mid = lit(new java.sql.Timestamp(midMs))
       // parquet chunks, not json: exact microsecond ts roundtrip and a
       // cheaper write — the arrival format a real feed would use.
-      events.filter(col("ts") < mid).write.mode("append").parquet(in)
+      // coalesce(4): a feed chunk is a handful of files, not one file
+      // per scan task (32 x ~100KB) — fewer file-source listings and
+      // per-file open costs in every micro-batch at zero parallelism
+      // loss for a 100k-row arrival chunk.
+      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
       // The stream runs on its own CHILD session (shared SparkContext
       // and extensions, isolated SQLConf): the state-store width is
       // frozen from spark.sql.shuffle.partitions at stream start, and
@@ -181,7 +185,7 @@ object StreamingQueries {
           .outputMode("append").start()
         try {
           q.processAllAvailable()
-          events.filter(col("ts") >= mid).write.mode("append").parquet(in)
+          events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
           q.processAllAvailable()
         } finally q.stop()
       } finally {
@@ -236,7 +240,7 @@ object StreamingQueries {
       val midMs = b.getTimestamp(0).getTime +
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
-      events.filter(col("ts") < mid).write.mode("append").parquet(in)
+      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
       // Child session with narrowed state width — see s5.
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -251,7 +255,7 @@ object StreamingQueries {
           .outputMode("append").start()
         try {
           q.processAllAvailable()
-          events.filter(col("ts") >= mid).write.mode("append").parquet(in)
+          events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
           q.processAllAvailable()
         } finally q.stop()
       } finally {

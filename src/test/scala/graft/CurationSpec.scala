@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the curation surface (CurationQueries) beyond the
+  * DuckDB hash gate: funnel conservation, split disjointness, and the
+  * repetition score's bounds. Runs at sf0.01 where every stage has
+  * nonzero flow.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("x26 funnel conserves flow: n_in(k+1) = n_in(k) - dropped(k), survivors drop 0") {
+    val rows = SparkEntry.queries("x26_quality_funnel")(spark, sf001)
+      .orderBy("stage_no").collect()
+    assert(rows.length == 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_in") - a.getAs[Long]("n_dropped"),
+        s"flow broken between ${a.getAs[String]("stage")} and ${b.getAs[String]("stage")}")
+    }
+    val last = rows.last
+    assert(last.getAs[String]("stage") == "survivors")
+    assert(last.getAs[Long]("n_dropped") == 0L)
+    assert(last.getAs[Long]("n_in") > 0L, "funnel dropped every document")
+  }
+
+  test("x25 repetition score is bounded and sorted") {
+    val rows = SparkEntry.queries("x25_repetition_filter")(spark, sf001).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val (n3, d3, rep) =
+        (r.getAs[Long]("n3"), r.getAs[Long]("d3"), r.getAs[Long]("rep_scaled"))
+      assert(d3 >= 1 && d3 <= n3)
+      assert(rep == (n3 - d3) * 10000 / n3)
+      assert(rep >= 0 && rep < 10000)
+    }
+    val reps = rows.map(_.getAs[Long]("rep_scaled")).toSeq
+    assert(reps == reps.sorted.reverse, "not sorted by rep_scaled desc")
+  }
+
+  test("x22 excludes the eval slice from training counts and finds the planted overlap") {
+    val rows = SparkEntry.queries("x22_decontaminate")(spark, sf001).collect()
+    val total = graft.core.Tables(spark, sf001, "documents").count()
+    val evalN = graft.core.Tables(spark, sf001, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 7).count()
+    val nTrain = rows.map(_.getAs[Long]("n_train")).sum
+    assert(nTrain == total - evalN, "train side must be corpus minus eval slice")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_train"))
+      assert(r.getAs[Long]("n_eval_links") >= r.getAs[Long]("n_contaminated"))
+    }
+    // The sf0.01 corpus has at least one near-dup cluster straddling the
+    // eval slice (verified against DuckDB); the check must not be blind.
+    assert(rows.map(_.getAs[Long]("n_contaminated")).sum >= 1L,
+      "decontamination found nothing — shingle join is broken")
+  }
+
+  test("x24 snapshot counts are consistent: dup counts bounded by batch size") {
+    val rows = SparkEntry.queries("x24_snapshot_dedup")(spark, sf001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact_dup") <= r.getAs[Long]("n_new"))
+      assert(r.getAs[Long]("n_neardup") <= r.getAs[Long]("n_new"))
+    }
+    assert(rows.map(_.getAs[Long]("n_neardup")).sum >= 1L,
+      "no cross-snapshot near-dups found — boundary filter is broken")
+  }
+
+  test("x23 scrubbing counts reconcile with the length delta") {
+    // Each redaction replaces 'customer' (8) or 'merge' (5) with
+    // '<BLOCKED>' (9): the per-lang char delta is bounded by the
+    // redaction count ((9-8)=+1 to (9-5)=+4 per redaction).
+    val rows = SparkEntry.queries("x23_blocklist_scrub")(spark, sf001).collect()
+    val docs = graft.core.Tables(spark, sf001, "documents")
+    import org.apache.spark.sql.functions._
+    val orig = docs.groupBy("lang").agg(sum(length(col("text"))).as("oc"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("oc")).toMap
+    rows.foreach { r =>
+      val delta = r.getAs[Long]("scrubbed_chars") - orig(r.getAs[String]("lang"))
+      val nRed = r.getAs[Long]("total_redactions")
+      assert(delta >= nRed && delta <= 4 * nRed,
+        s"char delta $delta inconsistent with $nRed redactions")
+    }
+  }
+}
