@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Every query generates fresh whole-stage-codegen classes; a long
+  // suite (69 queries x 4 runs) can fill the default 240 MB code cache
+  // mid-run, at which point the JIT disables itself and later queries
+  // run interpreted 3-4x slower (observed as a uniform ~5s x24 in one
+  // suite invocation vs ~1.3s in the next). Headroom makes the suite's
+  // tail measure the queries, not the JVM's code-cache eviction.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -33,6 +33,25 @@ object Bench {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** Cumulative JIT compilation time — a query whose runs stay slow
+    * while jit_ms stays flat is running interpreted (code cache full:
+    * the one JVM pathology that makes a whole suite tail uniformly
+    * 3-4x slower; build.sbt reserves 512 MB against it). */
+  private def jitMillis(): Long = {
+    val cb = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (cb != null && cb.isCompilationTimeMonitoringSupported)
+      cb.getTotalCompilationTime
+    else 0L
+  }
+
+  /** Current CodeHeap usage in MB across the segmented code cache. */
+  private def codeCacheMb(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum / (1024 * 1024)
+  }
+
   /** Median with the even-N case averaged (ADVICE r4: upper-middle
     * sample is not the median for even SPARK_GRAFT_BENCH_RUNS). */
   private def median(ts: Array[Double]): Double = {
@@ -93,6 +112,7 @@ object Bench {
         }
       }
       val gc0 = gcMillis()
+      val jit0 = jitMillis()
       val ts: Array[Double] =
         if (once() < 0) Array.empty
         else {
@@ -102,6 +122,8 @@ object Bench {
       val m = if (ts.isEmpty) -1.0 else median(ts)
       val diag =
         s"""{"gc_ms":${gcMillis() - gc0},""" +
+          s""""jit_ms":${jitMillis() - jit0},""" +
+          s""""codecache_mb":${codeCacheMb()},""" +
           s""""fence_s":${fences.map(f => f"$f%.3f").mkString("[", ",", "]")},""" +
           s""""runs":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
       (m, diag)

@@ -41,6 +41,24 @@ object CacheScope {
     df
   }
 
+  /** `cache` + materialize NOW (one cheap count over the persisted
+    * plan) so every cache block exists before the caller's plan fans
+    * out. A lazily-persisted intermediate that feeds k parallel plan
+    * branches is a scheduling RACE: AQE submits the independent leaf
+    * stages together, each computes the expensive scan redundantly
+    * (first-writer wins the block), and the query runs ~k/P slower —
+    * observed as whole-suite bimodality (x24 at 1.3s or 4.1s on
+    * identical code; the event log shows five concurrent 32-task
+    * stages each paying the signature scan). Eager materialization
+    * costs one extra job submission on a small cached table and makes
+    * the fan-out deterministic. Use for any intermediate consumed by
+    * more than one branch of the SAME query plan. */
+  def cacheEager(df: DataFrame): DataFrame = {
+    val cached = cache(df)
+    cached.count()
+    cached
+  }
+
   /** Register an arbitrary release action (e.g. an RDD unpersist) with
     * the enclosing scope; no-op when no scope is active. */
   def release(f: () => Unit): Unit = {

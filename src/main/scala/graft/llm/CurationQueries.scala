@@ -124,12 +124,14 @@ object CurationQueries {
     // lands against the existing corpus; report per language how many
     // incoming docs are exact duplicates of the base (sha-256 semi-join
     // on the hash, never the text) and how many are NEAR-duplicates of
-    // a base doc (>= 14/16 minhash agreement — l2's gate, candidates
-    // from the same lossless band-pair keys, so the cross-snapshot
-    // check inherits the bucketed, never-all-pairs shape). This is the
-    // daily-ingest shape of dedup: the base side at 100 TB is a hash
-    // index, not a text store, and the incoming batch is the small
-    // side of both joins.
+    // a base doc (>= 14/16 minhash agreement — l2's gate and the same
+    // lossless band-pair keys). Candidate generation is ASYMMETRIC:
+    // batch-side band keys join base-side band keys, so within-base
+    // pairs — the overwhelming majority, and pure waste for an
+    // incremental check — are never formed. This is the daily-ingest
+    // shape of dedup: the base side at 100 TB is a signature/hash
+    // index, not a text store, and cost scales with the incoming
+    // batch, not the corpus.
     Q(
       "x24_snapshot_dedup",
       s"""${MinHash.oracleSig(5)},
@@ -150,9 +152,27 @@ object CurationQueries {
       val batch = hashed.filter(isBatch)
       val exact = batch.join(baseH, Seq("h"), "left_semi")
         .select(col("doc_id")).withColumn("is_exact", lit(1L))
-      val nearIds = DedupQueries.minhashPairs(spark, dir)
-        .filter((col("d1") % 4 === 3) =!= (col("d2") % 4 === 3))
-        .select(when(col("d1") % 4 === 3, col("d1")).otherwise(col("d2")).as("doc_id"))
+      // Near-dup: one cached signature scan (shared shape with l2),
+      // asymmetric band-pair candidates, 16-column verify on the
+      // crossing pairs only.
+      val sig = graft.core.CacheScope.cacheEager(MinHash.signaturesFromSets(
+        MinHash.shingleSets(MinHash.docs(spark, dir), 5).filter(col("c") > 0)))
+      val keys = MinHash.bandPairKeys(sig)
+      val cand = keys.filter(col("doc_id") % 4 === 3).toDF("d_new", "bp", "k")
+        .join(keys.filter(col("doc_id") % 4 =!= 3).toDF("d_base", "bp2", "k2"),
+          col("bp") === col("bp2") && col("k") === col("k2"))
+        .select("d_new", "d_base").distinct()
+      val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
+      val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
+      val matches = (0 until 16)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val nearIds = cand
+        .join(s1, col("d_new") === col("s1_doc"))
+        .join(s2, col("d_base") === col("s2_doc"))
+        .select(col("d_new"), matches.as("matches"))
+        .filter(col("matches") >= 14)
+        .select(col("d_new").as("doc_id"))
         .distinct().withColumn("is_near", lit(1L))
       batch.select("doc_id", "lang")
         .join(exact, Seq("doc_id"), "left")

@@ -41,7 +41,7 @@ object DedupQueries {
     // set → all-NULL signatures → one shared empty band key, which
     // would pair every such doc with every other (a k^2 skew bomb on
     // real crawl data). The oracle's sig CTE omits them identically.
-    val sig = CacheScope.cache(MinHash.signaturesFromSets(
+    val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(
       MinHash.shingleSets(MinHash.docs(spark, dir), 5).filter(col("c") > 0)))
     val cand = MinHash.candidatesPaired(sig)
     val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
@@ -127,7 +127,7 @@ object DedupQueries {
       // DedupSpec asserts equality against the declarative
       // pipeline). isNotNull mirrors token-less docs never reaching
       // the aggregation in the declarative form.
-      val sh = CacheScope.cache(Tables.fanOut(Tables(spark, dir, "documents"))
+      val sh = CacheScope.cacheEager(Tables.fanOut(Tables(spark, dir, "documents"))
         .select(col("doc_id"),
           graft.functions.ShingleExpressions.simhash32(lower(col("text"))).as("simhash"))
         .filter(col("simhash").isNotNull))
@@ -184,7 +184,7 @@ object DedupQueries {
       // filter(c > 0) mirrors the oracle's sig CTE (no rows for docs
       // shorter than the gram) and prevents an all-empty-doc band
       // bucket from going quadratic — see minhashPairs.
-      val shArr = CacheScope.cache(
+      val shArr = CacheScope.cacheEager(
         MinHash.shingleSets(MinHash.docs(spark, dir), 9).filter(col("c") > 0))
       val sig = MinHash.signaturesFromSets(shArr)
       val cand = MinHash.candidates(sig)
@@ -223,7 +223,7 @@ object DedupQueries {
         |    ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 1) p
         |WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin
     ) { (spark, dir) =>
-      val e = CacheScope.cache(Tables.fanOut(Tables(spark, dir, "embeddings"))
+      val e = CacheScope.cacheEager(Tables.fanOut(Tables(spark, dir, "embeddings"))
         .select(col("vec_id"), vecD(col("embedding")).as("v"))
         .withColumn("nrm", l2norm(col("v")))
         .withColumn("sig", SimilarityQueries.lshSig(col("v"))))
@@ -307,7 +307,7 @@ object DedupQueries {
             .as("text"))
         val sets = CacheScope.cache(
           MinHash.shingleSets(Tables.fanOut(docsDf), 9).filter(col("c") > 0))
-        val sig = CacheScope.cache(MinHash.signaturesFromSets(sets))
+        val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(sets))
         val cand = MinHash.candidatesPaired(sig)
         val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
         val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)

@@ -121,19 +121,28 @@ object MinHash {
     * (max bucket 111) — the difference between a quadratic blowup and
     * a linear-ish candidate set at scale. */
   def candidatesPaired(sig: DataFrame): DataFrame = {
+    val rows = bandPairKeys(sig)
+    val b1 = rows.toDF("d1", "bp", "k")
+    val b2 = rows.toDF("d2", "bp2", "k2")
+    b1.join(b2, col("bp") === col("bp2") && col("k") === col("k2") && col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** The C(4,2) = 6 compound band-pair keys per doc: (doc_id, bp, k).
+    * `candidatesPaired` self-joins these; asymmetric consumers (x24's
+    * incremental batch-vs-base dedup) join a filtered slice against
+    * another, which keeps candidate generation proportional to the
+    * small side instead of paying for every within-base pair. */
+  def bandPairKeys(sig: DataFrame): DataFrame = {
     val withBk = sig.select(col("doc_id") +: (0 until 4).map { b =>
       concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*).as(s"bk$b")
     }: _*)
     val pairKeys = for { i <- 0 until 4; j <- (i + 1) until 4 } yield
       struct(lit(4 * i + j).as("bp"),
         concat_ws("|", col(s"bk$i"), col(s"bk$j")).as("k"))
-    val rows = withBk
+    withBk
       .select(col("doc_id"), explode(array(pairKeys: _*)).as("e"))
       .select(col("doc_id"), col("e.bp").as("bp"), col("e.k").as("k"))
-    val b1 = rows.toDF("d1", "bp", "k")
-    val b2 = rows.toDF("d2", "bp2", "k2")
-    b1.join(b2, col("bp") === col("bp2") && col("k") === col("k2") && col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
   }
 
   def docs(spark: SparkSession, dir: String): DataFrame =

@@ -33,7 +33,7 @@ def run_verify():
     for p in ADD_OPENS:
         cmd += ["--add-opens", p + "=ALL-UNNAMED"]
     cmd += [
-        "-Xmx8g", "-Dspark.ui.enabled=false",
+        "-Xmx8g", "-XX:ReservedCodeCacheSize=512m", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
         "-cp", "target/scala-2.13/classes:/opt/spark/jars/*",
         "graft.Verify", SFDIR, OUT,
