@@ -52,6 +52,22 @@ object Bench {
       .map(_.getUsage.getUsed).sum / (1024 * 1024)
   }
 
+  /** Cumulative count of SYNCHRONOUS Janino whole-stage-codegen
+    * compilations (CodegenMetrics). Unlike HotSpot JIT (async), each of
+    * these blocks the calling thread ~tens of ms; a query whose every
+    * run shows dozens of fresh compiles is missing the generated-class
+    * cache — the remaining suspect for residual in-suite bimodality. */
+  private def janinoCompiles(): Long =
+    org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+
+  /** Approximate cumulative Janino compile ms (reservoir mean x count —
+    * the count delta is the reliable signal; this is corroboration). */
+  private def janinoMillis(): Long = {
+    val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+    (h.getSnapshot.getMean * h.getCount).toLong
+  }
+
   /** Median with the even-N case averaged (ADVICE r4: upper-middle
     * sample is not the median for even SPARK_GRAFT_BENCH_RUNS). */
   private def median(ts: Array[Double]): Double = {
@@ -113,6 +129,8 @@ object Bench {
       }
       val gc0 = gcMillis()
       val jit0 = jitMillis()
+      val jan0 = janinoCompiles()
+      val janMs0 = janinoMillis()
       val ts: Array[Double] =
         if (once() < 0) Array.empty
         else {
@@ -123,6 +141,8 @@ object Bench {
       val diag =
         s"""{"gc_ms":${gcMillis() - gc0},""" +
           s""""jit_ms":${jitMillis() - jit0},""" +
+          s""""janino_n":${janinoCompiles() - jan0},""" +
+          s""""janino_ms":${janinoMillis() - janMs0},""" +
           s""""codecache_mb":${codeCacheMb()},""" +
           s""""fence_s":${fences.map(f => f"$f%.3f").mkString("[", ",", "]")},""" +
           s""""runs":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""

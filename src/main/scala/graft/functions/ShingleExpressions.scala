@@ -159,6 +159,91 @@ object SimHash32 {
   }
 }
 
+/** Native 16-lane MinHash signature of a shingle-hash array: one pass
+  * over the array computing all 16 `min((h mod P) * a_i + b_i mod P)`
+  * lanes — bit-identical to the declarative
+  * `array_min(transform(hs, h -> ...))` fold per seed.
+  *
+  * WHY NATIVE (measured, round 5): higher-order functions like
+  * `transform` never participate in whole-stage codegen — they run on
+  * Spark's interpreted Expression.eval path, whose SHARED dispatch
+  * sites (ArrayTransform.eval calling an arbitrary lambda) go
+  * megamorphic as a long-lived JVM evaluates many distinct lambdas.
+  * Once HotSpot deoptimizes those paths, the SAME 16-fold projection
+  * that costs ~15 CPU-s early in a bench suite costs ~78 CPU-s late in
+  * it (event-log stage profile, BASELINE.md round-5 notes) — a 5x
+  * bimodality no amount of cache hygiene fixes. A codegen'd single
+  * pass is immune to interpreter-profile pollution, touches each
+  * element once instead of 16 times, and allocates one result array
+  * per row. NULL for an empty set — matching `array_min(transform([]))`
+  * = null per lane (`element_at` on a null array is null per lane).
+  */
+case class MinHashSigs(child: Expression) extends UnaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sigs requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("boxed")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |Object $boxed = graft.functions.MinHashSigs.compute($c);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $boxed; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  val P = 2147483647L
+
+  /** The canonical 16 deterministic (a, b) seed pairs — small primes,
+    * literal, never random (FIXTURES.md determinism contract). Owned
+    * here so the native expression, the DataFrame pipeline
+    * (graft.llm.MinHash.seeds) and the oracle SQL all read one list. */
+  val SEEDS: Seq[(Long, Long)] = Seq(
+    (10007L, 3L), (10037L, 7L), (10039L, 11L), (10061L, 13L),
+    (10067L, 17L), (10069L, 19L), (10079L, 23L), (10091L, 29L),
+    (10093L, 31L), (10099L, 37L), (10103L, 41L), (10111L, 43L),
+    (10133L, 47L), (10139L, 53L), (10141L, 59L), (10151L, 61L))
+
+  private val A = SEEDS.map(_._1).toArray
+  private val B = SEEDS.map(_._2).toArray
+
+  /** Returns null for an empty array (no shingles → no signature);
+    * headroom: h mod P < 2^31, * a < 2^45, + b — no overflow. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(16)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hm = arr.getLong(i) % P
+      var j = 0
+      while (j < 16) {
+        val v = (hm * A(j) + B(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
 object ShingleExpressions {
   /** Sorted distinct n-gram shingle-hash array of a string column. */
   def shingleSet(text: Column, n: Int): Column =
@@ -167,4 +252,8 @@ object ShingleExpressions {
   /** Native 32-bit simhash of a (pre-lowercased) string column. */
   def simhash32(text: Column): Column =
     Bridge.column(SimHash32(Bridge.expression(text)))
+
+  /** 16-lane minhash signature array of a shingle-hash array column. */
+  def minhashSigs(hs: Column): Column =
+    Bridge.column(MinHashSigs(Bridge.expression(hs)))
 }

@@ -130,6 +130,50 @@ object ChunkingQueries {
         .orderBy("lang")
     },
 
+    // X27 — exact-quota balanced mix: downsample EVERY language to the
+    // minority language's document count, selecting each stratum's
+    // members by portable-hash rank (order by hashed id, tie by id) —
+    // the exact-count counterpart to x19's rate-based rebalancing.
+    // Rate sampling only hits a quota in expectation; a training-mix
+    // spec ("exactly equal parts per language") needs rank selection.
+    // The quota m is computed in-plan (min over per-lang counts, one
+    // tiny broadcast row — no driver round-trip). SCALE NOTE: the
+    // per-lang window serializes each stratum through one task, fine
+    // while #strata is small and strata fit a partition; at 100 TB the
+    // same selection is done by finding the m-th order statistic of
+    // the hash per stratum (distributed select) and filtering below
+    // it — identical output, no global sort. Fourth salt, decorrelated
+    // from x11/x18/x19.
+    Q(
+      "x27_balanced_mix",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS m FROM c),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 3266489917) % 1000003, doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM r, m WHERE rk <= m GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir, "documents")
+      val m = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min("n").as("m"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy((col("doc_id") * 3266489917L % 1000003L).asc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(m))
+        .filter(col("rk") <= col("m"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("lang")
+    },
+
     // X15 — training-sequence packing: documents pack, in doc_id order
     // within each language, into fixed 2048-token sequences by running
     // token count — the "sample packing" step between a tokenized

@@ -33,12 +33,10 @@ object MinHash {
 
   val P = 2147483647L
 
-  /** 16 fixed (a, b) seed pairs — small primes; literal, never random. */
-  val seeds: Seq[(Long, Long)] = Seq(
-    (10007L, 3L), (10037L, 7L), (10039L, 11L), (10061L, 13L),
-    (10067L, 17L), (10069L, 19L), (10079L, 23L), (10091L, 29L),
-    (10093L, 31L), (10099L, 37L), (10103L, 41L), (10111L, 43L),
-    (10133L, 47L), (10139L, 53L), (10141L, 59L), (10151L, 61L))
+  /** 16 fixed (a, b) seed pairs — small primes; literal, never random.
+    * Canonically owned by the native expression (one list feeds the
+    * codegen'd path, this pipeline, and the oracle SQL). */
+  val seeds: Seq[(Long, Long)] = graft.functions.MinHashSigs.SEEDS
 
   /** Base-31 polynomial hash of an n-char shingle column (n <= 12 keeps
     * the fold inside int64: 255 * 31^11 < 2^63). */
@@ -81,10 +79,22 @@ object MinHash {
 
   /** Wide signature derived from the per-doc shingle-set arrays —
     * identical bits to `signatures` (min over a set equals min over the
-    * multiset), but computed by a per-row array fold instead of a
-    * second pass over exploded rows:
-    * mh_i = array_min(transform(hs, h -> (a_i*(h mod P)+b_i) mod P)). */
-  def signaturesFromSets(sets: DataFrame): DataFrame = {
+    * multiset), computed by the native `MinHashSigs` expression: ONE
+    * codegen'd pass over the array produces all 16 lanes. History: the
+    * first form here was 16 `array_min(transform(...))` folds — HOFs
+    * that never codegen and whose shared interpreted-eval dispatch
+    * goes megamorphic in a long-lived JVM, making the same projection
+    * 5x slower late in a bench suite than early (round-5 event-log
+    * profile; MinHashSigsSpec pins bit parity against that fold). */
+  def signaturesFromSets(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"),
+        graft.functions.ShingleExpressions.minhashSigs(col("hs")).as("sigs"))
+      .select(col("doc_id") +:
+        (0 until 16).map(i => col("sigs").getItem(i).as(s"mh$i")): _*)
+
+  /** The retired declarative spelling of `signaturesFromSets`, kept as
+    * the executable parity oracle for the native expression. */
+  private[graft] def signaturesFromSetsHof(sets: DataFrame): DataFrame = {
     def mh(a: Long, b: Long) =
       array_min(transform(col("hs"), h => ((h % P) * a + b) % P))
     sets.select(col("doc_id") +:

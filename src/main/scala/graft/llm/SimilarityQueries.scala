@@ -22,10 +22,14 @@ object SimilarityQueries {
 
   /** LSH signature column for a 64-dim array<double> column (shared with
     * DedupQueries.x3, which buckets near-dup candidates on the same
-    * deterministic planes). */
+    * deterministic planes). Each plane projection runs through the
+    * native in-order DotProduct expression — same bits as the
+    * aggregate(zip_with(...)) fold it replaces (both sum in index
+    * order), but codegen'd: HOFs evaluate on the shared interpreted
+    * path, which degrades in long-lived JVMs (see MinHashSigs). */
   private[llm] def lshSig(v: Column): Column =
     (0 until 8).map { p =>
-      val dp = aggregate(zip_with(v, typedLit(planes(p)), (x, w) => x * w), lit(0.0), (s, x) => s + x)
+      val dp = graft.core.Cols.dot(v, typedLit(planes(p)))
       when(dp > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
 

@@ -65,6 +65,16 @@ class CurationSpec extends AnyFunSuite {
       "no cross-snapshot near-dups found — boundary filter is broken")
   }
 
+  test("x27 balanced mix hits the exact quota in every language") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x27_balanced_mix")(spark, sf001).collect()
+    val m = graft.core.Tables(spark, sf001, "documents")
+      .groupBy("lang").count().agg(min("count")).head().getLong(0)
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") == m,
+      s"${r.getAs[String]("lang")} quota ${r.getAs[Long]("n_docs")} != $m"))
+  }
+
   test("x23 scrubbing counts reconcile with the length delta") {
     // Each redaction replaces 'customer' (8) or 'merge' (5) with
     // '<BLOCKED>' (9): the per-lang char delta is bounded by the

@@ -1,0 +1,48 @@
+package graft
+
+import graft.llm.MinHash
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit parity of the native MinHashSigs expression against the retired
+  * declarative 16-fold spelling (array_min over transform per seed),
+  * including the empty-set null contract. The native form exists
+  * because HOFs never codegen and their shared interpreted-eval paths
+  * degrade in long-lived JVMs (BASELINE.md round-5 notes).
+  */
+class MinHashSigsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("native signatures equal the declarative fold on the corpus") {
+    for (gram <- Seq(5, 9)) {
+      val sets = MinHash.shingleSets(MinHash.docs(spark, sf001), gram)
+        .filter(col("c") > 0)
+      val native = MinHash.signaturesFromSets(sets).orderBy("doc_id").collect()
+      val hof = MinHash.signaturesFromSetsHof(sets).orderBy("doc_id").collect()
+      assert(native.length == hof.length && native.length > 0)
+      assert(native.map(_.toString).toSeq == hof.map(_.toString).toSeq,
+        s"native/declarative signature mismatch at gram=$gram")
+    }
+  }
+
+  test("empty shingle set yields null lanes in both spellings") {
+    val sp = spark
+    import sp.implicits._
+    val sets = Seq((1L, Seq.empty[Long], 0L), (2L, Seq(7L, 9L), 2L))
+      .toDF("doc_id", "hs", "c")
+    val native = MinHash.signaturesFromSets(sets).orderBy("doc_id").collect()
+    val hof = MinHash.signaturesFromSetsHof(sets).orderBy("doc_id").collect()
+    assert(native.map(_.toString).toSeq == hof.map(_.toString).toSeq)
+    assert(native.head.isNullAt(1), "empty set must produce null mh0")
+    assert(!native.last.isNullAt(1))
+  }
+
+  test("plan evaluates the native expression once, not 16 times") {
+    val sets = MinHash.shingleSets(MinHash.docs(spark, sf0001), 5)
+      .filter(col("c") > 0)
+    val plan = MinHash.signaturesFromSets(sets)
+      .queryExecution.optimizedPlan.toString
+    val evals = "graft_minhash_sigs".r.findAllIn(plan).length
+    assert(evals == 1, s"expected 1 graft_minhash_sigs in plan, found $evals")
+  }
+}
