@@ -35,8 +35,17 @@ object Cols {
 
   /** Whitespace tokens of lowercased text, empty tokens dropped.
     * Matches reference tokenization word_count.rs:99-103 modulo the
-    * `,`/`.` strip which WC1 applies separately. */
+    * `,`/`.` strip which WC1 applies separately. Native codegen
+    * tokenizer (graft.functions.WsTokens) — bit-identical to the
+    * retired `filter(split(lower(text), "\\s+"), t => t =!= "")`
+    * spelling (WsTokensSpec), which as a higher-order function ran on
+    * the interpreted eval path that round 5 measured degrading 5x in
+    * long-lived JVMs. */
   def wsTokens(text: Column): Column =
+    graft.functions.ShingleExpressions.wsTokens(lower(text))
+
+  /** The retired HOF spelling, kept as the parity oracle. */
+  private[graft] def wsTokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** Cast array<float> to array<double> — widening is exact on both

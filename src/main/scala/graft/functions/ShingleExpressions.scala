@@ -244,10 +244,70 @@ object MinHashSigs {
   }
 }
 
+/** Native whitespace tokenizer: the array of maximal runs of
+  * non-whitespace characters — bit-identical to the declarative
+  * `filter(split(s, "\\s+"), t -> t <> '')` (Java regex `\s` is the
+  * six ASCII whitespace chars unless UNICODE_CHARACTER_CLASS is set,
+  * so a run of non-ASCII whitespace like U+00A0 is part of a token in
+  * both spellings — WsTokensSpec pins this).
+  *
+  * WHY NATIVE: `filter` is a higher-order function, so the declarative
+  * spelling runs on the shared interpreted eval dispatch that round 5
+  * measured degrading 5x in long-lived JVMs (see MinHashSigs). The
+  * tokenizer feeds TEN gated queries (l4/x4/x5/x6/x14/x17/x20/x22/
+  * x25/x26) — the widest single interpreted surface in the engine —
+  * and the native form also skips the regex machinery and the
+  * intermediate empty-string entries entirely.
+  */
+case class WsTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_ws_tokens requires a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ws_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    WsTokens.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WsTokens.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WsTokens =
+    copy(child = newChild)
+}
+
+object WsTokens {
+  /** Java regex \s without UNICODE_CHARACTER_CLASS: exactly these six. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(str.charAt(i))) i += 1
+      if (i > start) out += UTF8String.fromString(str.substring(start, i))
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object ShingleExpressions {
   /** Sorted distinct n-gram shingle-hash array of a string column. */
   def shingleSet(text: Column, n: Int): Column =
     Bridge.column(ShingleHashSet(Bridge.expression(text), n))
+
+  /** Whitespace tokens (maximal non-\s runs) of a string column. */
+  def wsTokens(text: Column): Column =
+    Bridge.column(WsTokens(Bridge.expression(text)))
 
   /** Native 32-bit simhash of a (pre-lowercased) string column. */
   def simhash32(text: Column): Column =

@@ -37,6 +37,28 @@ class MinHashSigsSpec extends AnyFunSuite {
     assert(!native.last.isNullAt(1))
   }
 
+  test("native lanes equal a scala reference fold on random hash arrays (seeded property)") {
+    // Covers the full value domain the expression can see, not just the
+    // corpus: shingle hashes are nonneg int64 folds up to ~2^45, plus
+    // boundary values. Reference = the same arithmetic evaluated
+    // independently in plain Scala.
+    val P = 2147483647L
+    val seeds = graft.functions.MinHashSigs.SEEDS
+    val rnd = new scala.util.Random(431)
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(60)
+      val hs = Array.fill(n)(rnd.nextLong(1L << 45)) ++
+        Seq(0L, P - 1, P, 1L << 45).take(rnd.nextInt(4))
+      val expect = seeds.map { case (a, b) =>
+        hs.map(h => ((h % P) * a + b) % P).min
+      }
+      val got = graft.functions.MinHashSigs
+        .compute(new org.apache.spark.sql.catalyst.util.GenericArrayData(hs))
+        .toLongArray().toSeq
+      assert(got == expect, s"lane mismatch for n=$n")
+    }
+  }
+
   test("plan evaluates the native expression once, not 16 times") {
     val sets = MinHash.shingleSets(MinHash.docs(spark, sf0001), 5)
       .filter(col("c") > 0)
