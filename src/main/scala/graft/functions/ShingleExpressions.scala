@@ -300,10 +300,73 @@ object WsTokens {
   }
 }
 
+/** Native token n-grams: the array of space-joined runs of n adjacent
+  * tokens — bit-identical to the declarative
+  * `transform(sequence(1, size(toks)-n+1), i -> concat_ws(' ',
+  * slice(toks, i, n)))` whenever size(toks) >= n. For shorter inputs
+  * this returns the EMPTY array, where the unguarded declarative form
+  * would feed a DESCENDING `sequence(1, 0)` into slice; every caller
+  * guards `size >= n`, and TokenNgramsSpec pins both facts.
+  *
+  * WHY NATIVE: the transform+slice+concat_ws lambda chain is the
+  * dominant per-row cost of the n-gram queries (x20 bigrams, x22
+  * decontamination 8-grams, x25 repetition 3-grams) and runs on the
+  * interpreted HOF path that round 5 measured degrading 5x in
+  * long-lived JVMs (see MinHashSigs). One pass, one UTF8String concat
+  * per position, inside whole-stage codegen.
+  */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram length must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_ngrams requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenNgrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+}
+
+object TokenNgrams {
+  private val SEP = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    val m = sz - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[UTF8String](sz)
+    var i = 0
+    while (i < sz) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](m)
+    val parts = new Array[UTF8String](n)
+    var p = 0
+    while (p < m) {
+      System.arraycopy(toks, p, parts, 0, n)
+      out(p) = UTF8String.concatWs(SEP, parts: _*)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object ShingleExpressions {
   /** Sorted distinct n-gram shingle-hash array of a string column. */
   def shingleSet(text: Column, n: Int): Column =
     Bridge.column(ShingleHashSet(Bridge.expression(text), n))
+
+  /** Space-joined n-grams of adjacent tokens of an array<string> column. */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    Bridge.column(TokenNgrams(Bridge.expression(toks), n))
 
   /** Whitespace tokens (maximal non-\s runs) of a string column. */
   def wsTokens(text: Column): Column =

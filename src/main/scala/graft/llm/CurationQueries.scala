@@ -33,12 +33,12 @@ object CurationQueries {
         wsTokens(col("text")).as("toks"))
 
   /** n-token shingle strings of a `toks` array column, one row per
-    * shingle position (docs shorter than n emit nothing). */
+    * shingle position (docs shorter than n emit nothing). Native
+    * TokenNgrams expression — codegen'd, not an interpreted HOF. */
   private def shingleRows(t: DataFrame, n: Int): DataFrame =
     t.filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleExpressions.tokenNgrams(col("toks"), n)).as("sh"))
 
   val all: Seq[Q] = Seq(
 
@@ -203,9 +203,8 @@ object CurationQueries {
     ) { (spark, dir) =>
       toks(spark, dir)
         .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), expr(
-          "transform(sequence(1, size(toks) - 2), " +
-            "i -> concat_ws(' ', slice(toks, i, 3)))").as("g3"))
+        .select(col("doc_id"),
+          graft.functions.ShingleExpressions.tokenNgrams(col("toks"), 3).as("g3"))
         .select(col("doc_id"), size(col("g3")).cast("long").as("n3"),
           size(array_distinct(col("g3"))).cast("long").as("d3"))
         .withColumn("rep_scaled", expr("(n3 - d3) * 10000 DIV n3"))

@@ -246,12 +246,11 @@ object TextQueries {
     ) { (spark, dir) =>
       val t = Tables.fanOut(Tables(spark, dir, "documents"))
         .select(wsTokens(col("text")).as("toks"))
-      // guard size >= 2: sequence(1, 0) would DESCEND ([1, 0]), not
-      // produce an empty list like DuckDB's generate_series
+      // guard size >= 2, mirroring the oracle's generate_series bound
+      // (the native TokenNgrams yields [] below n regardless)
       val bg = t.filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("bg"))
+        .select(explode(
+          graft.functions.ShingleExpressions.tokenNgrams(col("toks"), 2)).as("bg"))
       val cb = bg.groupBy("bg").agg(count(lit(1)).as("cnt_ab"))
       val tok = t.select(explode(col("toks")).as("t"))
       val cu = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
