@@ -184,6 +184,35 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // X28 — boilerplate n-gram mining: the 10-token spans shared by the
+    // most documents (document frequency >= 2) — how a pipeline finds
+    // template/boilerplate contamination that survives exact dedup
+    // (x25 scores repetition WITHIN a doc; this finds repetition
+    // ACROSS docs). Per-doc DISTINCT grams so a span repeating inside
+    // one doc counts once; native tokenizer + native n-gram builder,
+    // then one count aggregate and a top-20 TakeOrdered — map-side
+    // reducible at any scale. At 100 TB the gram strings would be
+    // hashed for the shuffle (cross-engine gate needs the strings).
+    Q(
+      "x28_boilerplate_ngrams",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+9], ' ') AS ng
+         |      FROM t, unnest(generate_series(1, len(toks) - 9)) u(i)
+         |      WHERE len(toks) >= 10),
+         |c AS (SELECT ng, count(*) AS df FROM g GROUP BY 1)
+         |SELECT ng, df FROM c WHERE df >= 2 ORDER BY df DESC, ng LIMIT 20""".stripMargin
+    ) { (spark, dir) =>
+      toks(spark, dir)
+        .filter(size(col("toks")) >= 10)
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleExpressions.tokenNgrams(col("toks"), 10)).as("ng"))
+        .distinct()
+        .groupBy("ng").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("ng"))
+        .limit(20)
+    },
+
     // X25 — repetition filter (Gopher-style rep signal): per-document
     // duplicate word-3-gram fraction, scaled to integer ten-thousandths
     // (exact on both engines — no float division), worst 50 documents.

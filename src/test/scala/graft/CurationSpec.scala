@@ -75,6 +75,18 @@ class CurationSpec extends AnyFunSuite {
       s"${r.getAs[String]("lang")} quota ${r.getAs[Long]("n_docs")} != $m"))
   }
 
+  test("x28 boilerplate grams are cross-document: df bounded by corpus, sorted, multi-doc only") {
+    val rows = SparkEntry.queries("x28_boilerplate_ngrams")(spark, sf001).collect()
+    val nDocs = graft.core.Tables(spark, sf001, "documents").count()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= 2 && r.getAs[Long]("df") <= nDocs)
+      assert(r.getAs[String]("ng").split(" ").length == 10)
+    }
+    val dfs = rows.map(_.getAs[Long]("df")).toSeq
+    assert(dfs == dfs.sorted.reverse, "not sorted by document frequency desc")
+  }
+
   test("x23 scrubbing counts reconcile with the length delta") {
     // Each redaction replaces 'customer' (8) or 'merge' (5) with
     // '<BLOCKED>' (9): the per-lang char delta is bounded by the
