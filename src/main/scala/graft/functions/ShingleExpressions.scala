@@ -177,6 +177,13 @@ object SimHash32 {
   * element once instead of 16 times, and allocates one result array
   * per row. NULL for an empty set — matching `array_min(transform([]))`
   * = null per lane (`element_at` on a null array is null per lane).
+  * NULL ELEMENTS are skipped (ADVICE r5): `transform` maps a null
+  * shingle hash to a null lane value and `array_min` skips nulls, so
+  * skipping the slot is the declarative semantics — previously
+  * `getLong` read such slots as 0 and silently diverged. An array with
+  * no non-null element behaves like the empty one (NULL signature —
+  * the one documented divergence from the declarative form, whose 16
+  * per-lane nulls can't live in this containsNull=false result).
   */
 case class MinHashSigs(child: Expression) extends UnaryExpression {
 
@@ -229,17 +236,22 @@ object MinHashSigs {
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(16)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < n) {
-      val hm = arr.getLong(i) % P
-      var j = 0
-      while (j < 16) {
-        val v = (hm * A(j) + B(j)) % P
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) {
+        any = true
+        val hm = arr.getLong(i) % P
+        var j = 0
+        while (j < 16) {
+          val v = (hm * A(j) + B(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
+    if (!any) return null
     new GenericArrayData(mins)
   }
 }

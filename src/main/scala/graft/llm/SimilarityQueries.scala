@@ -170,7 +170,12 @@ object SimilarityQueries {
     // chain of IEEE ops in fixed order with an order-independent max —
     // no floating-point SUM anywhere, so the oracle matches bit-for-bit.
     // At scale this is a pure map over the vectors: no shuffle, no
-    // state, codec parameters (mn, mx) ride with each row.
+    // state, codec parameters (mn, mx) ride with each row. The stats
+    // come from the native QuantizeStats expression (round 6) — the
+    // declarative aggregate(transform(...)) spelling was the last
+    // interpreted higher-order function on a gated hot path; the
+    // native form whole-stage-codegens and touches each element twice
+    // (min/max pass + quantize pass) with zero per-element allocation.
     Q(
       "x16_embedding_quantize",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -186,17 +191,10 @@ object SimilarityQueries {
     ) { (spark, dir) =>
       Tables.fanOut(Tables(spark, dir, "embeddings"))
         .select(col("vec_id"), vecD(col("embedding")).as("v"))
-        .withColumn("mn", array_min(col("v")))
-        .withColumn("mx", array_max(col("v")))
-        .withColumn("rng",
-          when(col("mx") === col("mn"), lit(1.0)).otherwise(col("mx") - col("mn")))
-        .select(col("vec_id"), col("mn"), col("mx"),
-          aggregate(
-            transform(col("v"), x => floor((x - col("mn")) / col("rng") * 255).cast("long")),
-            lit(0L), (s, x) => s + x).as("qsum"),
-          array_max(transform(col("v"), x =>
-            abs(x - (col("mn") + floor((x - col("mn")) / col("rng") * 255) * col("rng") / lit(255)))))
-            .as("max_err"))
+        .select(col("vec_id"),
+          graft.functions.VectorExpressions.quantizeStats(col("v")).as("qs"))
+        .select(col("vec_id"), col("qs.mn").as("mn"), col("qs.mx").as("mx"),
+          col("qs.qsum").as("qsum"), col("qs.max_err").as("max_err"))
         .orderBy("vec_id")
     }
   )
