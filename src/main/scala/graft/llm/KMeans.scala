@@ -1,0 +1,128 @@
+package graft.llm
+
+import graft.core.Cols
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-point Lloyd's k-means — the IVF codebook
+  * trainer x13's fixture stood in for ("at scale the codebook comes
+  * from a k-means training job", round-5 VERDICT task 2).
+  *
+  * Everything is reproducible and oracle-checkable in DuckDB:
+  *   - INIT is the K vectors with vec_id < K (no RNG);
+  *   - ASSIGN is argmin over cc - 2*v·c with ties to the smaller
+  *     centroid id — in-order native dot products, the x13 pattern;
+  *   - UPDATE is a FIXED-POINT mean: per dimension,
+  *     floor(sum(floor(x * 2^16)) / n) / 2^16. Every step is exact —
+  *     x is a float32-exact double, scaling by 2^16 never rounds,
+  *     the sums are int64, and the final floor sits >= 1/n from the
+  *     nearest integer while the double quotient is within half an
+  *     ulp (~1e-10) of the true value — so centroids are bit-identical
+  *     dyadic rationals no matter the aggregation order, in either
+  *     engine. A plain double mean would hash-diverge run to run.
+  *   - EMPTY CELLS keep their previous centroid (COALESCE in the
+  *     oracle), a total rule instead of an undefined one.
+  *
+  * 100 TB shape: the trainer is a driver-hosted loop (the standard
+  * k-means layout — MLlib's trainer is the same shape). Per iteration:
+  * one LINEAR scan assigning cells against K literal centroids baked
+  * into the codegen'd plan (no join, no shuffle of the vectors), one
+  * partial aggregation down to K*dims groups (map-side combine does
+  * almost all the work), and a driver collect of exactly K*dims
+  * numbers. Iteration count is fixed (Iters), so the whole training
+  * job is O(Iters) scans — and the collect is bounded by the codebook
+  * size, never the data.
+  */
+object KMeans {
+
+  /** 2^16 — exact power-of-two fixed-point scale. */
+  val Scale = 65536.0
+
+  val K = 16
+  val Iters = 3
+
+  /** In-order scala dot — same fold order as the native DotProduct
+    * expression and DuckDB's list_dot_product. */
+  private def dotRef(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Nearest-centroid cell id for a vector column, against LITERAL
+    * centroids: K codegen'd in-order dot products + a struct argmin,
+    * all inside whole-stage codegen — a pure map, no join. */
+  def assignCell(v: Column, cent: IndexedSeq[Array[Double]]): Column = {
+    val entries = cent.zipWithIndex.map { case (c, j) =>
+      struct(
+        (lit(dotRef(c, c)) - lit(2.0) * Cols.dot(v, typedLit(c.toSeq))).as("score"),
+        lit(j.toLong).as("cid"))
+    }
+    array_min(array(entries: _*)).getField("cid")
+  }
+
+  /** Runs Iters Lloyd iterations; returns the centroid history
+    * (element 0 = init, element Iters = final codebook). Each element
+    * is indexed by cell id. */
+  def train(vecs: DataFrame): Seq[IndexedSeq[Array[Double]]] = {
+    val init: IndexedSeq[Array[Double]] = vecs
+      .filter(col("vec_id") < K)
+      .orderBy("vec_id")
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .toIndexedSeq
+    require(init.length == K, s"need $K seed vectors, found ${init.length}")
+    var hist = Vector(init)
+    for (_ <- 1 to Iters) {
+      val cent = hist.last
+      val sums = vecs
+        .select(assignCell(col("v"), cent).as("cell"), col("v"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        // floor(x * 2^16): exact — see object doc. floor() is LongType.
+        .withColumn("qx", floor(col("x") * lit(Scale)))
+        .groupBy("cell", "d")
+        .agg(sum("qx").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val m = sums.map(r =>
+        (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      val next = (0 until K).map { j =>
+        if (m.contains((j.toLong, 0)))
+          cent(j).indices.map { d =>
+            val (s, n) = m((j.toLong, d))
+            math.floor(s.toDouble / n) / Scale
+          }.toArray
+        else cent(j) // empty cell keeps its previous centroid
+      }
+      hist = hist :+ next
+    }
+    hist
+  }
+
+  /** The DuckDB restatement: Iters unrolled assign/update CTE pairs
+    * over `e (vec_id, v)` and init CTE c0, ending in cell assignments
+    * `af (vec_id, v, cell)` against the trained codebook. */
+  def oracleCtes: String = {
+    def assign(name: String, c: String): String =
+      s"""$name AS (SELECT vec_id, v, cid AS cell FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY (list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv)), c.cid) AS rk
+         |    FROM e CROSS JOIN $c c) t
+         |  WHERE rk = 1)""".stripMargin
+    def update(a: String, prev: String, next: String): String =
+      s"""${next}s AS (SELECT cell, g.d, SUM(CAST(floor(a.v[g.d] * 65536.0) AS BIGINT)) AS s, COUNT(*) AS n
+         |  FROM $a a CROSS JOIN (SELECT UNNEST(range(1, 65)) AS d) g GROUP BY cell, g.d),
+         |${next}l AS (SELECT cell AS cid, list(floor(CAST(s AS DOUBLE) / n) / 65536.0 ORDER BY d) AS cv
+         |  FROM ${next}s GROUP BY cell),
+         |$next AS (SELECT p.cid, COALESCE(l.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN ${next}l l ON l.cid = p.cid)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      assign(s"a$i", s"c${i - 1}") + ",\n" + update(s"a$i", s"c${i - 1}", s"c$i")
+    }.mkString(",\n")
+    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $K),
+       |$iters,
+       |${assign("af", s"c$Iters")}""".stripMargin
+  }
+}

@@ -112,8 +112,8 @@ object SimilarityQueries {
     // X13 — IVF-bucketed ANN, the inverted-file counterpart to x8's
     // LSH: a fixed 16-vector codebook (the vectors with vec_id < 16 —
     // deliberately data-independent so the DuckDB oracle can restate
-    // it; at scale the codebook comes from a k-means training job and
-    // is equally small), every vector assigned to its nearest centroid
+    // it; x29 below is the same search over a codebook a real k-means
+    // training job produces), every vector assigned to its nearest centroid
     // by L2 (argmin of cc - 2*v·c; ties to the smaller centroid id),
     // probes searching ONLY their own cell (nprobe = 1, the recall
     // knob). Assignment is a broadcast of the codebook + one partial
@@ -154,6 +154,46 @@ object SimilarityQueries {
       val scored = broadcast(q)
         .join(x, col("qcell") === col("xcell") && col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
+          r4(dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    },
+
+    // X29 — IVF search over a TRAINED codebook: the k-means training
+    // job x13's fixture codebook stood in for. KMeans.train runs 3
+    // deterministic fixed-point Lloyd iterations (init = vec_id < 16,
+    // fixed-point means, ties to smaller cid — see KMeans's scaladoc
+    // for why every step is exact and order-independent), then the
+    // query searches nprobe=1 cells exactly like x13. The oracle
+    // replays the identical 3 iterations as unrolled CTEs, so cell
+    // assignments AND the trained centroids are hash-gated, not just
+    // the final neighbors. Training cost: Iters linear scans with
+    // literal-centroid assignment (no join), each reduced map-side to
+    // K*64 groups; the only driver traffic is the K*64-number codebook
+    // per iteration.
+    Q(
+      "x29_ann_ivf_trained",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |${KMeans.oracleCtes},
+        |p AS (SELECT q.vec_id AS qid, q.cell, x.vec_id AS nid,
+        |    round(list_dot_product(q.v, x.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 4) AS sim
+        |  FROM af q JOIN af x ON q.cell = x.cell AND x.vec_id <> q.vec_id WHERE q.vec_id < 20),
+        |r AS (SELECT qid, cell, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p)
+        |SELECT qid, cell, nid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    ) { (spark, dir) =>
+      val e = vectors(spark, dir).withColumn("nrm", l2norm(col("v")))
+      val codebook = KMeans.train(e.select(col("vec_id"), col("v"))).last
+      val assigned = CacheScope.cache(e.select(col("vec_id"), col("v"), col("nrm"),
+        KMeans.assignCell(col("v"), codebook).as("cell")))
+      val q = assigned.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "qcell")
+      val x = assigned.toDF("nid", "xv", "xn", "xcell")
+      val scored = broadcast(q)
+        .join(x, col("qcell") === col("xcell") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("qcell").as("cell"), col("nid"),
           r4(dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("sim"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("sim").desc, col("nid"))

@@ -1,0 +1,101 @@
+package graft
+
+import graft.llm.KMeans
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Convergence + determinism contract of the fixed-point Lloyd trainer
+  * behind x29_ann_ivf_trained (round-5 VERDICT task 2: replace x13's
+  * fixture codebook with a real, oracle-checkable training job).
+  */
+class KMeansSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def vecs(dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def collectVecs(df: DataFrame): Array[Array[Double]] =
+    df.select("v").collect().map(_.getSeq[Double](0).toArray)
+
+  /** Within-cluster SSE of a codebook over a vector set: each vector
+    * charged to its NEAREST centroid (same argmin rule as the engine:
+    * score cc - 2*v·c, smaller cid on ties — the ||v||^2 term is
+    * assignment-invariant but kept so the quantity is a true SSE). */
+  private def sse(cent: IndexedSeq[Array[Double]], vs: Array[Array[Double]]): Double =
+    vs.map { v =>
+      var vv = 0.0
+      var i = 0
+      while (i < v.length) { vv += v(i) * v(i); i += 1 }
+      cent.map { c =>
+        var cc = 0.0
+        var vc = 0.0
+        var j = 0
+        while (j < c.length) { cc += c(j) * c(j); vc += v(j) * c(j); j += 1 }
+        vv - 2 * vc + cc
+      }.min
+    }.sum
+
+  test("SSE is non-increasing across the trained iterations (sf0.001 and sf0.01)") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val data = vecs(dir)
+      val hist = KMeans.train(data)
+      assert(hist.length == KMeans.Iters + 1)
+      val vs = collectVecs(data)
+      val costs = hist.map(c => sse(c, vs))
+      costs.sliding(2).foreach { case Seq(a, b) =>
+        assert(b <= a + 1e-9, s"SSE increased on $dir: $costs")
+      }
+      assert(costs.last < costs.head, s"trainer never improved on $dir: $costs")
+    }
+  }
+
+  test("training is deterministic: two runs produce the identical codebook") {
+    val data = vecs(sf0001)
+    val a = KMeans.train(data).last
+    val b = KMeans.train(data).last
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
+  test("centroids are fixed-point dyadic rationals (value * 2^16 is integral)") {
+    // The exactness argument (KMeans scaladoc) rests on every centroid
+    // component being floor(s/n)/2^16 — i.e. integral at scale 2^16.
+    val last = KMeans.train(vecs(sf0001)).last
+    for (c <- last; x <- c)
+      assert((x * KMeans.Scale) == math.rint(x * KMeans.Scale), s"non-dyadic component $x")
+  }
+
+  test("an emptied cell keeps its previous centroid") {
+    val sp = spark
+    import sp.implicits._
+    // Seeds 0..15 on a 2-dim line; seed 15 duplicates seed 14, so every
+    // vector tie-breaks to cid 14 and cell 15 is empty from iteration 1.
+    val rows = (0 until 16).map { i =>
+      val x = if (i == 15) 14.0 else i.toDouble
+      (i.toLong, Seq(x, 0.0))
+    } ++ Seq((100L, Seq(3.25, 0.5)), (101L, Seq(7.75, -0.5)))
+    val data = rows.toDF("vec_id", "v")
+    val hist = KMeans.train(data)
+    val (init, last) = (hist.head, hist.last)
+    assert(last(15).toSeq == init(15).toSeq, "empty cell 15 must keep its seed centroid")
+    // ...while a populated cell moved (cell 3 absorbs vec 100).
+    assert(last(3).toSeq != init(3).toSeq)
+  }
+
+  test("assignCell agrees with a plain scala argmin on the corpus") {
+    val data = vecs(sf0001)
+    val cent = KMeans.train(data).last
+    val got = data.select(col("vec_id"), KMeans.assignCell(col("v"), cent).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = data.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    for ((id, v) <- rows) {
+      val want = cent.zipWithIndex.map { case (c, j) =>
+        var cc = 0.0; var vc = 0.0; var i = 0
+        while (i < c.length) { cc += c(i) * c(i); vc += v(i) * c(i); i += 1 }
+        (cc - 2 * vc, j.toLong)
+      }.min._2
+      assert(got(id) == want, s"cell mismatch for vec $id")
+    }
+  }
+}
