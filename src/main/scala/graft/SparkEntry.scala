@@ -41,4 +41,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** The oracle-less queries and WHY each is rows-only by design
+    * (with its gating spec) — dumped by Verify as rows_only.json so
+    * the correctness artifact needs no tribal knowledge to read. */
+  def rowsOnly: Map[String, String] =
+    registry.flatMap(q => q.rowsOnlyNote.map(n => q.name -> n)).toMap
 }

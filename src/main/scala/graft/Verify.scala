@@ -33,6 +33,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-describing correctness artifact (round 6): the oracle-less
+    // rows are BY DESIGN, each with its rationale + gating spec, so a
+    // "no_oracle" entry in CORRECTNESS_rN.json has its explanation
+    // sitting next to it.
+    val rowsOnly = SparkEntry.rowsOnly
+      .map { case (k, v) =>
+        s"${q(k)}: {${q("by_design")}: true, ${q("why")}: ${q(v)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), rowsOnly)
     spark.stop()
   }
 }

@@ -150,7 +150,7 @@ object ChunkingQueries {
         |m AS (SELECT min(n) AS m FROM c),
         |r AS (SELECT doc_id, lang, n_chars,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 3266489917) % 1000003, doc_id) AS rk
+        |      ORDER BY ((doc_id % 1000003) * 3266489917) % 1000003, doc_id) AS rk
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -160,9 +160,14 @@ object ChunkingQueries {
       val docs = Tables(spark, dir, "documents")
       val m = docs.groupBy("lang").agg(count(lit(1)).as("n"))
         .agg(min("n").as("m"))
+      // doc_id is reduced mod the prime BEFORE the multiply (ADVICE
+      // r5): the raw product wraps int64 for doc_id >~ 2.8e9 — Spark
+      // would wrap silently while DuckDB raises, a latent cross-engine
+      // divergence at real corpus scale. Reduced first, the product
+      // stays < 1000003 * 3266489917 < 2^52.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang")
-        .orderBy((col("doc_id") * 3266489917L % 1000003L).asc, col("doc_id").asc)
+        .orderBy((col("doc_id") % 1000003L * 3266489917L % 1000003L).asc, col("doc_id").asc)
       docs.select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .crossJoin(broadcast(m))

@@ -292,7 +292,11 @@ object DedupQueries {
     Q(
       "x21_skew_neardup",
       None,
-      (spark: SparkSession, dir: String) => {
+      rowsOnlyNote = Some("the stress corpus is generated IN-PLAN " +
+        "(5,000 synthetic docs) so DuckDB has no table to query; " +
+        "DedupSpec ('x21 skew stress') asserts the exact cluster " +
+        "histogram — one 1,000-doc template cluster, singletons intact"),
+      run = (spark: SparkSession, dir: String) => {
         val template = "the quick brown fox jumps over the lazy dog while " +
           "the patient cat watches from the warm stone wall and the small " +
           "bird sings in the tall green tree beside the quiet river "

@@ -145,6 +145,11 @@ object SqlQueries {
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag"),
+      rowsOnlyNote = Some("HLL++ sketch estimates are engine-specific by " +
+        "nature — no cross-engine hash can exist; QuerySmokeSpec ('x9 " +
+        "approx_count_distinct is within 5% of exact per group') gates the " +
+        "declared tolerance, and the query emits approx next to exact so " +
+        "the error is inspectable in the artifact itself"))
   )
 }

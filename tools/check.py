@@ -115,7 +115,19 @@ def main():
         else:
             print(f"FAIL {name}: first diff row {first[0]}:\n  oracle={first[1]}\n  spark ={first[2]}")
         bad += 1
-    print(f"\n{ok} OK / {bad} FAIL")
+    # Oracle-less rows are BY DESIGN: name them (with why + gating spec)
+    # so the gate output — like the driver's CORRECTNESS artifact — is
+    # self-explanatory about what is deliberately not hash-compared.
+    try:
+        rows_only = json.load(open(f"{OUT}/rows_only.json"))
+    except Exception:
+        rows_only = {}
+    for name, info in sorted(rows_only.items()):
+        if ONLY and name not in ONLY:
+            continue
+        print(f"BY-DESIGN rows-only {name}: {info.get('why', '')}")
+    suffix = f" ({len(rows_only)} rows-only by design)" if rows_only else ""
+    print(f"\n{ok} OK / {bad} FAIL{suffix}")
     sys.exit(1 if bad else 0)
 
 main()
