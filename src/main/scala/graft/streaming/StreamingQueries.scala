@@ -121,17 +121,29 @@ object StreamingQueries {
     },
 
     // S5 — a REAL streaming run, oracle-gated end to end (not a batch
-    // form): events arrive as json files in two chunks, StreamOps
-    // .tumblingWithWatermark streams them append-mode into a parquet
-    // sink, and the query's result is the sink read back. Append mode
-    // emits exactly the windows finalized by the last watermark =
-    // ms-floored global max event time minus 30 min (the watermark
-    // tracker works in milliseconds), so the oracle is the batch hourly
-    // aggregate restricted to windows whose end is at or below it.
-    // Chunked arrival exercises a mid-stream watermark advance and the
-    // trailing no-data flush batch; the emitted SET is chunking-
-    // independent — the watermark depends only on the global max ts —
-    // which is what makes a streaming run hashable at all.
+    // form): events arrive as parquet files in two time-split chunks,
+    // StreamOps.tumblingWithWatermark streams them append-mode into a
+    // parquet sink, and the query's result is the sink read back.
+    // Append mode emits exactly the windows finalized by the last
+    // watermark = ms-floored global max event time minus 30 min (the
+    // watermark tracker works in milliseconds), so the oracle is the
+    // batch hourly aggregate restricted to windows whose end is at or
+    // below it. Chunked arrival exercises a mid-stream watermark
+    // advance; the emitted SET is chunking-independent — the watermark
+    // depends only on the global max ts — which is what makes a
+    // streaming run hashable at all.
+    //
+    // ARRIVAL MECHANICS (round 6): both chunks are written before the
+    // stream starts, chunk 1's files stamped 10 min older, and the
+    // source capped at maxFilesPerTrigger = chunk 1's file count — the
+    // file source processes oldest-first, so batch 0 is exactly chunk
+    // 1, batch 1 is chunk 2 (planned AFTER batch 0's watermark advance
+    // — the same mid-stream semantics), and one trailing no-data batch
+    // flushes the terminal watermark. Same batches, same hashes as the
+    // old write-poll-write-poll loop, minus one no-data batch and one
+    // processAllAvailable round trip (~0.5 s of the measured ~2.9 s
+    // structural floor; the rest is per-batch commit machinery —
+    // BASELINE.md round-6 note).
     Q(
       "s5_stream_hourly_finalized",
       """WITH m AS (
@@ -167,6 +179,8 @@ object StreamingQueries {
       // per-file open costs in every micro-batch at zero parallelism
       // loss for a 100k-row arrival chunk.
       events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
       // The stream runs on its own CHILD session (shared SparkContext
       // and extensions, isolated SQLConf): the state-store width is
       // frozen from spark.sql.shuffle.partitions at stream start, and
@@ -177,17 +191,15 @@ object StreamingQueries {
       // feed with real key volume would keep the default width.
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val stream = ss.readStream.schema(events.schema).parquet(in)
+      val stream = ss.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", chunk1.toString).parquet(in)
       try {
         val q = StreamOps.tumblingWithWatermark(stream).writeStream
           .format("parquet").option("path", out)
           .option("checkpointLocation", ckpt)
           .outputMode("append").start()
-        try {
-          q.processAllAvailable()
-          events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
-          q.processAllAvailable()
-        } finally q.stop()
+        try q.processAllAvailable()
+        finally q.stop()
       } finally {
         // The full events copy (arrival) and the checkpoint die with
         // the stream; only the small sink outlives the query (the
@@ -211,7 +223,10 @@ object StreamingQueries {
     // ms-floored last_ts + 30 min. So the oracle is the batch islands
     // query minus each user's final island unless that island clears
     // the timeout predicate. Time-split arrival preserves the
-    // emitter's in-order contract across batches.
+    // emitter's in-order contract across batches (chunk 1 is stamped
+    // older + maxFilesPerTrigger caps batch 0 at chunk 1 — the s5
+    // single-start arrival mechanics, same semantics as the old
+    // write-poll-write-poll loop).
     Q(
       "s6_completed_sessions",
       """WITH o AS (
@@ -241,23 +256,23 @@ object StreamingQueries {
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
       events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
       // Child session with narrowed state width — see s5.
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = {
         import ss.implicits._
-        ss.readStream.schema(events.schema).parquet(in).as[Event]
+        ss.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", chunk1.toString).parquet(in).as[Event]
       }
       try {
         val q = StreamOps.completedSessions(stream).writeStream
           .format("parquet").option("path", out)
           .option("checkpointLocation", ckpt)
           .outputMode("append").start()
-        try {
-          q.processAllAvailable()
-          events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
-          q.processAllAvailable()
-        } finally q.stop()
+        try q.processAllAvailable()
+        finally q.stop()
       } finally {
         TempWork.delete(in)
         TempWork.delete(ckpt)

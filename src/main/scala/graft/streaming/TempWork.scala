@@ -28,6 +28,19 @@ private[streaming] object TempWork {
     p
   }
 
+  /** Stamp every data file currently in `dir` 10 minutes older and
+    * return how many there are. The file stream source processes
+    * files oldest-first, so files written BEFORE this call form the
+    * first trigger's batch when maxFilesPerTrigger equals the returned
+    * count — the single-start two-chunk arrival s5/s6 use. 10 min
+    * dwarfs any filesystem timestamp granularity. */
+  def stampOlder(dir: String): Int = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    files.foreach(f => f.setLastModified(f.lastModified() - 600000L))
+    files.length
+  }
+
   /** Delete now (recursively, best-effort) and drop the exit hook entry. */
   def delete(path: String): Unit = {
     deleteNow(path)
