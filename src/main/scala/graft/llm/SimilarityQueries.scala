@@ -185,7 +185,13 @@ object SimilarityQueries {
         |r AS (SELECT qid, cell, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p)
         |SELECT qid, cell, nid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     ) { (spark, dir) =>
-      val e = vectors(spark, dir).withColumn("nrm", l2norm(col("v")))
+      // The vector table is scanned Iters+1 times (3 training assigns
+      // + the final one) — cache it eagerly for the loop. At real
+      // scale this is the standard cache-if-it-fits k-means layout;
+      // uncached, each iteration is one extra parquet scan — still
+      // linear, just slower.
+      val e = CacheScope.cacheEager(
+        vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
       val codebook = KMeans.train(e.select(col("vec_id"), col("v"))).last
       val assigned = CacheScope.cache(e.select(col("vec_id"), col("v"), col("nrm"),
         KMeans.assignCell(col("v"), codebook).as("cell")))
