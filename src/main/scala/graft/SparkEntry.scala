@@ -19,6 +19,7 @@ object SparkEntry {
       graft.llm.TextQueries.all ++
       graft.llm.ChunkingQueries.all ++
       graft.llm.CurationQueries.all ++
+      graft.llm.BpeQueries.all ++
       graft.llm.PipelineQueries.all ++
       graft.llm.MultimodalQueries.all ++
       graft.streaming.StreamingQueries.all
