@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
 /** Corpus-curation surface — the pipeline stages between raw crawl and
   * training shards that the dedup/quality queries don't cover yet:
   * eval-set decontamination, denylist scrubbing, incremental snapshot
-  * dedup, repetition filtering, and the sequential quality funnel a
-  * pipeline report prints.
+  * dedup, boilerplate mining, repetition filtering, the corpus-rarity
+  * quality proxy, and the sequential quality funnel a pipeline report
+  * prints.
   *
-  * Scale discipline shared by all five: per-document work is a single
+  * Scale discipline shared by all of them: per-document work is a single
   * row-local pass (token arrays built once, no driver round-trips);
   * anything cross-document goes through either a broadcast of a
   * provably-small side (x22's eval shingle set) or the bucketed LSH
@@ -301,6 +302,50 @@ object CurationQueries {
           |  5L, 'survivors',     n - s1 - s2 - s3 - s4, 0L
           |) AS (stage_no, stage, n_in, n_dropped)""".stripMargin)
         .orderBy("stage_no")
+    },
+
+    // X31 — rarity filter: per-document mean corpus frequency of its
+    // tokens, the integer-exact stand-in for the LM-perplexity quality
+    // filter every curation pipeline runs (CCNet scores docs with a
+    // KenLM; the monotone core of that signal at unigram order is "how
+    // common are this doc's tokens in the corpus", which needs no model
+    // file and no ln() — libm implementations diverge in the last ulp,
+    // same reasoning as x14/x20). Low mcf = rare-token-heavy docs
+    // (gibberish, codes, OCR noise); the 25 rarest are the review
+    // queue. SCALE SHAPE: the token explode collapses immediately to
+    // per-doc term frequencies (map-side partial agg), the corpus
+    // frequency table is vocabulary-sized, and the tf⋈freq join keys
+    // on the token — per-token tf rows are bounded by document
+    // frequency, so the head of the Zipf curve is the skew case: AQE's
+    // skew-join split covers it here, and a 100 TB deployment would
+    // broadcast the top-K hot tokens and shuffle only the tail.
+    // INT64 HEADROOM: sum_freq * 1e6 <= n_tok_doc * N_corpus * 1e6
+    // must stay under 2^63 — safe to ~10^5-token docs against a 10^7-
+    // token corpus; past that lift the score into DECIMAL(38,0) on
+    // both engines (x20's documented discipline).
+    Q(
+      "x31_rarity_filter",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(toks) AS t FROM t) u GROUP BY 1, 2),
+         |fr AS (SELECT t, CAST(SUM(c) AS BIGINT) AS freq FROM tf GROUP BY 1),
+         |d AS (SELECT tf.doc_id, CAST(SUM(tf.c) AS BIGINT) AS n_tok,
+         |        CAST(SUM(tf.c * fr.freq) AS BIGINT) AS sum_freq
+         |      FROM tf JOIN fr ON tf.t = fr.t GROUP BY 1)
+         |SELECT doc_id, n_tok, sum_freq, sum_freq * 1000000 // n_tok AS mcf_scaled
+         |FROM d ORDER BY mcf_scaled, doc_id LIMIT 25""".stripMargin
+    ) { (spark, dir) =>
+      val tf = toks(spark, dir)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      val fr = tf.groupBy("t").agg(sum("c").as("freq")).toDF("t2", "freq")
+      tf.join(fr, col("t") === col("t2"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_tok"),
+          sum(col("c") * col("freq")).cast("long").as("sum_freq"))
+        .withColumn("mcf_scaled", expr("sum_freq * 1000000 DIV n_tok"))
+        .orderBy(col("mcf_scaled"), col("doc_id"))
+        .limit(25)
     }
   )
 }

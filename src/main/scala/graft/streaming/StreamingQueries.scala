@@ -280,6 +280,71 @@ object StreamingQueries {
       spark.read.parquet(out)
         .select("user_id", "start_us", "end_us", "n_ev")
         .orderBy("user_id", "start_us")
+    },
+
+    // S7 — streaming exact dedup, oracle-gated end to end: the
+    // "drop replayed events" ingest stage (StreamOps.dedupe —
+    // dropDuplicatesWithinWatermark keyed on event_id, state bounded
+    // by the 30-minute watermark) run as a REAL append-mode stream
+    // whose arrival REPLAYS a slice: chunk 1 is the first half of the
+    // time range, chunk 2 is the second half PLUS a re-send of the
+    // last 15 minutes of chunk 1 (s5's single-start two-chunk arrival
+    // mechanics: chunk 1 stamped older + maxFilesPerTrigger). The
+    // replayed rows arrive in batch 1 with event times ahead of the
+    // batch-0 watermark (range-midpoint minus 30 min), so they are
+    // NOT dropped as late — they reach the dedup state and are
+    // suppressed as duplicates, which is the semantics under test.
+    // The emitted set is therefore exactly the distinct events, so
+    // the oracle is simply the events table itself — the one
+    // streaming query whose oracle needs no window arithmetic at all.
+    // State discipline at 100 TB/day: an id is remembered only until
+    // the watermark passes its event time plus the delay, so state
+    // tracks the late-data horizon, not stream history.
+    Q(
+      "s7_stream_dedup",
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin
+    ) { (spark, dir) =>
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = TempWork.dir("graft_s7_in")
+      val out = TempWork.dir("graft_s7_out")
+      val ckpt = TempWork.dir("graft_s7_ck")
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val minMs = b.getTimestamp(0).getTime
+      val midMs = minMs + (b.getTimestamp(1).getTime - minMs) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      // Replay horizon: 15 min (capped at a quarter of the first
+      // half's span for tiny fixtures) — inside the 30-min watermark
+      // delay, so every replayed row survives the late filter and the
+      // dedup state must do the suppressing.
+      val overlapMs = math.min(900000L, (midMs - minMs) / 4)
+      val repl = lit(new java.sql.Timestamp(midMs - overlapMs))
+      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= repl).coalesce(4).write.mode("append").parquet(in)
+      // Child session with narrowed state width — see s5.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", chunk1.toString).parquet(in)
+      try {
+        val q = StreamOps.dedupe(stream)
+          .select(col("event_id"), epochUs(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"))
+          .writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
+      spark.read.parquet(out)
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+        .orderBy("event_id")
     }
   )
 }

@@ -38,6 +38,22 @@ class CurationSpec extends AnyFunSuite {
     assert(reps == reps.sorted.reverse, "not sorted by rep_scaled desc")
   }
 
+  test("x31 rarity score is exact, bounded below, and sorted ascending") {
+    val rows = SparkEntry.queries("x31_rarity_filter")(spark, sf001).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val (n, sf, mcf) = (r.getAs[Long]("n_tok"), r.getAs[Long]("sum_freq"),
+        r.getAs[Long]("mcf_scaled"))
+      assert(n >= 1)
+      // every token occurs at least once corpus-wide, so sum_freq >= n_tok
+      assert(sf >= n, s"sum_freq $sf below n_tok $n")
+      assert(mcf == sf * 1000000L / n)
+      assert(mcf >= 1000000L, "mean corpus frequency cannot be below 1")
+    }
+    val mcfs = rows.map(_.getAs[Long]("mcf_scaled")).toSeq
+    assert(mcfs == mcfs.sorted, "not sorted by mcf_scaled ascending")
+  }
+
   test("x22 excludes the eval slice from training counts and finds the planted overlap") {
     val rows = SparkEntry.queries("x22_decontaminate")(spark, sf001).collect()
     val total = graft.core.Tables(spark, sf001, "documents").count()

@@ -209,6 +209,28 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s7 gated run suppresses a genuinely non-empty replay slice") {
+    val sp = spark
+    val events = Tables(sp, sf0001, "events")
+    // Replicate s7's arrival arithmetic to prove the fixture actually
+    // replays rows — without this the dedup assertion is vacuous.
+    val b = events.agg(org.apache.spark.sql.functions.min("ts").as("mn"),
+      org.apache.spark.sql.functions.max("ts").as("mx")).head()
+    val minMs = b.getTimestamp(0).getTime
+    val midMs = minMs + (b.getTimestamp(1).getTime - minMs) / 2
+    val overlapMs = math.min(900000L, (midMs - minMs) / 4)
+    val replayed = events.filter(
+      col("ts") >= new java.sql.Timestamp(midMs - overlapMs) &&
+        col("ts") < new java.sql.Timestamp(midMs)).count()
+    assert(replayed > 0, "fixture replays nothing — the s7 test proves nothing")
+
+    val got = SparkEntry.queries("s7_stream_dedup")(sp, sf0001)
+    assert(got.count() == events.count(),
+      s"sink must hold exactly the distinct events despite $replayed replayed rows")
+    assert(got.select("event_id").distinct().count() == events.count(),
+      "duplicate event_id escaped the dedup state")
+  }
+
   test("completedSessions emits exactly the closed sessions (flatMapGroupsWithState)") {
     val sp = spark
     import sp.implicits._
