@@ -103,26 +103,33 @@ object KMeans {
   /** The DuckDB restatement: Iters unrolled assign/update CTE pairs
     * over `e (vec_id, v)` and init CTE c0, ending in cell assignments
     * `af (vec_id, v, cell)` against the trained codebook. */
-  def oracleCtes: String = {
+  def oracleCtes: String = oracleCtes("e", 64, "")
+
+  /** Parameterized form: trains over `$eTable (vec_id, v)` with
+    * `dims`-element vectors, every CTE name prefixed with `pfx` so
+    * several trainers (x32's per-subspace codebooks) can coexist in
+    * one WITH clause. Final assignments land in `${pfx}af`. */
+  def oracleCtes(eTable: String, dims: Int, pfx: String): String = {
     def assign(name: String, c: String): String =
       s"""$name AS (SELECT vec_id, v, cid AS cell FROM (
          |    SELECT e.vec_id, e.v, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY (list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv)), c.cid) AS rk
-         |    FROM e CROSS JOIN $c c) t
+         |    FROM $eTable e CROSS JOIN $c c) t
          |  WHERE rk = 1)""".stripMargin
     def update(a: String, prev: String, next: String): String =
       s"""${next}s AS (SELECT cell, g.d, SUM(CAST(floor(a.v[g.d] * 65536.0) AS BIGINT)) AS s, COUNT(*) AS n
-         |  FROM $a a CROSS JOIN (SELECT UNNEST(range(1, 65)) AS d) g GROUP BY cell, g.d),
+         |  FROM $a a CROSS JOIN (SELECT UNNEST(range(1, ${dims + 1})) AS d) g GROUP BY cell, g.d),
          |${next}l AS (SELECT cell AS cid, list(floor(CAST(s AS DOUBLE) / n) / 65536.0 ORDER BY d) AS cv
          |  FROM ${next}s GROUP BY cell),
          |$next AS (SELECT p.cid, COALESCE(l.cv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN ${next}l l ON l.cid = p.cid)""".stripMargin
     val iters = (1 to Iters).map { i =>
-      assign(s"a$i", s"c${i - 1}") + ",\n" + update(s"a$i", s"c${i - 1}", s"c$i")
+      assign(s"${pfx}a$i", s"${pfx}c${i - 1}") + ",\n" +
+        update(s"${pfx}a$i", s"${pfx}c${i - 1}", s"${pfx}c$i")
     }.mkString(",\n")
-    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $K),
+    s"""${pfx}c0 AS (SELECT vec_id AS cid, v AS cv FROM $eTable WHERE vec_id < $K),
        |$iters,
-       |${assign("af", s"c$Iters")}""".stripMargin
+       |${assign(s"${pfx}af", s"${pfx}c$Iters")}""".stripMargin
   }
 }

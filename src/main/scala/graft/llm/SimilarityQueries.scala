@@ -242,6 +242,51 @@ object SimilarityQueries {
         .select(col("vec_id"), col("qs.mn").as("mn"), col("qs.mx").as("mx"),
           col("qs.qsum").as("qsum"), col("qs.max_err").as("max_err"))
         .orderBy("vec_id")
+    },
+
+    // X32 — product quantization: the third leg of the ANN compression
+    // stack (x16 scalar-quantizes, x13/x29 coarse-quantize into IVF
+    // cells; PQ is what a billion-vector index stores INSIDE each
+    // cell). The 64-dim space splits into 4 16-dim subspaces, each
+    // with its own 16-centroid codebook trained by the same
+    // deterministic fixed-point Lloyd's job as x29 — so a vector
+    // compresses to 4 codes = 2 bytes, 128x smaller than float32.
+    // The oracle replays all FOUR training jobs (12 unrolled
+    // assign/update CTE pairs) and the final per-subspace argmin, so
+    // every code of every vector is hash-gated against an independent
+    // restatement. SCALE SHAPE: training is 4 x Iters linear scans of
+    // the cached vectors with literal-centroid assignment (a 100 TB
+    // run would fuse the 4 subspace assigns into one scan grouped by
+    // (subspace, cell, dim) — same partial-agg reduction, kept
+    // unfused here for symmetry with x29); encoding is ONE pure map
+    // computing all 4 argmins inside whole-stage codegen — no join,
+    // no shuffle, the same plan a petabyte encode wants.
+    Q(
+      "x32_pq_codes", {
+        val sub = (0 until 4).map { m =>
+          s"s${m}e AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e),\n" +
+            KMeans.oracleCtes(s"s${m}e", 16, s"s$m")
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |$sub
+           |SELECT a.vec_id, a.cell AS code_0, b.cell AS code_1,
+           |  c.cell AS code_2, d.cell AS code_3
+           |FROM s0af a JOIN s1af b ON a.vec_id = b.vec_id
+           |  JOIN s2af c ON a.vec_id = c.vec_id
+           |  JOIN s3af d ON a.vec_id = d.vec_id
+           |ORDER BY a.vec_id""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(vectors(spark, dir))
+      val codebooks = (0 until 4).map { m =>
+        KMeans.train(e.select(col("vec_id"),
+          slice(col("v"), m * 16 + 1, 16).as("v"))).last
+      }
+      e.select(col("vec_id") +:
+        (0 until 4).map(m =>
+          KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), codebooks(m))
+            .as(s"code_$m")): _*)
+        .orderBy("vec_id")
     }
   )
 }

@@ -83,6 +83,35 @@ class KMeansSpec extends AnyFunSuite {
     assert(last(3).toSeq != init(3).toSeq)
   }
 
+  test("x32 PQ codes are in range, non-degenerate, and deterministic") {
+    val run1 = SparkEntry.queries("x32_pq_codes")(spark, sf0001).collect()
+    val run2 = SparkEntry.queries("x32_pq_codes")(spark, sf0001).collect()
+    assert(run1.length == vecs(sf0001).count())
+    assert(run1.map(_.toString).toSeq == run2.map(_.toString).toSeq,
+      "PQ encoding is not deterministic")
+    for (m <- 0 until 4) {
+      val codes = run1.map(_.getAs[Long](s"code_$m"))
+      assert(codes.forall(c => c >= 0 && c < KMeans.K), s"subspace $m code out of range")
+      assert(codes.distinct.length >= 2,
+        s"subspace $m collapsed to one cell — codebook training is broken")
+    }
+  }
+
+  test("per-subspace PQ distortion beats whole-space scalar assignment of the init seeds") {
+    // The point of PQ: 4 independent 16-dim codebooks reconstruct
+    // better than the same bit budget spent on the untrained seeds.
+    val data = vecs(sf0001)
+    val vs = collectVecs(data)
+    for (m <- 0 until 4) {
+      val sub = data.select(col("vec_id"),
+        org.apache.spark.sql.functions.slice(col("v"), m * 16 + 1, 16).as("v"))
+      val hist = KMeans.train(sub)
+      val subVs = vs.map(_.slice(m * 16, (m + 1) * 16))
+      assert(sse(hist.last, subVs) <= sse(hist.head, subVs) + 1e-9,
+        s"subspace $m training increased distortion")
+    }
+  }
+
   test("assignCell agrees with a plain scala argmin on the corpus") {
     val data = vecs(sf0001)
     val cent = KMeans.train(data).last
