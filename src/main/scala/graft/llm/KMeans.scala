@@ -100,6 +100,57 @@ object KMeans {
     hist
   }
 
+  /** Product-codebook trainer: M independent `sub`-dim Lloyd jobs over
+    * the disjoint subspace slices of `v`, FUSED so each iteration is
+    * ONE scan of the vectors instead of M — all M assignments compute
+    * in a single projection (M*K codegen'd dot products), the
+    * posexplode tags every element with its (subspace, within-subspace
+    * dim), and one partial aggregation reduces to M*K*sub groups
+    * before a single bounded collect. Results are bit-identical to M
+    * separate `train` runs (asserted by KMeansSpec): subspace
+    * assignments are independent and the fixed-point update never sees
+    * the other subspaces. Returns the FINAL codebook per subspace. */
+  def trainProduct(vecs: DataFrame, m: Int, sub: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val seeds = vecs
+      .filter(col("vec_id") < K)
+      .orderBy("vec_id")
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .toIndexedSeq
+    require(seeds.length == K, s"need $K seed vectors, found ${seeds.length}")
+    var cent: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until m).map(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
+    for (_ <- 1 to Iters) {
+      val cells = array((0 until m).map(s =>
+        assignCell(slice(col("v"), s * sub + 1, sub), cent(s))): _*)
+      val sums = vecs
+        .select(cells.as("cells"), col("v"))
+        .select(col("cells"), posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("m", (col("pos") / sub).cast("int"))
+        .select(col("m"),
+          element_at(col("cells"), col("m") + 1).as("cell"),
+          (col("pos") % sub).cast("long").as("d"),
+          floor(col("x") * lit(Scale)).as("qx"))
+        .groupBy("m", "cell", "d")
+        .agg(sum("qx").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4))).toMap
+      cent = cent.zipWithIndex.map { case (cb, s) =>
+        (0 until K).map { j =>
+          if (byKey.contains((s, j.toLong, 0L)))
+            cb(j).indices.map { d =>
+              val (sm, n) = byKey((s, j.toLong, d.toLong))
+              math.floor(sm.toDouble / n) / Scale
+            }.toArray
+          else cb(j)
+        }
+      }
+    }
+    cent
+  }
+
   /** The DuckDB restatement: Iters unrolled assign/update CTE pairs
     * over `e (vec_id, v)` and init CTE c0, ending in cell assignments
     * `af (vec_id, v, cell)` against the trained codebook. */

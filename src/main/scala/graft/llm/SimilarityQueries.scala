@@ -254,11 +254,11 @@ object SimilarityQueries {
     // The oracle replays all FOUR training jobs (12 unrolled
     // assign/update CTE pairs) and the final per-subspace argmin, so
     // every code of every vector is hash-gated against an independent
-    // restatement. SCALE SHAPE: training is 4 x Iters linear scans of
-    // the cached vectors with literal-centroid assignment (a 100 TB
-    // run would fuse the 4 subspace assigns into one scan grouped by
-    // (subspace, cell, dim) — same partial-agg reduction, kept
-    // unfused here for symmetry with x29); encoding is ONE pure map
+    // restatement. SCALE SHAPE: training is FUSED — each of the Iters
+    // iterations is one scan of the cached vectors computing all 4
+    // subspace assignments in a single projection, reduced map-side to
+    // (subspace, cell, dim) groups (KMeans.trainProduct; bit-identical
+    // to 4 separate jobs, asserted by KMeansSpec); encoding is ONE pure map
     // computing all 4 argmins inside whole-stage codegen — no join,
     // no shuffle, the same plan a petabyte encode wants.
     Q(
@@ -278,10 +278,7 @@ object SimilarityQueries {
       }
     ) { (spark, dir) =>
       val e = CacheScope.cacheEager(vectors(spark, dir))
-      val codebooks = (0 until 4).map { m =>
-        KMeans.train(e.select(col("vec_id"),
-          slice(col("v"), m * 16 + 1, 16).as("v"))).last
-      }
+      val codebooks = KMeans.trainProduct(e, 4, 16)
       e.select(col("vec_id") +:
         (0 until 4).map(m =>
           KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), codebooks(m))

@@ -97,6 +97,17 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("fused trainProduct is bit-identical to 4 separate per-subspace train runs") {
+    val data = vecs(sf0001)
+    val fused = KMeans.trainProduct(data, 4, 16)
+    for (m <- 0 until 4) {
+      val sep = KMeans.train(data.select(col("vec_id"),
+        org.apache.spark.sql.functions.slice(col("v"), m * 16 + 1, 16).as("v"))).last
+      assert(fused(m).map(_.toSeq) == sep.map(_.toSeq),
+        s"fused subspace $m diverged from the separate job")
+    }
+  }
+
   test("per-subspace PQ distortion beats whole-space scalar assignment of the init seeds") {
     // The point of PQ: 4 independent 16-dim codebooks reconstruct
     // better than the same bit budget spent on the untrained seeds.
