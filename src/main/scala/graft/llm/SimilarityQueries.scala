@@ -284,6 +284,79 @@ object SimilarityQueries {
           KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), codebooks(m))
             .as(s"code_$m")): _*)
         .orderBy("vec_id")
+    },
+
+    // X33 — IVF-PQ asymmetric-distance search: the index layout a
+    // billion-vector deployment actually ships (FAISS's IVFPQ): the
+    // coarse k-means codebook (x29's trainer) prunes candidates to
+    // the query's cell, and within the cell each database vector is
+    // scored from its PQ RECONSTRUCTION (x32's 4 subspace codebooks)
+    // against the RAW query — asymmetric distance, the query is never
+    // quantized. Both training jobs AND the reconstruction arithmetic
+    // replay in the oracle: centroids are dyadic rationals, the
+    // reconstructed vector is 4 exact centroid slices concatenated,
+    // and the cosine folds in index order on both engines. SCALE
+    // SHAPE: everything the x29/x32 comments establish, plus the
+    // search itself — a broadcast of the 20 raw query rows against a
+    // cell-keyed candidate scan whose data column is 2 BYTES of codes
+    // (the reconstruction expands codes inside the map via literal
+    // codebook lookup, so the shuffled/scanned width is the code
+    // width, not 64 doubles — the whole point of PQ at 100 TB).
+    Q(
+      "x33_ivf_pq_search", {
+        val sub = (0 until 4).map { m =>
+          s"s${m}e AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e),\n" +
+            KMeans.oracleCtes(s"s${m}e", 16, s"s$m")
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${KMeans.oracleCtes},
+           |$sub,
+           |rec AS (SELECT a.vec_id, a.cell,
+           |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
+           |  FROM af a
+           |  JOIN s0af a0 ON a0.vec_id = a.vec_id JOIN s0c${KMeans.Iters} b0 ON b0.cid = a0.cell
+           |  JOIN s1af a1 ON a1.vec_id = a.vec_id JOIN s1c${KMeans.Iters} b1 ON b1.cid = a1.cell
+           |  JOIN s2af a2 ON a2.vec_id = a.vec_id JOIN s2c${KMeans.Iters} b2 ON b2.cid = a2.cell
+           |  JOIN s3af a3 ON a3.vec_id = a.vec_id JOIN s3c${KMeans.Iters} b3 ON b3.cid = a3.cell),
+           |p AS (SELECT q.vec_id AS qid, q.cell AS cell, r.vec_id AS nid,
+           |    round(list_dot_product(qe.v, r.rv)
+           |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(r.rv, r.rv))), 4) AS sim
+           |  FROM rec q JOIN e qe ON qe.vec_id = q.vec_id
+           |  JOIN rec r ON r.cell = q.cell AND r.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 20),
+           |rr AS (SELECT qid, cell, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p)
+           |SELECT qid, cell, nid, sim, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(
+        vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
+      val vecsOnly = e.select(col("vec_id"), col("v"))
+      val coarse = KMeans.train(vecsOnly).last
+      val pq = KMeans.trainProduct(vecsOnly, 4, 16)
+      // Reconstruction: per subspace, the code indexes a LITERAL
+      // 16-entry codebook array baked into the plan; concat of the 4
+      // looked-up slices rebuilds the 64-dim vector inside the map.
+      val rv = concat((0 until 4).map { m =>
+        element_at(typedLit(pq(m).map(_.toSeq)),
+          (KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), pq(m)) + 1).cast("int"))
+      }: _*)
+      val enc = CacheScope.cache(e.select(col("vec_id"), col("v"), col("nrm"),
+        KMeans.assignCell(col("v"), coarse).as("cell"), rv.as("rv")))
+      val q = enc.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell").as("qcell"))
+      val x = enc.select(col("vec_id").as("nid"), col("rv").as("xv"),
+        col("cell").as("xcell"))
+      val scored = broadcast(q)
+        .join(x, col("qcell") === col("xcell") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("qcell").as("cell"), col("nid"),
+          r4(dot(col("qv"), col("xv")) / (col("qn") * l2norm(col("xv")))).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
     }
   )
 }

@@ -123,6 +123,23 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("x33 ADC results are ranked, bounded, and cell-consistent with x29") {
+    val adc = SparkEntry.queries("x33_ivf_pq_search")(spark, sf0001).collect()
+    assert(adc.nonEmpty)
+    // Same coarse trainer in both queries — each query vector must land
+    // in the same IVF cell whichever index form searches it.
+    val ivfCell = SparkEntry.queries("x29_ann_ivf_trained")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cell")).toMap
+    adc.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      assert(rows.length <= 5)
+      val sims = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("sim"))
+      sims.zip(sims.tail).foreach { case (a, b) => assert(a >= b, s"qid $qid unsorted") }
+      sims.foreach(s => assert(s >= -1.0001 && s <= 1.0001, s"qid $qid sim $s out of range"))
+      ivfCell.get(qid).foreach(c =>
+        assert(rows.forall(_.getAs[Long]("cell") == c), s"qid $qid cell mismatch vs x29"))
+    }
+  }
+
   test("assignCell agrees with a plain scala argmin on the corpus") {
     val data = vecs(sf0001)
     val cent = KMeans.train(data).last
