@@ -151,6 +151,62 @@ object KMeans {
     cent
   }
 
+  /** Joint coarse + product trainer (x33's IVF-PQ shape): the
+    * full-space codebook and the m subspace codebooks train in the
+    * SAME Iters scans — each vector element contributes twice per
+    * iteration (once to its coarse (cell, dim) group, once to its
+    * subspace (cell, within-dim) group), so the whole index trains in
+    * Iters linear passes instead of 2*Iters. Bit-identical to running
+    * `train` and `trainProduct` separately (KMeansSpec): the spaces
+    * share nothing but the scan. */
+  def trainJoint(vecs: DataFrame, m: Int, sub: Int)
+      : (IndexedSeq[Array[Double]], IndexedSeq[IndexedSeq[Array[Double]]]) = {
+    val seeds = vecs
+      .filter(col("vec_id") < K)
+      .orderBy("vec_id")
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .toIndexedSeq
+    require(seeds.length == K, s"need $K seed vectors, found ${seeds.length}")
+    var coarse: IndexedSeq[Array[Double]] = seeds
+    var subs: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until m).map(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
+    for (_ <- 1 to Iters) {
+      val cells = array(assignCell(col("v"), coarse) +:
+        (0 until m).map(s =>
+          assignCell(slice(col("v"), s * sub + 1, sub), subs(s))): _*)
+      val sp = (col("pos") / sub).cast("int") + 1
+      val sums = vecs
+        .select(cells.as("cells"), col("v"))
+        .select(col("cells"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("x"), explode(array(
+          struct(lit(0).as("sp"), element_at(col("cells"), 1).as("cell"),
+            col("pos").cast("long").as("d")),
+          struct(sp.as("sp"), element_at(col("cells"), sp + 1).as("cell"),
+            (col("pos") % sub).cast("long").as("d")))).as("t"))
+        .select(col("t.sp"), col("t.cell"), col("t.d"),
+          floor(col("x") * lit(Scale)).as("qx"))
+        .groupBy("sp", "cell", "d")
+        .agg(sum("qx").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4))).toMap
+      def next(space: Int, cb: IndexedSeq[Array[Double]]): IndexedSeq[Array[Double]] =
+        (0 until K).map { j =>
+          if (byKey.contains((space, j.toLong, 0L)))
+            cb(j).indices.map { d =>
+              val (sm, n) = byKey((space, j.toLong, d.toLong))
+              math.floor(sm.toDouble / n) / Scale
+            }.toArray
+          else cb(j)
+        }
+      coarse = next(0, coarse)
+      subs = subs.zipWithIndex.map { case (cb, s) => next(s + 1, cb) }
+    }
+    (coarse, subs)
+  }
+
   /** The DuckDB restatement: Iters unrolled assign/update CTE pairs
     * over `e (vec_id, v)` and init CTE c0, ending in cell assignments
     * `af (vec_id, v, cell)` against the trained codebook. */

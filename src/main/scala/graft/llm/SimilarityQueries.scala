@@ -331,9 +331,9 @@ object SimilarityQueries {
     ) { (spark, dir) =>
       val e = CacheScope.cacheEager(
         vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
-      val vecsOnly = e.select(col("vec_id"), col("v"))
-      val coarse = KMeans.train(vecsOnly).last
-      val pq = KMeans.trainProduct(vecsOnly, 4, 16)
+      // Coarse and PQ codebooks train in the SAME Iters scans
+      // (KMeans.trainJoint) — the whole index trains in 3 passes.
+      val (coarse, pq) = KMeans.trainJoint(e.select(col("vec_id"), col("v")), 4, 16)
       // Reconstruction: per subspace, the code indexes a LITERAL
       // 16-entry codebook array baked into the plan; concat of the 4
       // looked-up slices rebuilds the 64-dim vector inside the map.

@@ -108,6 +108,17 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("trainJoint matches train + trainProduct bit for bit") {
+    val data = vecs(sf0001)
+    val (coarse, subs) = KMeans.trainJoint(data, 4, 16)
+    assert(coarse.map(_.toSeq) == KMeans.train(data).last.map(_.toSeq),
+      "joint coarse codebook diverged from the separate job")
+    val sep = KMeans.trainProduct(data, 4, 16)
+    for (m <- 0 until 4)
+      assert(subs(m).map(_.toSeq) == sep(m).map(_.toSeq),
+        s"joint subspace $m diverged from trainProduct")
+  }
+
   test("per-subspace PQ distortion beats whole-space scalar assignment of the init seeds") {
     // The point of PQ: 4 independent 16-dim codebooks reconstruct
     // better than the same bit budget spent on the untrained seeds.
