@@ -62,7 +62,7 @@ def bench(sf):
 COMMENTARY = """\
 ## Ratio commentary (sf0.1 -> sf1.0 step, measured 2026-08-13)
 
-- **x3_embedding_neardup (~17.6x) — named cause: fixed-width LSH
+- **x3_embedding_neardup (~15x) — named cause: fixed-width LSH
   signature saturation, the declared semantics.** x3 buckets on an
   8-plane (256-value) sign signature that is PART of the query
   definition (the oracle applies the identical planes). Measured
@@ -70,26 +70,31 @@ COMMENTARY = """\
   (max bucket 82, sum(n^2) = 52k same-key pairs); sf1.0 saturates the
   space — 20,000 vectors in 255/256 signatures, max bucket 809,
   sum(n^2) = 5.2M pairs — exactly 100x the candidate verification work
-  for 10x the data, of which ~18x survives to wall-clock because
+  for 10x the data, of which ~15x survives to wall-clock because
   verification is only part of the row. This is how ANY fixed-width
   LSH behaves once occupancy scales; the remedy is the knob the query
   comment names: plane count must grow ~log2(n) (12 planes at 20k
   vectors restores sf0.1 occupancy). The plan itself stays a keyed
   equi-join — no cross product appears at any size.
-- **x12_dedup_clusters (~9.7x)** — candidate pairs from the shingle
-  bands grow ~5.5x (see l2) and the pointer-jumping CC loop adds a
+- **x12_dedup_clusters (~7-10x)** — candidate pairs from the shingle
+  bands grow ~5x (see l2) and the pointer-jumping CC loop adds a
   round as components multiply; each round joins a 10x node table.
   Still at/below linear-per-data at this step; the loop is the
   O(log diameter) design doing its job.
-- **l2/x2/x24 (~5.5x / 3.3x / 3.3x)** — band-bucket occupancy rises
+- **l2/x2/x24 (~4.9x / 2.6x / 2.6x)** — band-bucket occupancy rises
   with corpus size (same mechanism as x3 but over 16-lane minhash
   bands, which saturate far more slowly); candidate verification is
   per-pair array work, so the growth shows as a mild super-linearity
   at the step where per-query fixed overhead stops dominating.
-- **s5/s6 (~1.5x / 1.9x)** — micro-batch commit floor does not grow
+- **x32/x33 (~2.8x / 3.4x)** — k-means training is a fixed number of
+  fused full scans (linear in data); x33 adds ADC search whose probed
+  IVF cells hold 10x the codes, so per-query candidate work grows
+  with corpus size while the query side stays fixed at 20. Both are
+  scans + keyed joins end-to-end; no pairwise blow-up exists.
+- **s5/s6/s7 (~1.2-1.4x)** — micro-batch commit floor does not grow
   with data (BASELINE.md round-6 note); the data term is starting to
   show on top of it.
-- **x21 (~0.9x)** — sf-invariant by construction (fixed in-plan
+- **x21 (~1x)** — sf-invariant by construction (fixed in-plan
   5,000-doc stress corpus).
 - Rows in the 2-4x band (r1-r24, wc*, text/curation family) are
   crossing from overhead-dominated to data-dominated across this
