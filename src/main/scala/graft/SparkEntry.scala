@@ -22,6 +22,7 @@ object SparkEntry {
       graft.llm.BpeQueries.all ++
       graft.llm.PipelineQueries.all ++
       graft.llm.MultimodalQueries.all ++
+      graft.sources.BucketedQueries.all ++
       graft.streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -130,6 +130,54 @@ object ChunkingQueries {
         .orderBy("lang")
     },
 
+    // X35 — temperature-based language rebalancing: the data-mixing
+    // step multilingual LLM pipelines actually run (sample language l
+    // with probability ∝ (n_l/N)^(τ-1), here τ = 1/2 — downweight the
+    // head, keep the tail), with the rates COMPUTED FROM THE CORPUS
+    // in-plan — x19 rebalances against a hand-set rate table; x35
+    // derives the table from the language histogram itself. CROSS-
+    // ENGINE DETERMINISM of the float rate: keep_ppm folds exactly one
+    // IEEE division (N/n_l), one sqrt, a multiply by 0.5 (a power of
+    // two — exact), a min with 1.0, a multiply by 10^6 and a floor —
+    // every step is a single correctly-rounded IEEE-754 op, so Spark
+    // and DuckDB compute bit-identical rates with no fixed-point dance
+    // needed. Membership is then the usual portable-hash threshold
+    // (fifth salt, mod-first per the ADVICE overflow rule). SCALE
+    // SHAPE: one tiny per-lang aggregate (map-side combinable) +
+    // broadcast of the rate table + a pure per-row hash filter — no
+    // shuffle of the corpus, no RNG, byte-reproducible on any cluster.
+    Q(
+      "x35_temperature_mix",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS nn FROM documents),
+        |r AS (SELECT lang, n,
+        |    CAST(floor(least(1.0, 0.5 * sqrt(CAST(nn AS DOUBLE) / n)) * 1000000) AS BIGINT) AS keep_ppm
+        |  FROM c, t),
+        |k AS (SELECT d.lang, d.n_chars FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE ((d.doc_id % 1000003) * 1540483477) % 1000003 % 1000000 < r.keep_ppm)
+        |SELECT r.lang, r.n AS n_docs, r.keep_ppm, count(*) AS n_kept,
+        |  CAST(SUM(k.n_chars) AS BIGINT) AS sum_chars
+        |FROM k JOIN r ON k.lang = r.lang
+        |GROUP BY 1, 2, 3 ORDER BY r.lang""".stripMargin
+    ) { (spark, dir) =>
+      val docs = Tables(spark, dir, "documents")
+      val total = docs.agg(count(lit(1)).as("nn"))
+      val rates = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("n"),
+          floor(least(lit(1.0), lit(0.5) * sqrt(col("nn").cast("double") / col("n")))
+            * 1000000).as("keep_ppm"))
+      val hash = col("doc_id") % 1000003L * 1540483477L % 1000003L % 1000000L
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(broadcast(rates), "lang")
+        .filter(hash < col("keep_ppm"))
+        .groupBy("lang", "n", "keep_ppm")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+        .select(col("lang"), col("n").as("n_docs"), col("keep_ppm"),
+          col("n_kept"), col("sum_chars"))
+        .orderBy("lang")
+    },
+
     // X27 — exact-quota balanced mix: downsample EVERY language to the
     // minority language's document count, selecting each stratum's
     // members by portable-hash rank (order by hashed id, tie by id) —

@@ -243,6 +243,61 @@ object DedupQueries {
         .orderBy("v1", "v2")
     },
 
+    // X34 — semantic dedup over TRAINED IVF cells: the scale remedy the
+    // x3 commentary names. x3's fixed 8-plane LSH saturates once corpus
+    // size approaches its 256 buckets (SCALING.md measured the 100x
+    // candidate blow-up at sf1.0); a k-means coarse quantizer has no
+    // such ceiling — K is a training-time knob that grows with the
+    // corpus, and cells track the data distribution instead of fixed
+    // hyperplanes. Candidates are pairs sharing any of their nprobe=2
+    // nearest cells (multi-probe absorbs the cell-boundary pairs
+    // nprobe=1 would miss), verified by exact cosine >= 0.4. The
+    // trainer is x29's deterministic fixed-point Lloyd job, so the
+    // oracle replays training AND the rank-2 assignment (same
+    // row_number tie rule as KMeans.assignCells' struct sort).
+    // SCALE SHAPE: training is Iters linear scans; probing is a pure
+    // map emitting 2 keyed rows per vector; candidates are cell-keyed
+    // equi-join meets (never all-pairs); the distinct() collapses the
+    // at-most-2 duplicate meets of same-2-cell pairs and runs over
+    // bare (v1, v2) id pairs — bounded by the candidate count; verify
+    // re-joins the cached vectors by id.
+    Q(
+      "x34_semantic_dedup",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |${KMeans.oracleCtes},
+        |pr AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY (list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv)), c.cid) AS rk
+        |    FROM e CROSS JOIN c${KMeans.Iters} c) t
+        |  WHERE rk <= 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |  FROM pr a JOIN pr b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |p AS (SELECT v1, v2,
+        |    round(list_dot_product(x.v, y.v)
+        |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS sim
+        |  FROM cand JOIN e x ON x.vec_id = cand.v1 JOIN e y ON y.vec_id = cand.v2)
+        |SELECT v1, v2, sim FROM p WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(Tables.fanOut(Tables(spark, dir, "embeddings"))
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+        .withColumn("nrm", l2norm(col("v"))))
+      val codebook = KMeans.train(e.select(col("vec_id"), col("v"))).last
+      val probed = CacheScope.cache(e.select(col("vec_id"),
+        KMeans.assignCells(col("v"), codebook, 2).as("cells")))
+      val a = probed.select(col("vec_id").as("v1"), explode(col("cells")).as("pk"))
+      val b = probed.select(col("vec_id").as("v2"), explode(col("cells")).as("pk2"))
+      val cand = a.join(b, col("pk") === col("pk2") && col("v1") < col("v2"))
+        .select("v1", "v2").distinct()
+      val x = e.toDF("v1", "va", "na")
+      val y = e.toDF("v2", "vb", "nb")
+      cand.join(x, "v1").join(y, "v2")
+        .select(col("v1"), col("v2"),
+          r4(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .orderBy("v1", "v2")
+    },
+
     // X12 — near-dup cluster resolution: the l2 pair set treated as an
     // undirected graph, resolved to connected components so a pipeline
     // can keep one canonical doc per near-dup cluster. Components are

@@ -62,6 +62,24 @@ object KMeans {
     array_min(array(entries: _*)).getField("cid")
   }
 
+  /** The `nprobe` nearest cell ids, ascending by (score, cid) — the
+    * multi-probe assignment (x34's semantic dedup). sort_array on the
+    * struct array orders lexicographically by score then cid, so ties
+    * break to the smaller centroid id exactly like `assignCell` and
+    * like `row_number() OVER (ORDER BY score, cid)` in the oracle.
+    * Still a pure map: K codegen'd dot products + one 16-element sort
+    * per row, no join. */
+  def assignCells(v: Column, cent: IndexedSeq[Array[Double]], nprobe: Int): Column = {
+    val entries = cent.zipWithIndex.map { case (c, j) =>
+      struct(
+        (lit(dotRef(c, c)) - lit(2.0) * Cols.dot(v, typedLit(c.toSeq))).as("score"),
+        lit(j.toLong).as("cid"))
+    }
+    val sorted = sort_array(array(entries: _*))
+    array((0 until nprobe).map(i =>
+      element_at(sorted, i + 1).getField("cid")): _*)
+  }
+
   /** Runs Iters Lloyd iterations; returns the centroid history
     * (element 0 = init, element Iters = final codebook). Each element
     * is indexed by cell id. */

@@ -345,6 +345,121 @@ object StreamingQueries {
       spark.read.parquet(out)
         .select("event_id", "ts_us", "user_id", "event_type", "value")
         .orderBy("event_id")
+    },
+
+    // S8 — stream-stream interval join, oracle-gated end to end: the
+    // hardest stateful shape after flatMapGroupsWithState — BOTH sides
+    // unbounded, the join buffering each side until the other side's
+    // watermark proves no more matches can arrive. StreamOps.eventPairs
+    // (watermarked 30 min both sides, event-time bounded both ways)
+    // self-joins the events feed: pairs of same-user events with
+    // ts2 in [ts1, ts1+1h], id1 < id2. Arrival is the s5 single-start
+    // two-chunk mechanics. WHY THE EMITTED SET IS EXACTLY THE BATCH
+    // JOIN: inner stream-stream joins emit eagerly on match (nothing
+    // waits for the watermark), so the only way to lose a pair is
+    // state eviction between batches — a buffered row expires once the
+    // watermark passes ts + 1h (the join's event-time bound), i.e.
+    // after batch 0 only rows with ts < mid - 90min are gone; every
+    // chunk-2 row's partners satisfy ts1 >= ts2 - 1h >= mid - 1h, so
+    // no qualifying pair ever meets an evicted partner, and each pair
+    // matches exactly once (Spark's inner-join guarantee, asserted
+    // against the batch plan in FileStreamSpec). State at 100 TB/day:
+    // each side buffers a ~90-minute slice (watermark delay + join
+    // range), independent of stream history.
+    Q(
+      "s8_stream_pairs",
+      """SELECT a.user_id AS user_id, a.event_id AS id1, b.event_id AS id2
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts >= a.ts
+        |  AND b.ts <= a.ts + INTERVAL 1 HOUR AND a.event_id < b.event_id
+        |ORDER BY a.user_id, id1, id2""".stripMargin
+    ) { (spark, dir) =>
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = TempWork.dir("graft_s8_in")
+      val out = TempWork.dir("graft_s8_out")
+      val ckpt = TempWork.dir("graft_s8_ck")
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val midMs = b.getTimestamp(0).getTime +
+        (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      // Child session with narrowed state width — see s5.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", chunk1.toString).parquet(in)
+      try {
+        val q = StreamOps.eventPairs(stream, stream).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
+      spark.read.parquet(out)
+        .select("user_id", "id1", "id2")
+        .orderBy("user_id", "id1", "id2")
+    },
+
+    // S9 — stream-static broadcast enrichment, oracle-gated end to
+    // end: the "decorate the feed with reference data" stage every
+    // production pipeline runs first. StreamOps.enriched joins each
+    // micro-batch against the customer dimension (broadcast — no
+    // shuffle of the stream, no state at all; the dim is re-read per
+    // batch, so a slowly-changing dimension picks up changes between
+    // batches). STATELESS means the append-mode sink receives exactly
+    // one row per matched event regardless of chunking — no watermark
+    // arithmetic, no finalization semantics — so the oracle is simply
+    // the batch join. Arrival is the s5 two-chunk mechanics to prove
+    // chunking-independence rather than assume it.
+    Q(
+      "s9_stream_enriched",
+      """SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id,
+        |  e.event_type, e.value, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin
+    ) { (spark, dir) =>
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = TempWork.dir("graft_s9_in")
+      val out = TempWork.dir("graft_s9_out")
+      val ckpt = TempWork.dir("graft_s9_ck")
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val midMs = b.getTimestamp(0).getTime +
+        (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", chunk1.toString).parquet(in)
+      // the static side lives on the SAME child session as the stream
+      val customer = Tables(ss, dir, "customer")
+      try {
+        val q = StreamOps.enriched(stream, customer)
+          .select(col("event_id"), epochUs(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("c_mktsegment"))
+          .writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
+      spark.read.parquet(out)
+        .select("event_id", "ts_us", "user_id", "event_type", "value", "c_mktsegment")
+        .orderBy("event_id")
     }
   )
 }

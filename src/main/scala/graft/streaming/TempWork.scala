@@ -12,7 +12,7 @@ import java.util.Comparator
   * the query (the returned DataFrame reads it lazily, possibly more
   * than once), so it is reclaimed by a single JVM-exit hook instead.
   */
-private[streaming] object TempWork {
+private[graft] object TempWork {
 
   private val pending = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val hookInstalled: Boolean = {

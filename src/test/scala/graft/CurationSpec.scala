@@ -91,6 +91,32 @@ class CurationSpec extends AnyFunSuite {
       s"${r.getAs[String]("lang")} quota ${r.getAs[Long]("n_docs")} != $m"))
   }
 
+  test("x35 temperature mix: rates follow share^(tau-1), head downweighted, tail kept") {
+    val rows = SparkEntry.queries("x35_temperature_mix")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    for (r <- rows) {
+      val ppm = r.getAs[Long]("keep_ppm")
+      val nl = r.getAs[Long]("n_docs")
+      // keep_ppm = floor(1e6 * min(1, 0.5*sqrt(N/n_l))) recomputed here
+      val want = math.floor(1000000.0 *
+        math.min(1.0, 0.5 * math.sqrt(n / nl))).toLong
+      assert(ppm == want, s"${r.getAs[String]("lang")}: ppm $ppm != $want")
+      assert(ppm >= 1L && ppm <= 1000000L)
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept >= 1L && kept <= nl)
+      // the hash threshold tracks the rate to within sampling noise
+      assert(math.abs(kept.toDouble / nl - ppm / 1e6) < 0.1,
+        s"${r.getAs[String]("lang")}: kept fraction ${kept.toDouble / nl} vs rate ${ppm / 1e6}")
+    }
+    // rarer languages never get a LOWER keep rate than more common ones
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    byN.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("keep_ppm") >= b.getAs[Long]("keep_ppm"),
+        "temperature mixing must downweight the head, not the tail")
+    }
+  }
+
   test("x28 boilerplate grams are cross-document: df bounded by corpus, sorted, multi-doc only") {
     val rows = SparkEntry.queries("x28_boilerplate_ngrams")(spark, sf001).collect()
     val nDocs = graft.core.Tables(spark, sf001, "documents").count()

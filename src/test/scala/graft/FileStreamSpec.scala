@@ -266,4 +266,30 @@ class FileStreamSpec extends AnyFunSuite {
       assert(got == want, s"emitted $got completed sessions, batch says $want")
     } finally q.stop()
   }
+
+  test("gated s8 run (two-chunk arrival + parquet sink) == batch interval join") {
+    val sp = spark
+    val events = Tables(sp, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val got = SparkEntry.queries("s8_stream_pairs")(sp, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val want = StreamOps.eventPairs(events, events)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      s"gated s8 emitted ${got.size} pairs, batch join says ${want.size}")
+  }
+
+  test("gated s9 run (stream-static enrichment, two-chunk arrival) == batch join") {
+    val sp = spark
+    val events = Tables(sp, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val got = SparkEntry.queries("s9_stream_enriched")(sp, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val want = StreamOps.enriched(events, Tables(sp, sf0001, "customer"))
+      .select(col("event_id"), graft.core.Cols.epochUs(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("c_mktsegment"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      s"gated s9 emitted ${got.size} rows, batch join says ${want.size}")
+  }
 }

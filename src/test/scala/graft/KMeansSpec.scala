@@ -166,4 +166,51 @@ class KMeansSpec extends AnyFunSuite {
       assert(got(id) == want, s"cell mismatch for vec $id")
     }
   }
+
+  test("assignCells rank 1 equals assignCell; probes are distinct and ranked") {
+    val data = vecs(sf0001)
+    val cent = KMeans.train(data).last
+    val rows = data.select(col("vec_id"),
+      KMeans.assignCell(col("v"), cent).as("c1"),
+      KMeans.assignCells(col("v"), cent, 2).as("probes"))
+      .collect()
+    for (r <- rows) {
+      val probes = r.getSeq[Long](2)
+      assert(probes.length == 2)
+      assert(probes.head == r.getLong(1),
+        s"vec ${r.getLong(0)}: multi-probe rank 1 ${probes.head} != argmin ${r.getLong(1)}")
+      assert(probes(0) != probes(1), s"vec ${r.getLong(0)}: duplicate probe")
+    }
+  }
+
+  test("x34 multi-probe candidates are a superset of the nprobe=1 pairs") {
+    // The property that justifies nprobe=2: widening the probe set can
+    // only ADD candidate pairs (cell-boundary pairs), never drop any —
+    // so the verified x34 pair set contains every same-nearest-cell
+    // pair that clears the cosine threshold.
+    val sp = spark
+    val data = graft.core.Tables(sp, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = KMeans.train(data).last
+    val cells = data.select(col("vec_id"), KMeans.assignCell(col("v"), cent).as("cell"))
+    val a = cells.toDF("v1", "c1")
+    val b = cells.toDF("v2", "c2")
+    val rank1Pairs = a.join(b, col("c1") === col("c2") && col("v1") < col("v2"))
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val x34 = SparkEntry.queries("x34_semantic_dedup")(sp, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every rank-1 pair clearing the threshold must appear in x34
+    val e = data.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < x.length) { xy += x(i) * y(i); xx += x(i) * x(i); yy += y(i) * y(i); i += 1 }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    val rank1Near = rank1Pairs.filter { case (p, q) =>
+      BigDecimal(cos(e(p), e(q))).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.4
+    }
+    assert(rank1Near.subsetOf(x34),
+      s"nprobe=2 lost rank-1 pairs: ${rank1Near.diff(x34)}")
+    assert(x34.nonEmpty, "x34 found no near-dup pairs at sf0.001")
+  }
 }
