@@ -328,6 +328,53 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // X36 — canonical-doc selection: the step that makes dedup a
+    // PIPELINE rather than a report. x12 identifies near-dup clusters;
+    // x36 chooses each cluster's survivor — the longest member
+    // (max n_chars, ties to the smaller doc_id), the standard
+    // keep-the-most-complete-copy heuristic — and emits one row per
+    // cluster with the survivor and member count. Downstream, "keep
+    // survivors only" is a semi-join against this table. SCALE SHAPE:
+    // the cluster resolution is x12's O(log diameter) pointer-jumping
+    // loop; survivor choice is a per-cluster window (partitioned by
+    // cluster_id — parallel across millions of clusters, never
+    // global); the oracle restates the same fixpoint as a recursive
+    // CTE plus an argmax.
+    Q(
+      "x36_canonical_docs",
+      s"""${MinHash.oracleSig(5).replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$agreeSql,
+         |pairs AS (SELECT d1, d2 FROM agree WHERE matches >= 14),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |rk AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+         |SELECT cluster_id, max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+         |  max(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars,
+         |  count(*) AS n_members
+         |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    ) { (spark, dir) =>
+      val pairs = minhashPairs(spark, dir).select("d1", "d2")
+      val docs = Tables(spark, dir, "documents").select("doc_id", "n_chars")
+      val cl = graft.ops.ConnectedComponents.minLabel(docs.select("doc_id"), pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+      cl.join(docs, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(max(when(col("rn") === 1, col("doc_id"))).as("survivor_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("survivor_chars"),
+          count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")
+    },
+
     // X21 — adversarial-skew near-dup stress (non-gated bench row; no
     // SQL oracle — the corpus is generated in-plan, and DedupSpec
     // asserts the exact expected cluster distribution). A synthetic

@@ -142,6 +142,33 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("x36 canonical selection: clusters partition the corpus, survivor is the longest member") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    val rows = SparkEntry.queries("x36_canonical_docs")(sp, sf0001).collect()
+    val docs = graft.core.Tables(sp, sf0001, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every document lands in exactly one cluster
+    assert(rows.map(_.getAs[Long]("n_members")).sum == docs.size)
+    // x12's cluster assignment is the ground truth for membership
+    val cl = SparkEntry.queries("x12_dedup_clusters")(sp, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val members = cl.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(rows.length == members.size)
+    for (r <- rows) {
+      val cid = r.getAs[Long]("cluster_id")
+      val surv = r.getAs[Long]("survivor_id")
+      val ms = members(cid)
+      assert(ms.contains(surv), s"cluster $cid survivor $surv not a member")
+      assert(r.getAs[Long]("n_members") == ms.length)
+      // survivor maximizes (n_chars, -doc_id)
+      val best = ms.maxBy(d => (docs(d), -d))
+      assert(surv == best, s"cluster $cid survivor $surv != longest member $best")
+      assert(r.getAs[Long]("survivor_chars") == docs(surv))
+    }
+  }
+
   test("shingling is deterministic and lowercased") {
     val a = MinHash.shingles(docsDF(Seq(1L -> "Hello World")), 5)
       .collect().map(_.getLong(1)).sorted.toSeq
