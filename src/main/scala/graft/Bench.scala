@@ -197,6 +197,17 @@ object Bench {
       (m, diag)
     }
 
+    // SPARK_GRAFT_BENCH_FILTER (round 7): comma-separated query names —
+    // restrict the suite to just those rows. Investigation aid for
+    // single-row anomalies (s8's run-to-run climb): a full suite takes
+    // ~4 min of warm-up before the row under study even starts.
+    val registry = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(f) =>
+        val names = f.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.registry.filter(q => names.contains(q.name))
+      case None => SparkEntry.registry
+    }
+
     // PRE-SUITE WARM PHASE (round 6, untimed): one full pass over the
     // registry, then wait for the async JIT queue to drain. At suite
     // start NOTHING is compiled — the first timed windows otherwise pay
@@ -211,8 +222,8 @@ object Bench {
     var jitWaitS = 0.0
     if (warmMode != "off") {
       val warmSet =
-        if (warmMode == "fast") SparkEntry.registry.take(10)
-        else SparkEntry.registry
+        if (warmMode == "fast") registry.take(10)
+        else registry
       val w0 = System.nanoTime()
       val sink = ArrayBuffer[Double]()
       warmSet.foreach(q => once(q.name, sink))
@@ -223,7 +234,7 @@ object Bench {
           f"jit quiet after $jitWaitS%.1f s, code cache ${codeCacheMb()} MB")
     }
 
-    val firstPass = SparkEntry.registry.map { q =>
+    val firstPass = registry.map { q =>
       val (m, diag) = exec(q.name)
       (q.name, m, diag)
     }

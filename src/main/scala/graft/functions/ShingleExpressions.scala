@@ -371,6 +371,75 @@ object TokenNgrams {
   }
 }
 
+/** Native greedy BPE pair merge: one left-to-right pass over the token
+  * array replacing each adjacent (a, b) occurrence with the merged
+  * symbol, where a consumed token cannot start another match — exactly
+  * the reference BPE trainer's re-tokenization (Sennrich et al. 2016).
+  * `[a, b, a, b]` merges to `[ab, ab]` and `[a, a, a]` (pair (a, a))
+  * to `[aa, a]`. The previous x30 spelling — non-overlapping string
+  * replace over the space-joined symbols — under-merged pairs that
+  * share only the delimiter space (`' a b a b '` matched once because
+  * the match consumed the middle space, yielding `ab a b`); ADVICE r6
+  * flagged the divergence, and this expression replaces it with the
+  * faithful array pass on both engines (the oracle states the same
+  * scan as a candidate-chain parity formula — see BpeQueries).
+  *
+  * The merge pair and its fused form are plan literals (one merge rule
+  * per training round), carried as constructor params like
+  * TokenNgrams' n and installed as codegen references.
+  */
+case class PairMerge(child: Expression, a: String, b: String, merged: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pair_merge requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_pair_merge"
+
+  private lazy val aU = UTF8String.fromString(a)
+  private lazy val bU = UTF8String.fromString(b)
+  private lazy val mU = UTF8String.fromString(merged)
+
+  override def nullSafeEval(input: Any): Any =
+    PairMerge.compute(input.asInstanceOf[ArrayData], aU, bU, mU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("pmA", aU, classOf[UTF8String].getName)
+    val bRef = ctx.addReferenceObj("pmB", bU, classOf[UTF8String].getName)
+    val mRef = ctx.addReferenceObj("pmM", mU, classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PairMerge.compute($c, $aRef, $bRef, $mRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairMerge =
+    copy(child = newChild)
+}
+
+object PairMerge {
+  def compute(arr: ArrayData, a: UTF8String, b: UTF8String,
+      merged: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      if (i + 1 < n && toks(i).equals(a) && toks(i + 1).equals(b)) {
+        out += merged
+        i += 2
+      } else {
+        out += toks(i)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object ShingleExpressions {
   /** Sorted distinct n-gram shingle-hash array of a string column. */
   def shingleSet(text: Column, n: Int): Column =
@@ -379,6 +448,10 @@ object ShingleExpressions {
   /** Space-joined n-grams of adjacent tokens of an array<string> column. */
   def tokenNgrams(toks: Column, n: Int): Column =
     Bridge.column(TokenNgrams(Bridge.expression(toks), n))
+
+  /** Greedy left-to-right BPE merge of adjacent (a, b) into merged. */
+  def pairMerge(toks: Column, a: String, b: String, merged: String): Column =
+    Bridge.column(PairMerge(Bridge.expression(toks), a, b, merged))
 
   /** Whitespace tokens (maximal non-\s runs) of a string column. */
   def wsTokens(text: Column): Column =

@@ -20,18 +20,28 @@ import org.apache.spark.sql.functions._
   * work). Per round: pair counts come from the native TokenNgrams
   * 2-gram expression over the cached type table, partial-aggregated
   * map-side to the pair vocabulary; the driver receives exactly ONE
-  * row (the argmax); the merge applies as a literal string replace in
-  * the next round's expression chain. Merging uses left-to-right
-  * non-overlapping `replace` on the space-joined symbol string with
-  * sentinel padding — both engines' replace has exactly BPE's greedy
-  * semantics ("a a a" merges to "aa a", the second overlapping pair
-  * is consumed). A production trainer running 50k merges would
-  * checkpoint the symbol column every few hundred rounds to cap
-  * lineage growth; at Rounds=8 the chain is trivially shallow.
+  * row (the argmax); the merge applies as the native PairMerge
+  * expression — a single greedy left-to-right pass over the symbol
+  * array in which a consumed token cannot start another match, the
+  * reference trainer's exact re-tokenization ("a b a b" -> "ab ab",
+  * "a a a" -> "aa a"). Round 6 spelled the merge as non-overlapping
+  * string replace over the space-joined symbols, which under-merged
+  * adjacent occurrences sharing only the delimiter space (ADVICE r6);
+  * the array pass fixes that divergence on BOTH engines. A production
+  * trainer running 50k merges would checkpoint the symbol column every
+  * few hundred rounds to cap lineage growth; at Rounds=8 the chain is
+  * trivially shallow.
   *
   * The oracle replays the identical Rounds iterations as unrolled
   * CTEs, so every pair count, tie-break, and re-tokenization — not
-  * just the final table — is hash-gated.
+  * just the final table — is hash-gated. Its merge states the same
+  * greedy scan as a closed-form parity rule: candidate position i
+  * (l[i]=a, l[i+1]=b) is merged iff the run of consecutive candidates
+  * immediately before it has EVEN length — candidates chain only
+  * inside equal-symbol runs ("a a a a"), where greedy takes every
+  * other one; elsewhere a candidate's predecessor is never a
+  * candidate, so the parity term is 0 and every candidate merges.
+  * BpeSpec proves formula == sequential scan by property test.
   */
 object BpeQueries {
 
@@ -39,11 +49,23 @@ object BpeQueries {
 
   private def oracleSql: String = {
     val rounds = (1 to Rounds).map { r =>
-      s"""p$r AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair, f
-         |  FROM (SELECT string_split(s, ' ') AS l, f FROM w${r - 1})),
+      s"""x$r AS (SELECT string_split(s, ' ') AS l, f FROM w${r - 1}),
+         |p$r AS (SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS pair, f FROM x$r),
          |b$r AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS c FROM p$r GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
-         |w$r AS (SELECT trim(replace(' ' || w.s || ' ', ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')) AS s, w.f
-         |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
+         |ab$r AS (SELECT string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb, replace(pair, ' ', '') AS pm FROM b$r),
+         |y$r AS (SELECT l, f, pm,
+         |    list_transform(range(1, len(l)), i -> CASE WHEN l[i] = pa AND l[i+1] = pb THEN 1 ELSE 0 END) AS cnd
+         |  FROM x$r CROSS JOIN ab$r),
+         |z$r AS (SELECT l, f, pm,
+         |    list_transform(range(1, len(l)), i -> cnd[i] = 1
+         |      AND (i - 1 - coalesce(list_max(list_filter(range(1, i), j -> cnd[j] = 0)), 0)) % 2 = 0) AS sel
+         |  FROM y$r),
+         |w$r AS (SELECT array_to_string(list_filter(
+         |    list_transform(range(1, len(l) + 1), i ->
+         |      CASE WHEN i <= len(sel) AND sel[i] THEN pm
+         |           WHEN i >= 2 AND sel[i - 1] THEN NULL
+         |           ELSE l[i] END),
+         |    t -> t IS NOT NULL), ' ') AS s, f FROM z$r)""".stripMargin
     }.mkString(",\n")
     val sel = (1 to Rounds).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM b$r")
@@ -60,7 +82,7 @@ object BpeQueries {
     * word-type table; returns (round, pair, merged, pairCount). */
   private[graft] def train(words: org.apache.spark.sql.DataFrame,
       rounds: Int): Seq[(Long, String, String, Long)] = {
-    var s: Column = col("s")
+    var s: Column = split(col("s"), " ")
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     for (r <- 1 to rounds) {
       // 2-grams of the symbol array: single-symbol words contribute
@@ -69,7 +91,7 @@ object BpeQueries {
       val top = words
         .select(col("f"),
           explode(graft.functions.ShingleExpressions
-            .tokenNgrams(split(s, " "), 2)).as("pair"))
+            .tokenNgrams(s, 2)).as("pair"))
         .groupBy("pair").agg(sum("f").as("c"))
         .orderBy(col("c").desc, col("pair")).limit(1).collect()
       require(top.nonEmpty, s"pair vocabulary exhausted at merge round $r")
@@ -77,8 +99,8 @@ object BpeQueries {
       val c = top.head.getLong(1)
       val merged = pair.replace(" ", "")
       merges += ((r.toLong, pair, merged, c))
-      s = trim(replace(concat(lit(" "), s, lit(" ")),
-        lit(s" $pair "), lit(s" $merged ")))
+      val Array(pa, pb) = pair.split(" ", 2)
+      s = graft.functions.ShingleExpressions.pairMerge(s, pa, pb, merged)
     }
     merges.toSeq
   }

@@ -23,7 +23,7 @@ object CurationQueries {
 
   /** Shared DuckDB token expression — identical split/lower/drop-empty
     * semantics to [[graft.core.Cols.wsTokens]]. */
-  private val toksSql =
+  private[llm] val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
   /** (doc_id, lang, toks) over documents, scan fanned out ahead of the

@@ -210,6 +210,13 @@ object DedupQueries {
     // plus the 8 one-bit flips), never a nested-loop cross product. At
     // 100 TB the plane count is the scale knob; 8 planes already cut the
     // sf0.1 pair space from 12.5M to ~225k candidates.
+    // SCALE REMEDY — x34_semantic_dedup (below) IS the gated fix for
+    // the fixed-width saturation SCALING.md measures here at sf1.0
+    // (15.2x step: 20k vectors overwhelm 256 buckets): its trained IVF
+    // coarse quantizer has no fixed ceiling — K grows with the corpus.
+    // x3 is retained deliberately as the fixed-width contrast case;
+    // its declared semantics (these 8 planes, hamming <= 1) are part
+    // of the query definition the oracle replays.
     Q(
       "x3_embedding_neardup",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -283,7 +290,10 @@ object DedupQueries {
         .select(col("vec_id"), vecD(col("embedding")).as("v"))
         .withColumn("nrm", l2norm(col("v"))))
       val codebook = KMeans.train(e.select(col("vec_id"), col("v"))).last
-      val probed = CacheScope.cache(e.select(col("vec_id"),
+      // cacheEager, not cache: probed fans out to BOTH sides of the
+      // candidate self-join (two concurrent shuffle map stages) — the
+      // lazy-cache fan-out race CacheScope documents (ADVICE r6).
+      val probed = CacheScope.cacheEager(e.select(col("vec_id"),
         KMeans.assignCells(col("v"), codebook, 2).as("cells")))
       val a = probed.select(col("vec_id").as("v1"), explode(col("cells")).as("pk"))
       val b = probed.select(col("vec_id").as("v2"), explode(col("cells")).as("pk2"))

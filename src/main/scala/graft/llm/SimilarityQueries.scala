@@ -193,7 +193,11 @@ object SimilarityQueries {
       val e = CacheScope.cacheEager(
         vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
       val codebook = KMeans.train(e.select(col("vec_id"), col("v"))).last
-      val assigned = CacheScope.cache(e.select(col("vec_id"), col("v"), col("nrm"),
+      // cacheEager: assigned feeds both the broadcast query side and
+      // the probe side — the broadcast stage mostly serializes the
+      // branches, but an eager materialization removes the lazy-cache
+      // fan-out race outright (ADVICE r6).
+      val assigned = CacheScope.cacheEager(e.select(col("vec_id"), col("v"), col("nrm"),
         KMeans.assignCell(col("v"), codebook).as("cell")))
       val q = assigned.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "qcell")
       val x = assigned.toDF("nid", "xv", "xn", "xcell")
@@ -341,7 +345,9 @@ object SimilarityQueries {
         element_at(typedLit(pq(m).map(_.toSeq)),
           (KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), pq(m)) + 1).cast("int"))
       }: _*)
-      val enc = CacheScope.cache(e.select(col("vec_id"), col("v"), col("nrm"),
+      // cacheEager: enc fans out to the broadcast query side and the
+      // probe side — see x29's note (ADVICE r6).
+      val enc = CacheScope.cacheEager(e.select(col("vec_id"), col("v"), col("nrm"),
         KMeans.assignCell(col("v"), coarse).as("cell"), rv.as("rv")))
       val q = enc.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -357,6 +363,141 @@ object SimilarityQueries {
       scored.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
+    },
+
+    // X37 — nprobe as the DECLARED recall/cost dial (VERDICT r6
+    // stretch): the same jointly-trained IVF-PQ index as x33, searched
+    // at nprobe=1 AND nprobe=4, scored against the exact brute-force
+    // top-5 ground truth — one gated row per query reporting the
+    // candidate count (the COST side) and the ground-truth hits in the
+    // ADC top-5 (the RECALL side) at both settings, plus the delta.
+    // This is the dial a real IVF deployment tunes: more probed cells
+    // = more candidates scanned = higher recall, and the row makes
+    // the trade measurable instead of asserted. Output is ALL exact
+    // integers (counts and set intersections — no float column), so
+    // the hash gate is immune to rounding concerns; the r4-rounded
+    // ADC cosine is used only for RANKING, identically in both
+    // engines. SCALE SHAPE: identical to x33 (3 joint training scans,
+    // cell-keyed candidate join, 2-byte scanned code width) — the
+    // query side just explodes to nprobe keyed probe rows, and the
+    // ground-truth pass is l3's broadcast-20-queries linear scan (the
+    // recall AUDIT a deployment runs on a sample, not on every query).
+    Q(
+      "x37_ivf_nprobe", {
+        val sub = (0 until 4).map { m =>
+          s"s${m}e AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e),\n" +
+            KMeans.oracleCtes(s"s${m}e", 16, s"s$m")
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${KMeans.oracleCtes},
+           |$sub,
+           |rec AS (SELECT a.vec_id, a.cell,
+           |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
+           |  FROM af a
+           |  JOIN s0af a0 ON a0.vec_id = a.vec_id JOIN s0c${KMeans.Iters} b0 ON b0.cid = a0.cell
+           |  JOIN s1af a1 ON a1.vec_id = a.vec_id JOIN s1c${KMeans.Iters} b1 ON b1.cid = a1.cell
+           |  JOIN s2af a2 ON a2.vec_id = a.vec_id JOIN s2c${KMeans.Iters} b2 ON b2.cid = a2.cell
+           |  JOIN s3af a3 ON a3.vec_id = a.vec_id JOIN s3c${KMeans.Iters} b3 ON b3.cid = a3.cell),
+           |qp AS (SELECT vec_id AS qid, cid AS pcell, rk AS pi FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY (list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv)), c.cid) AS rk
+           |    FROM e CROSS JOIN c${KMeans.Iters} c WHERE e.vec_id < 20) t
+           |  WHERE rk <= 4),
+           |cand AS (SELECT q.qid, q.pi, r.vec_id AS nid,
+           |    round(list_dot_product(qe.v, r.rv)
+           |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(r.rv, r.rv))), 4) AS sim
+           |  FROM qp q JOIN e qe ON qe.vec_id = q.qid
+           |  JOIN rec r ON r.cell = q.pcell AND r.vec_id <> q.qid),
+           |t1 AS (SELECT qid, nid FROM (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM cand WHERE pi = 1) WHERE rn <= 5),
+           |t4 AS (SELECT qid, nid FROM (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM cand) WHERE rn <= 5),
+           |ex AS (SELECT qid, nid FROM (SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      round(list_dot_product(q.v, x.v)
+           |        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 4) DESC,
+           |      x.vec_id) AS rn
+           |  FROM e q JOIN e x ON x.vec_id <> q.vec_id WHERE q.vec_id < 20) WHERE rn <= 5),
+           |cc AS (SELECT qid,
+           |    CAST(SUM(CASE WHEN pi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cands_p1,
+           |    CAST(COUNT(*) AS BIGINT) AS cands_p4 FROM cand GROUP BY qid),
+           |h1 AS (SELECT t1.qid, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM t1 JOIN ex ON ex.qid = t1.qid AND ex.nid = t1.nid GROUP BY t1.qid),
+           |h4 AS (SELECT t4.qid, CAST(COUNT(*) AS BIGINT) AS hits
+           |  FROM t4 JOIN ex ON ex.qid = t4.qid AND ex.nid = t4.nid GROUP BY t4.qid),
+           |base AS (SELECT vec_id AS qid FROM e WHERE vec_id < 20)
+           |SELECT base.qid,
+           |  COALESCE(cc.cands_p1, 0) AS cands_p1, COALESCE(cc.cands_p4, 0) AS cands_p4,
+           |  COALESCE(h1.hits, 0) AS hits_p1, COALESCE(h4.hits, 0) AS hits_p4,
+           |  COALESCE(h4.hits, 0) - COALESCE(h1.hits, 0) AS recall_gain
+           |FROM base LEFT JOIN cc ON cc.qid = base.qid
+           |  LEFT JOIN h1 ON h1.qid = base.qid LEFT JOIN h4 ON h4.qid = base.qid
+           |ORDER BY base.qid""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(
+        vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
+      val (coarse, pq) = KMeans.trainJoint(e.select(col("vec_id"), col("v")), 4, 16)
+      val rv = concat((0 until 4).map { m =>
+        element_at(typedLit(pq(m).map(_.toSeq)),
+          (KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), pq(m)) + 1).cast("int"))
+      }: _*)
+      // cacheEager: enc fans out to the probe-side scan and the
+      // query side (same shape as x33).
+      val enc = CacheScope.cacheEager(e.select(col("vec_id"), col("v"), col("nrm"),
+        KMeans.assignCell(col("v"), coarse).as("cell"), rv.as("rv")))
+      // Query side: each of the 20 queries explodes to its 4 nearest
+      // cells, pi = 1-based probe rank (pi=1 IS x33's nprobe=1 cell —
+      // assignCells' (score, cid) tie rule matches assignCell).
+      val qprobes = enc.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          posexplode(KMeans.assignCells(col("v"), coarse, 4)).as(Seq("pi0", "pcell")))
+        .withColumn("pi", (col("pi0") + 1).cast("long")).drop("pi0")
+      val x = enc.select(col("vec_id").as("nid"), col("rv").as("xv"),
+        col("cell").as("xcell"))
+      // Each (qid, nid) meets at most once per probe (a data vector
+      // lives in exactly one cell), so no distinct() is needed.
+      val cand = CacheScope.cacheEager(broadcast(qprobes)
+        .join(x, col("pcell") === col("xcell") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("pi"), col("nid"),
+          r4(dot(col("qv"), col("xv")) / (col("qn") * l2norm(col("xv")))).as("sim")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      val t1 = cand.filter(col("pi") === 1)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("qid", "nid")
+      val t4 = cand
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("qid", "nid")
+      // Ground truth: l3's broadcast linear scan over the RAW vectors.
+      val q20 = e.filter(col("vec_id") < 20).toDF("eqid", "eqv", "eqn")
+      val ex = broadcast(q20)
+        .join(e.toDF("nid", "xv2", "xn2"), col("eqid") =!= col("nid"))
+        .select(col("eqid").as("qid"), col("nid"),
+          r4(dot(col("eqv"), col("xv2")) / (col("eqn") * col("xn2"))).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("qid", "nid")
+      val cc = cand.groupBy("qid").agg(
+        sum(when(col("pi") === 1, 1L).otherwise(0L)).as("cands_p1"),
+        count(lit(1)).as("cands_p4"))
+      val h1 = t1.join(ex, Seq("qid", "nid")).groupBy("qid")
+        .agg(count(lit(1)).as("hits_p1"))
+      val h4 = t4.join(ex, Seq("qid", "nid")).groupBy("qid")
+        .agg(count(lit(1)).as("hits_p4"))
+      e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"))
+        .join(cc, Seq("qid"), "left").join(h1, Seq("qid"), "left")
+        .join(h4, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("cands_p1"), lit(0L)).as("cands_p1"),
+          coalesce(col("cands_p4"), lit(0L)).as("cands_p4"),
+          coalesce(col("hits_p1"), lit(0L)).as("hits_p1"),
+          coalesce(col("hits_p4"), lit(0L)).as("hits_p4"),
+          (coalesce(col("hits_p4"), lit(0L)) - coalesce(col("hits_p1"), lit(0L)))
+            .as("recall_gain"))
+        .orderBy("qid")
     }
   )
 }

@@ -45,6 +45,64 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq((1L, "b c", "bc", 1L)))
   }
 
+  test("delimiter-sharing adjacents merge fully: abab -> [ab, ab]") {
+    // The ADVICE-r6 divergence case: round-6's non-overlapping string
+    // replace on ' a b a b ' matched once (the match consumed the
+    // middle space) and yielded 'ab a b'; the PairMerge array pass
+    // merges both occurrences, so round 2's top pair is (ab ab) —
+    // the faithful Sennrich re-tokenization.
+    val got = BpeQueries.train(wordTable(Seq(("abab", 1L))), 2)
+    assert(got(0) == (1L, "a b", "ab", 2L))
+    assert(got(1) == (2L, "ab ab", "abab", 1L))
+  }
+
+  test("oracle's candidate-chain parity formula == sequential greedy scan") {
+    // The x30 oracle can't express an imperative scan, so it selects
+    // candidate i iff the consecutive-candidate run before i has even
+    // length. Property-check that closed form against the reference
+    // sequential scan (and against PairMerge.compute itself) over
+    // exhaustive small alphabets — chains only arise in equal-symbol
+    // runs, which {a, b} x length<=10 covers densely.
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def seqScan(l: Vector[String], a: String, b: String, m: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < l.length) {
+        if (i + 1 < l.length && l(i) == a && l(i + 1) == b) { out += m; i += 2 }
+        else { out += l(i); i += 1 }
+      }
+      out.result()
+    }
+    def parityForm(l: Vector[String], a: String, b: String, m: String): Vector[String] = {
+      val n = l.length
+      val cnd = (0 until n - 1).map(i => l(i) == a && l(i + 1) == b)
+      val sel = (0 until n - 1).map { i =>
+        val lastNon = (0 until i).reverse.find(j => !cnd(j)).map(_ + 1).getOrElse(0)
+        cnd(i) && (i - lastNon) % 2 == 0
+      }
+      (0 until n).flatMap { i =>
+        if (i < n - 1 && sel(i)) Some(m)
+        else if (i >= 1 && sel(i - 1)) None
+        else Some(l(i))
+      }.toVector
+    }
+    val alphabet = Vector("a", "b")
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2000) {
+      val l = Vector.fill(rnd.nextInt(10) + 1)(alphabet(rnd.nextInt(2)))
+      val (a, b) = (alphabet(rnd.nextInt(2)), alphabet(rnd.nextInt(2)))
+      val m = a + b
+      val expect = seqScan(l, a, b, m)
+      assert(parityForm(l, a, b, m) == expect, s"parity form diverged on $l pair ($a,$b)")
+      val arr = new GenericArrayData(l.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.PairMerge.compute(arr,
+        UTF8String.fromString(a), UTF8String.fromString(b), UTF8String.fromString(m))
+      assert((0 until got.numElements()).map(got.getUTF8String(_).toString) == expect,
+        s"PairMerge.compute diverged on $l pair ($a,$b)")
+    }
+  }
+
   test("x30 is deterministic across runs on the corpus") {
     val a = SparkEntry.queries("x30_bpe_merges")(spark, sf0001).collect()
     val b = SparkEntry.queries("x30_bpe_merges")(spark, sf0001).collect()

@@ -42,15 +42,27 @@ def main():
     for line in lines:
         m = row_re.match(line)
         t = tot_re.match(line)
-        if m and m.group(1) in samples:
+        if m:
+            # EVERY matched table row contributes to the rewritten total,
+            # including rows with no new sample (query absent from the
+            # supplied JSONs: failed run, partial suite, rename) — those
+            # keep min/med/n unchanged. Previously such rows were silently
+            # excluded from the total, understating the total gate
+            # (ADVICE r6). A row with no sample is loud, not silent.
             name, mn, md, n = m.group(1), float(m.group(2)), float(m.group(3)), int(m.group(4))
             seen.add(name)
-            new_mn = min([mn] + samples[name])
-            if new_mn < mn:
-                print(f"{name}: min {mn:.2f} -> {new_mn:.2f}")
-            min_sum += new_mn
-            med_sum += md
-            out.append(f"| {name} | {new_mn:.2f} | {md:.2f} | {n + nruns} |{m.group(5)}")
+            if name in samples:
+                new_mn = min([mn] + samples[name])
+                if new_mn < mn:
+                    print(f"{name}: min {mn:.2f} -> {new_mn:.2f}")
+                min_sum += new_mn
+                med_sum += md
+                out.append(f"| {name} | {new_mn:.2f} | {md:.2f} | {n + nruns} |{m.group(5)}")
+            else:
+                print(f"{name}: WARNING no sample in supplied JSONs — row kept as-is")
+                min_sum += mn
+                med_sum += md
+                out.append(line)
             continue
         if t:
             # insert NEW rows just before the total line

@@ -57,6 +57,18 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     ok = bad = 0
+    # Per-query records mirroring the driver's CORRECTNESS artifact —
+    # but with the rows-only rationale merged INLINE (by_design + why)
+    # so a cold reader of the one file never mistakes a deliberate
+    # no-oracle row for a failure (ADVICE/VERDICT r6).
+    art = {}
+
+    def record(name, **kw):
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        rec.update(kw)
+        art[name] = rec
+
     for name, sql in sorted(oracle.items()):
         if ONLY and name not in ONLY:
             continue
@@ -66,6 +78,7 @@ def main():
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            record(name, err=f"oracle_error: {e}")
             bad += 1
             continue
         try:
@@ -74,10 +87,14 @@ def main():
             got_rows = got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            record(name, err=f"spark_output_missing: {e}",
+                   oracle_rows=len(exp_rows))
             bad += 1
             continue
         if sorted(exp_cols) != sorted(got_cols):
             print(f"FAIL {name}: cols oracle={exp_cols} spark={got_cols}")
+            record(name, schema_match=False, err="schema_mismatch",
+                   spark_rows=len(got_rows), oracle_rows=len(exp_rows))
             bad += 1
             continue
         # align column order by name
@@ -87,11 +104,16 @@ def main():
         gnorm = sorted([tuple(r[i] for i in gidx) for r in got_rows], key=repr)
         if len(enorm) != len(gnorm):
             print(f"FAIL {name}: rows oracle={len(enorm)} spark={len(gnorm)}")
+            record(name, rows_match=False, schema_match=True,
+                   err="row_count_mismatch",
+                   spark_rows=len(gnorm), oracle_rows=len(enorm))
             bad += 1
             continue
         exact = enorm == gnorm
         if exact:
             print(f"OK   {name} ({len(enorm)} rows)")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(gnorm), oracle_rows=len(enorm))
             ok += 1
             continue
         # find first diff
@@ -112,12 +134,20 @@ def main():
         if close:
             print(f"NEAR {name}: values differ only within 1e-9 (STILL A HASH FAIL) "
                   f"first={first}")
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   err="near_miss_1e-9",
+                   spark_rows=len(gnorm), oracle_rows=len(enorm))
         else:
             print(f"FAIL {name}: first diff row {first[0]}:\n  oracle={first[1]}\n  spark ={first[2]}")
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   err="value_mismatch",
+                   spark_rows=len(gnorm), oracle_rows=len(enorm))
         bad += 1
     # Oracle-less rows are BY DESIGN: name them (with why + gating spec)
     # so the gate output — like the driver's CORRECTNESS artifact — is
     # self-explanatory about what is deliberately not hash-compared.
+    # Their artifact entries carry by_design + the rationale INLINE
+    # (no bare "no_oracle" anywhere in the merged artifact).
     try:
         rows_only = json.load(open(f"{OUT}/rows_only.json"))
     except Exception:
@@ -126,8 +156,16 @@ def main():
         if ONLY and name not in ONLY:
             continue
         print(f"BY-DESIGN rows-only {name}: {info.get('why', '')}")
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{OUT}/{name}/*.parquet'").fetchone()[0]
+        except Exception:
+            n = None
+        record(name, spark_rows=n, **{**info, "by_design": True})
+    with open(f"{OUT}/correctness.json", "w") as f:
+        json.dump(dict(sorted(art.items())), f, indent=2)
     suffix = f" ({len(rows_only)} rows-only by design)" if rows_only else ""
     print(f"\n{ok} OK / {bad} FAIL{suffix}")
+    print(f"merged artifact: {OUT}/correctness.json")
     sys.exit(1 if bad else 0)
 
 main()

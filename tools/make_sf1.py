@@ -76,15 +76,29 @@ def main():
         ("customer", ["c_custkey"]),
         ("supplier", ["s_suppkey"]),
         ("part", ["p_partkey"]),
-        ("events", ["event_id", "user_id"]),
     ]:
         src = read(t)
         write(t, shifted_copies(src, cols), src.schema)
 
+    cust_stride = stride(read("customer"), "c_custkey")
+
+    # events: event_id shifts by its own stride, but user_id is a FOREIGN
+    # KEY into customer (s9/r6 join events.user_id = c_custkey), so it
+    # must shift by the REFERENCED table's stride — shifting it by its
+    # own max+1 (the old code) cross-wired copy k's events into other
+    # copies' (or no) customers whenever max(user_id) != max(c_custkey),
+    # changing join selectivity in the sf1.0 curve (ADVICE r6).
+    events = read("events")
+
+    def fix_events(t, k):
+        i = t.schema.get_field_index("user_id")
+        return t.set_column(i, "user_id", pc.add(t["user_id"], k * cust_stride))
+    write("events", shifted_copies(events, ["event_id"], fix_events),
+          events.schema)
+
     # orders/lineitem: foreign keys must shift by the REFERENCED table's
     # stride so copy k points at copy k of its dimensions.
     orders = read("orders")
-    cust_stride = stride(read("customer"), "c_custkey")
     ok_stride = stride(orders, "o_orderkey")
 
     def fix_orders(t, k):

@@ -75,7 +75,13 @@ COMMENTARY = """\
   LSH behaves once occupancy scales; the remedy is the knob the query
   comment names: plane count must grow ~log2(n) (12 planes at 20k
   vectors restores sf0.1 occupancy). The plan itself stays a keyed
-  equi-join — no cross product appears at any size.
+  equi-join — no cross product appears at any size. **The gated
+  remedy is x34_semantic_dedup**: a TRAINED IVF coarse quantizer
+  whose cell count K is a training-time knob that grows with the
+  corpus — no fixed ceiling to saturate — with the identical
+  cell-keyed candidate-join shape (compare its sf1.0 row in the
+  table above). x3 is retained as the fixed-width contrast case; its
+  query comment (DedupQueries.scala) cross-references x34.
 - **x12_dedup_clusters (~7-10x)** — candidate pairs from the shingle
   bands grow ~5x (see l2) and the pointer-jumping CC loop adds a
   round as components multiply; each round joins a 10x node table.
