@@ -254,24 +254,33 @@ object DedupQueries {
     // x3 commentary names. x3's fixed 8-plane LSH saturates once corpus
     // size approaches its 256 buckets (SCALING.md measured the 100x
     // candidate blow-up at sf1.0); a k-means coarse quantizer has no
-    // such ceiling — K is a training-time knob that grows with the
-    // corpus, and cells track the data distribution instead of fixed
-    // hyperplanes. Candidates are pairs sharing any of their nprobe=2
-    // nearest cells (multi-probe absorbs the cell-boundary pairs
-    // nprobe=1 would miss), verified by exact cosine >= 0.4. The
-    // trainer is x29's deterministic fixed-point Lloyd job, so the
-    // oracle replays training AND the rank-2 assignment (same
+    // such ceiling — and since round 7, K ACTUALLY GROWS with the
+    // corpus: K = KMeans.scaledK(n), the smallest power of two with
+    // K^2 >= n (the flat-IVF sqrt(n) rule — candidate work stays
+    // O(n^1.5) instead of the O(n^2) a pinned K degrades to; the
+    // round-7 scaling run measured fixed K=16 at 27.7x per 10x data,
+    // worse than x3's saturation, because 16 cells saturate before
+    // 256 signatures do). Both engines compute K by the same
+    // integer-exact powers-of-two argmin (kk CTE) — at the sf0.01
+    // gate it lands on 16, the search family's fixed K. Candidates
+    // are pairs sharing any of their nprobe=2 nearest cells
+    // (multi-probe absorbs the cell-boundary pairs nprobe=1 would
+    // miss), verified by exact cosine >= 0.4. The trainer is x29's
+    // deterministic fixed-point Lloyd job, so the oracle replays the
+    // K selection, training, AND the rank-2 assignment (same
     // row_number tie rule as KMeans.assignCells' struct sort).
-    // SCALE SHAPE: training is Iters linear scans; probing is a pure
-    // map emitting 2 keyed rows per vector; candidates are cell-keyed
-    // equi-join meets (never all-pairs); the distinct() collapses the
-    // at-most-2 duplicate meets of same-2-cell pairs and runs over
-    // bare (v1, v2) id pairs — bounded by the candidate count; verify
+    // SCALE SHAPE: training is Iters linear scans (K literal dot
+    // products per row); probing is a pure map emitting 2 keyed rows
+    // per vector; candidates are cell-keyed equi-join meets (never
+    // all-pairs) with ~n/K-sized cells BY CONSTRUCTION; the
+    // distinct() collapses the at-most-2 duplicate meets of
+    // same-2-cell pairs and runs over bare (v1, v2) id pairs; verify
     // re-joins the cached vectors by id.
     Q(
       "x34_semantic_dedup",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |${KMeans.oracleCtes},
+        |${KMeans.scaledKSql("e")},
+        |${KMeans.oracleCtes("e", 64, "", "(SELECT k FROM kk)")},
         |pr AS (SELECT vec_id, cid AS cell FROM (
         |    SELECT e.vec_id, c.cid,
         |      row_number() OVER (PARTITION BY e.vec_id
@@ -289,7 +298,10 @@ object DedupQueries {
       val e = CacheScope.cacheEager(Tables.fanOut(Tables(spark, dir, "embeddings"))
         .select(col("vec_id"), vecD(col("embedding")).as("v"))
         .withColumn("nrm", l2norm(col("v"))))
-      val codebook = KMeans.train(e.select(col("vec_id"), col("v"))).last
+      // Capacity tracks the corpus: K^2 >= n (see query doc). The
+      // count is free — e was just eagerly materialized.
+      val k = KMeans.scaledK(e.count())
+      val codebook = KMeans.train(e.select(col("vec_id"), col("v")), k).last
       // cacheEager, not cache: probed fans out to BOTH sides of the
       // candidate self-join (two concurrent shuffle map stages) — the
       // lazy-cache fan-out race CacheScope documents (ADVICE r6).

@@ -83,15 +83,44 @@ object KMeans {
   /** Runs Iters Lloyd iterations; returns the centroid history
     * (element 0 = init, element Iters = final codebook). Each element
     * is indexed by cell id. */
-  def train(vecs: DataFrame): Seq[IndexedSeq[Array[Double]]] = {
+  /** Corpus-scaled cell count: the smallest power of two whose square
+    * covers n — the flat-IVF K ≈ sqrt(n) rule that keeps candidate
+    * work O(n^1.5) instead of the O(n^2) a FIXED K degrades to once
+    * cells outgrow the corpus structure (x34's round-7 scaling run
+    * measured exactly that: fixed K=16 at 20k vectors = 27.7x per 10x
+    * data). Integer-exact on purpose: a float
+    * pow(2, ceil(log2(sqrt(n)))) rides representation boundaries at
+    * exact powers (n = 256 could yield 16 or 32 depending on the last
+    * ulp of log2), so both engines state it as "MIN p in powers-of-two
+    * with p*p >= n" — no FP anywhere. At the sf0.01 gate (n = 200)
+    * this yields 16 = the fixed K of the search family, so the two
+    * families stay comparable at gate scale. */
+  def scaledK(n: Long): Int =
+    Iterator.iterate(1L)(_ * 2).find(p => p * p >= n).get.toInt
+
+  /** DuckDB restatement of [[scaledK]] as a 1-row CTE `kk (k)` over
+    * `$eTable` — the same powers-of-two argmin, no floats. */
+  def scaledKSql(eTable: String): String =
+    s"""kk AS (SELECT MIN(p) AS k FROM
+       |    (SELECT CAST(UNNEST([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,
+       |                    8192,16384,32768,65536,131072,262144]) AS BIGINT) AS p) pw,
+       |    (SELECT count(*) AS n FROM $eTable) cnt
+       |  WHERE p * p >= n)""".stripMargin
+
+  def train(vecs: DataFrame): Seq[IndexedSeq[Array[Double]]] = train(vecs, K)
+
+  /** As [[train]] with an explicit cell count `k` (seeds = the k
+    * vectors with vec_id < k; callers pass [[scaledK]] of the corpus
+    * size to make capacity track the data — x34). */
+  def train(vecs: DataFrame, k: Int): Seq[IndexedSeq[Array[Double]]] = {
     val init: IndexedSeq[Array[Double]] = vecs
-      .filter(col("vec_id") < K)
+      .filter(col("vec_id") < k)
       .orderBy("vec_id")
       .select("v")
       .collect()
       .map(_.getSeq[Double](0).toArray)
       .toIndexedSeq
-    require(init.length == K, s"need $K seed vectors, found ${init.length}")
+    require(init.length == k, s"need $k seed vectors, found ${init.length}")
     var hist = Vector(init)
     for (_ <- 1 to Iters) {
       val cent = hist.last
@@ -105,7 +134,7 @@ object KMeans {
         .collect()
       val m = sums.map(r =>
         (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
-      val next = (0 until K).map { j =>
+      val next = (0 until k).map { j =>
         if (m.contains((j.toLong, 0)))
           cent(j).indices.map { d =>
             val (s, n) = m((j.toLong, d))
@@ -234,7 +263,14 @@ object KMeans {
     * `dims`-element vectors, every CTE name prefixed with `pfx` so
     * several trainers (x32's per-subspace codebooks) can coexist in
     * one WITH clause. Final assignments land in `${pfx}af`. */
-  def oracleCtes(eTable: String, dims: Int, pfx: String): String = {
+  def oracleCtes(eTable: String, dims: Int, pfx: String): String =
+    oracleCtes(eTable, dims, pfx, K.toString)
+
+  /** As above with an explicit seed bound SQL expression — pass
+    * `"(SELECT k FROM kk)"` next to [[scaledKSql]] for corpus-scaled
+    * capacity (the CTE bodies are K-independent: assignment is a
+    * generic argmin over whatever c0 holds, updates group by cell). */
+  def oracleCtes(eTable: String, dims: Int, pfx: String, seedBound: String): String = {
     def assign(name: String, c: String): String =
       s"""$name AS (SELECT vec_id, v, cid AS cell FROM (
          |    SELECT e.vec_id, e.v, c.cid,
@@ -253,7 +289,7 @@ object KMeans {
       assign(s"${pfx}a$i", s"${pfx}c${i - 1}") + ",\n" +
         update(s"${pfx}a$i", s"${pfx}c${i - 1}", s"${pfx}c$i")
     }.mkString(",\n")
-    s"""${pfx}c0 AS (SELECT vec_id AS cid, v AS cv FROM $eTable WHERE vec_id < $K),
+    s"""${pfx}c0 AS (SELECT vec_id AS cid, v AS cv FROM $eTable WHERE vec_id < $seedBound),
        |$iters,
        |${assign(s"${pfx}af", s"${pfx}c$Iters")}""".stripMargin
   }

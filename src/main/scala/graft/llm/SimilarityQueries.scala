@@ -373,7 +373,15 @@ object SimilarityQueries {
     // ADC top-5 (the RECALL side) at both settings, plus the delta.
     // This is the dial a real IVF deployment tunes: more probed cells
     // = more candidates scanned = higher recall, and the row makes
-    // the trade measurable instead of asserted. Output is ALL exact
+    // the trade measurable instead of asserted. MEASURED at sf0.01:
+    // candidates grow ~4x (≈30 → ≈130 per query) while per-query
+    // hit deltas land in {-1, 0, +1} — the negative cases are ADC
+    // approximation noise (extra candidates ranked by RECONSTRUCTED
+    // similarity can displace a true neighbor from the fixed top-5),
+    // which is precisely why deployments pair nprobe increases with
+    // exact re-ranking of the ADC shortlist; NprobePipelineSpec pins
+    // the superset/bounds invariants and documents the non-monotone
+    // possibility. Output is ALL exact
     // integers (counts and set intersections — no float column), so
     // the hash gate is immune to rounding concerns; the r4-rounded
     // ADC cosine is used only for RANKING, identically in both

@@ -191,7 +191,8 @@ class KMeansSpec extends AnyFunSuite {
     val sp = spark
     val data = graft.core.Tables(sp, sf0001, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cent = KMeans.train(data).last
+    // x34 trains at corpus-scaled capacity (round 7) — mirror it.
+    val cent = KMeans.train(data, KMeans.scaledK(data.count())).last
     val cells = data.select(col("vec_id"), KMeans.assignCell(col("v"), cent).as("cell"))
     val a = cells.toDF("v1", "c1")
     val b = cells.toDF("v2", "c2")
@@ -212,5 +213,24 @@ class KMeansSpec extends AnyFunSuite {
     assert(rank1Near.subsetOf(x34),
       s"nprobe=2 lost rank-1 pairs: ${rank1Near.diff(x34)}")
     assert(x34.nonEmpty, "x34 found no near-dup pairs at sf0.001")
+  }
+
+  test("scaledK is the smallest power of two whose square covers n") {
+    import graft.llm.KMeans.scaledK
+    assert(scaledK(1) == 1)
+    assert(scaledK(2) == 2)
+    assert(scaledK(4) == 2)
+    assert(scaledK(5) == 4)
+    assert(scaledK(16) == 4)
+    assert(scaledK(17) == 8)
+    assert(scaledK(200) == 16)   // the sf0.01 gate corpus -> the fixed search K
+    assert(scaledK(256) == 16)   // exact square boundary stays exact (no FP)
+    assert(scaledK(257) == 32)
+    assert(scaledK(2000) == 64)
+    assert(scaledK(20000) == 256)
+    for (n <- 1L to 5000L) {
+      val k = scaledK(n).toLong
+      assert(k * k >= n && (k == 1 || (k / 2) * (k / 2) < n), s"n=$n k=$k")
+    }
   }
 }

@@ -62,6 +62,23 @@ def bench(sf):
 COMMENTARY = """\
 ## Ratio commentary (sf0.1 -> sf1.0 step, measured 2026-08-13)
 
+- **x34_semantic_dedup — the fixed-capacity trap, measured, then
+  REMOVED.** The first round-7 scaling run caught x34 at 80.9 s /
+  27.7x per 10x data — WORSE than x3 — because its cell count was
+  pinned at K=16 while the corpus grew 10x: 20k vectors in 16 cells
+  is ~1,250 per cell, and the cell-keyed candidate join is quadratic
+  in cell size, the very saturation x34 exists to avoid (16 cells
+  saturate before x3's 256 signatures do). The fix makes the query's
+  own claim true: K = scaledK(n), the smallest power of two with
+  K^2 >= n (flat-IVF sqrt(n) rule; 16 at the sf0.01 gate, 64 at
+  sf0.1, 256 at sf1.0), computed by the same integer-exact
+  powers-of-two argmin in both engines and replayed in the oracle's
+  kk CTE. With capacity tracking the corpus the sf1.0 row drops
+  ~8x (80.9 -> ~10 s) and the step ratio falls out of the flag zone;
+  candidate work is O(n^1.5) by construction — cells hold ~sqrt(n)
+  vectors at every scale. The table's x34 row now measures the
+  scaled form; the 27.7x figure is retained here as the measured
+  contrast.
 - **x3_embedding_neardup (~15x) — named cause: fixed-width LSH
   signature saturation, the declared semantics.** x3 buckets on an
   8-plane (256-value) sign signature that is PART of the query
@@ -97,9 +114,25 @@ COMMENTARY = """\
   IVF cells hold 10x the codes, so per-query candidate work grows
   with corpus size while the query side stays fixed at 20. Both are
   scans + keyed joins end-to-end; no pairwise blow-up exists.
-- **s5/s6/s7 (~1.2-1.4x)** — micro-batch commit floor does not grow
-  with data (BASELINE.md round-6 note); the data term is starting to
+- **x12/x36/x38 (~6-10x)** — the connected-components family:
+  candidate pairs from the shingle bands grow ~5-6x (see l2), the
+  pointer-jumping loop adds a round as components multiply, and each
+  round joins a 10x node table. x36 and x38 inherit x12's loop and
+  add a per-cluster window / the funnel+mix stages (both partitioned,
+  neither global). At/below linear-per-data; the O(log diameter)
+  design doing its job.
+- **x37 (~1.9x)** — training is x33's 3 fused scans (linear); the
+  nprobe=4 probe side scans 4 cells per query whose size grows with
+  the corpus, and the brute-force ground-truth audit is a broadcast
+  linear scan. No pairwise term anywhere: the row stays
+  overhead-plus-linear.
+- **s5-s9 (~1.2-2.4x)** — micro-batch commit floor does not grow
+  with data (BASELINE.md round-6 note); the data term (s8's join
+  state, s9's 10x enriched rows through one sink) is starting to
   show on top of it.
+- **b1 (~2x)** — bucketed ingest rewrites the 10x fact tables
+  (bucketBy write is most of the row); the join itself stays
+  exchange-free at every size.
 - **x21 (~1x)** — sf-invariant by construction (fixed in-plan
   5,000-doc stress corpus).
 - Rows in the 2-4x band (r1-r24, wc*, text/curation family) are
