@@ -23,6 +23,8 @@ object SparkEntry {
       graft.llm.PipelineQueries.all ++
       graft.llm.MultimodalQueries.all ++
       graft.sources.BucketedQueries.all ++
+      graft.sources.ExportQueries.all ++
+      graft.sources.RoundTripQueries.all ++
       graft.streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

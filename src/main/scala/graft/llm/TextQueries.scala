@@ -284,6 +284,48 @@ object TextQueries {
                  |    (c, i) -> ascii(c) * ((CAST(i + 1 AS BIGINT) * 2654435761) % 1000003)),
                  |  0L, (s, x) -> s + x) % 2147483647""".stripMargin).cast("long").as("fp"))
         .orderBy("doc_id")
+    },
+
+    // X39 — inverted index: per term, document frequency, total term
+    // frequency, and the first-8 posting list — the retrieval-side
+    // artifact a decontamination or search pipeline builds over the
+    // corpus. The scale-critical piece is the posting list: a stopword's
+    // full postings are corpus-sized, so they must never materialize.
+    // The custom TopKPerKey operator (plans/TopKPerKey.scala) keeps a
+    // partial 8-element heap per term per partition — shuffle traffic
+    // per term is bounded by k * partitions regardless of df, where a
+    // window row_number would shuffle and sort the full corpus-sized
+    // partition for every common term. df/tf_total are ordinary partial
+    // aggregates over the vocabulary-keyed tf table. Postings are
+    // emitted comma-joined so the cross-engine hash compares strings,
+    // not engine-specific list encodings.
+    Q(
+      "x39_inverted_index",
+      """WITH tok AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents) u
+        |  WHERE t <> ''),
+        |tf AS (SELECT t, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT t AS term, count(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total
+        |  FROM tf GROUP BY 1),
+        |post AS (SELECT t AS term,
+        |    array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS postings
+        |  FROM tf GROUP BY 1)
+        |SELECT a.term, a.df, a.tf_total, p.postings
+        |FROM agg a JOIN post p ON a.term = p.term ORDER BY a.term""".stripMargin
+    ) { (spark, dir) =>
+      val tok = Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+      val tf = tok.groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+      val agg = tf.groupBy("t")
+        .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+      val post = graft.plans.TopKPerKey(
+          tf.select("t", "doc_id"),
+          keys = Seq("t"), orderBy = Seq(("doc_id", true)), k = 8)
+        .groupBy(col("t").as("t2"))
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+      agg.join(post, col("t") === col("t2"))
+        .select(col("t").as("term"), col("df"), col("tf_total"), col("postings"))
+        .orderBy("term")
     }
   )
 }

@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.core.Cols._
+import graft.core.{Q, Tables}
+import graft.streaming.TempWork
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Non-parquet source/sink round trips (SURVEY.md §2B "Scans/sources":
+  * parquet, text, json, csv). Each gated query writes a table out
+  * through the format's sink, reads it back through the format's
+  * source with an EXPLICIT schema (schema inference over 100 TB means
+  * reading the data twice — a declared schema is the only scale-sane
+  * contract), and audits the round trip with an aggregate whose oracle
+  * is computed straight from the original parquet. A value the format
+  * corrupts — a timestamp that loses its microseconds, a double that
+  * fails to round-trip through decimal text, a comma that breaks CSV
+  * quoting — lands in the aggregate and fails the cross-engine hash.
+  *
+  * Both formats round-trip doubles exactly: Spark writes shortest
+  * decimal text (Ryū) and parses it back to the identical IEEE value.
+  * Timestamps carry an explicit micros format on BOTH sides — the
+  * default JSON/CSV patterns are millisecond-precision, which would
+  * silently truncate the events table's micros instants.
+  */
+object RoundTripQueries {
+
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val all: Seq[Q] = Seq(
+
+    // B2 — JSON-lines round trip on events: the hardest columns a text
+    // format faces — micros timestamps, doubles, and props (a JSON
+    // document nested as a STRING, so the writer must escape it and the
+    // reader must NOT parse it). The audit keys every fidelity channel:
+    // exact value sums via integer ten-thousandths (sum order never
+    // touches doubles), micros extremes via epoch_us, distinct users.
+    Q(
+      "b2_jsonl_roundtrip",
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS users,
+        |  SUM(CAST(round(value*10000) AS BIGINT)) / 10000.0 AS v_sum,
+        |  min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val out = TempWork.dir("graft_b2_jsonl")
+      Tables(spark, dir, "events")
+        .write.mode("overwrite")
+        .option("timestampFormat", TsFmt)
+        .json(out)
+      spark.read.schema(eventsSchema)
+        .option("timestampFormat", TsFmt)
+        .json(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          sumFixed(col("value"), 10000).as("v_sum"),
+          min(epochUs(col("ts"))).as("ts_min"),
+          max(epochUs(col("ts"))).as("ts_max"))
+        .orderBy("event_type")
+    },
+
+    // B3 — CSV round trip on customer: free-text name column exercises
+    // the quoting path; the read declares the schema (header is written
+    // for human inspection but the reader's contract is the schema, not
+    // inference). Money audited as exact integer cents.
+    Q(
+      "b3_csv_roundtrip",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  count(DISTINCT c_nationkey) AS nations,
+        |  SUM(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS bal_sum,
+        |  min(c_custkey) AS first_cust, max(c_custkey) AS last_cust
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val out = TempWork.dir("graft_b3_csv")
+      Tables(spark, dir, "customer")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(out)
+      spark.read.schema(customerSchema)
+        .option("header", "true")
+        .csv(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_nationkey")).as("nations"),
+          sumFixed(col("c_acctbal"), 100).as("bal_sum"),
+          min(col("c_custkey")).as("first_cust"),
+          max(col("c_custkey")).as("last_cust"))
+        .orderBy("c_mktsegment")
+    }
+  )
+}

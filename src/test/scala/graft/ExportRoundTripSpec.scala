@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.Tables
+import graft.sources.{ExportQueries, RoundTripQueries}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates behind the x39/x40/b2/b3 rows that the cross-engine hash
+  * can't see: the posting-list truncation contract, the exported
+  * shard layout (directory structure + intra-file order), and the
+  * lossless-round-trip property the b2/b3 audits summarize.
+  */
+class ExportRoundTripSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("x39 postings are the true first-8 ascending doc ids per term") {
+    val out = run("x39_inverted_index").collect()
+    assert(out.nonEmpty)
+    // reference postings via a window over the same tokenization
+    val tok = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), explode(graft.core.Cols.wsTokens(col("text"))).as("t"))
+      .select("t", "doc_id").distinct()
+    val ref = tok
+      .withColumn("rk", row_number().over(Window.partitionBy("t").orderBy("doc_id")))
+      .filter(col("rk") <= 8)
+      .groupBy("t")
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("p"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val term = r.getAs[String]("term")
+      val postings = r.getAs[String]("postings")
+      val ids = postings.split(",").map(_.toLong).toSeq
+      assert(ids.size <= 8 && ids == ids.sorted, s"$term: $postings")
+      assert(r.getAs[Long]("df") >= ids.size.toLong, term)
+      assert(postings == ref(term), s"$term: $postings vs ${ref(term)}")
+    }
+  }
+
+  test("x40 export lays out 16 pruned shard dirs with doc-sorted files") {
+    // run the gated query (which writes the layout), then inspect the
+    // most recent x40 export dir it produced
+    val audit = run("x40_shard_export").collect()
+    assert(audit.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf0001, "documents").count())
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val root = base.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_x40_shards"))
+      .maxBy(_.lastModified())
+    val shardDirs = root.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(shardDirs.length == ExportQueries.NumShards, shardDirs.mkString(","))
+    // intra-file order: every file is ascending by doc_id (the
+    // sortWithinPartitions contract a loader relies on for sequential
+    // reads); check one shard's files
+    val one = spark.read.parquet(s"$root/shard=0")
+      .withColumn("f", input_file_name())
+      .select("f", "doc_id").collect()
+    one.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(1)).toSeq
+      assert(ids == ids.sorted)
+    }
+  }
+
+  test("b2/b3 audits equal the same aggregate computed without the round trip") {
+    // if the text format corrupted any value, the audit and the direct
+    // aggregate would diverge somewhere in counts, cents, or micros
+    def direct(table: String, agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Seq[Row] =
+      agg(Tables(spark, sf0001, table)).collect().toSeq
+    import graft.core.Cols._
+    val b2direct = direct("events", df => df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+        sumFixed(col("value"), 10000).as("v_sum"),
+        min(epochUs(col("ts"))).as("ts_min"), max(epochUs(col("ts"))).as("ts_max"))
+      .orderBy("event_type"))
+    assert(run("b2_jsonl_roundtrip").collect().toSeq == b2direct)
+    val b3direct = direct("customer", df => df.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_nationkey")).as("nations"),
+        sumFixed(col("c_acctbal"), 100).as("bal_sum"),
+        min(col("c_custkey")).as("first_cust"), max(col("c_custkey")).as("last_cust"))
+      .orderBy("c_mktsegment"))
+    assert(run("b3_csv_roundtrip").collect().toSeq == b3direct)
+    RoundTripQueries.all.size // touch the object so an unregistered Q fails loud
+  }
+}
