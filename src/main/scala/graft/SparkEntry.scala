@@ -14,6 +14,7 @@ object SparkEntry {
       graft.gemm.GemmQueries.all ++
       graft.relational.RelationalQueries.all ++
       graft.relational.SqlQueries.all ++
+      graft.relational.BehaviorQueries.all ++
       graft.llm.DedupQueries.all ++
       graft.llm.SimilarityQueries.all ++
       graft.llm.TextQueries.all ++
