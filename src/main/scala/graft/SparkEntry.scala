@@ -11,6 +11,7 @@ object SparkEntry {
 
   val registry: Seq[Q] =
     graft.ops.WordCountQueries.all ++
+      graft.ops.SkewQueries.all ++
       graft.gemm.GemmQueries.all ++
       graft.relational.RelationalQueries.all ++
       graft.relational.SqlQueries.all ++
