@@ -16,6 +16,7 @@ object SparkEntry {
       graft.relational.RelationalQueries.all ++
       graft.relational.SqlQueries.all ++
       graft.relational.BehaviorQueries.all ++
+      graft.relational.MergeQueries.all ++
       graft.llm.DedupQueries.all ++
       graft.llm.SimilarityQueries.all ++
       graft.llm.TextQueries.all ++

@@ -47,6 +47,19 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Whole-stage-codegen CLASS cache (static conf, default 100
+      // entries). The trained-codebook family (x29/x32/x33/x34/x37/
+      // x47) bakes literal centroid tables into its plans — K literal
+      // dot products per assignment, 128 cells at sf0.1 since x34's
+      // corpus-scaled K — so one suite pass generates far more than
+      // 100 distinct codegen units and the LRU thrashes: round-7
+      // bench diag showed x37 re-Janino-compiling ~100 classes on
+      // EVERY timed run (janino_ms 22s of a 9s-median row, the
+      // dominant term). 2000 entries lets the warm pass's
+      // compilations survive the whole suite; cached GeneratedClass
+      // handles are small (the compiled code lives in metaspace
+      // either way), so the cost is a few MB of heap.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // parquet reader defaults Tables relies on: read TIMESTAMP(NANOS)
       // as long (the vectorized reader rejects nanos) and don't infer
       // NTZ — Tables normalizes everything to TimestampType itself.

@@ -506,6 +506,98 @@ object SimilarityQueries {
           (coalesce(col("hits_p4"), lit(0L)) - coalesce(col("hits_p1"), lit(0L)))
             .as("recall_gain"))
         .orderBy("qid")
+    },
+
+    // X47 — two-stage retrieval: PQ shortlist, exact re-rank — the
+    // deployment pattern x37's measurement motivates (its negative
+    // recall deltas are ADC approximation displacing true neighbors;
+    // the standard fix is to over-fetch by ADC and re-rank the
+    // shortlist by TRUE distance). Stage 1 is x37's nprobe=4 ADC
+    // search kept to a top-20 shortlist per query; stage 2 recomputes
+    // exact cosine on the shortlist's RAW vectors and emits the top 5.
+    // SCALE SHAPE: stage 1 is x33's (3 joint training scans, cell-
+    // keyed candidate join, 2-byte scanned code width); stage 2
+    // touches exactly 20 raw vectors per query — an id-keyed join
+    // whose cost is O(queries * shortlist), independent of corpus
+    // size. This is the piece that makes aggressive PQ compression
+    // safe: approximation error only has to keep the true top-5
+    // inside the top-20, not rank it.
+    Q(
+      "x47_pq_rerank", {
+        val sub = (0 until 4).map { m =>
+          s"s${m}e AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e),\n" +
+            KMeans.oracleCtes(s"s${m}e", 16, s"s$m")
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${KMeans.oracleCtes},
+           |$sub,
+           |rec AS (SELECT a.vec_id, a.cell,
+           |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
+           |  FROM af a
+           |  JOIN s0af a0 ON a0.vec_id = a.vec_id JOIN s0c${KMeans.Iters} b0 ON b0.cid = a0.cell
+           |  JOIN s1af a1 ON a1.vec_id = a.vec_id JOIN s1c${KMeans.Iters} b1 ON b1.cid = a1.cell
+           |  JOIN s2af a2 ON a2.vec_id = a.vec_id JOIN s2c${KMeans.Iters} b2 ON b2.cid = a2.cell
+           |  JOIN s3af a3 ON a3.vec_id = a.vec_id JOIN s3c${KMeans.Iters} b3 ON b3.cid = a3.cell),
+           |qp AS (SELECT vec_id AS qid, cid AS pcell FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY (list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv)), c.cid) AS rk
+           |    FROM e CROSS JOIN c${KMeans.Iters} c WHERE e.vec_id < 20) t
+           |  WHERE rk <= 4),
+           |cand AS (SELECT q.qid, r.vec_id AS nid,
+           |    round(list_dot_product(qe.v, r.rv)
+           |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(r.rv, r.rv))), 4) AS adc
+           |  FROM qp q JOIN e qe ON qe.vec_id = q.qid
+           |  JOIN rec r ON r.cell = q.pcell AND r.vec_id <> q.qid),
+           |sl AS (SELECT qid, nid FROM (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+           |  FROM cand) WHERE rn <= 20),
+           |rr AS (SELECT sl.qid, sl.nid,
+           |    round(list_dot_product(q.v, x.v)
+           |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 4) AS sim
+           |  FROM sl JOIN e q ON q.vec_id = sl.qid JOIN e x ON x.vec_id = sl.nid),
+           |f AS (SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM rr)
+           |SELECT qid, nid, sim, rn FROM f WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(
+        vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
+      val (coarse, pq) = KMeans.trainJoint(e.select(col("vec_id"), col("v")), 4, 16)
+      val rv = concat((0 until 4).map { m =>
+        element_at(typedLit(pq(m).map(_.toSeq)),
+          (KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), pq(m)) + 1).cast("int"))
+      }: _*)
+      // cacheEager: enc fans out to the probe-side scan and the query
+      // side (same shape as x33/x37 — ADVICE r6's fan-out rule).
+      val enc = CacheScope.cacheEager(e.select(col("vec_id"), col("v"), col("nrm"),
+        KMeans.assignCell(col("v"), coarse).as("cell"), rv.as("rv")))
+      val qprobes = enc.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          explode(KMeans.assignCells(col("v"), coarse, 4)).as("pcell"))
+      val x = enc.select(col("vec_id").as("nid"), col("rv").as("xv"),
+        col("cell").as("xcell"))
+      // Stage 1: ADC scoring against RECONSTRUCTED vectors, top-20.
+      val cand = broadcast(qprobes)
+        .join(x, col("pcell") === col("xcell") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          r4(dot(col("qv"), col("xv")) / (col("qn") * l2norm(col("xv")))).as("adc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("adc").desc, col("nid"))
+      val sl = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+        .select("qid", "nid")
+      // Stage 2: exact cosine on the shortlist's RAW vectors, top-5.
+      val rq = e.select(col("vec_id").as("rqid"), col("v").as("rqv"), col("nrm").as("rqn"))
+      val rx = e.select(col("vec_id").as("rnid"), col("v").as("rxv"), col("nrm").as("rxn"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      sl.join(rq, col("qid") === col("rqid"))
+        .join(rx, col("nid") === col("rnid"))
+        .select(col("qid"), col("nid"),
+          r4(dot(col("rqv"), col("rxv")) / (col("rqn") * col("rxn"))).as("sim"))
+        .withColumn("rn", row_number().over(wf).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
     }
   )
 }

@@ -326,6 +326,64 @@ object TextQueries {
       agg.join(post, col("t") === col("t2"))
         .select(col("t").as("term"), col("df"), col("tf_total"), col("postings"))
         .orderBy("term")
+    },
+
+    // X46 — bigram LM fluency score: the CCNet/Gopher "perplexity
+    // filter" shape — score every document under a language model
+    // trained on the corpus itself, so boilerplate and gibberish (whose
+    // token transitions are rare corpus-wide) rank below fluent prose.
+    // The model is an add-V-smoothed bigram LM; to keep the score
+    // hash-comparable across engines it is computed in INTEGER
+    // arithmetic (the x20 PMI discipline — no log, no doubles): each
+    // adjacent pair (a,b) scores p = (count(a,b) * 10^6) div
+    // (count(a) + V), and a document's fluency is the integer mean of
+    // its pair scores — a monotone stand-in for the LM probability
+    // ranking a real perplexity filter applies (documented divergence:
+    // mean-of-p ranks differently from geometric-mean perplexity when
+    // per-pair distributions are wildly skewed; the filter DECISIONS
+    // at the tails, which is what the stage exists for, agree).
+    // SCALE SHAPE: tokenize is per-row; cu/cb are vocabulary- and
+    // bigram-vocabulary-keyed partial aggregates (corpus-size-
+    // independent width); the scoring joins key bigram occurrences on
+    // the bigram and its head token; the final mean is a doc_id-keyed
+    // aggregate. Every shuffle is keyed; nothing is ever all-pairs,
+    // and the model tables grow with the VOCABULARY, not the corpus.
+    Q(
+      "x46_lm_fluency",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT unnest(toks) AS w FROM t),
+        |cu AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+        |vv AS (SELECT count(*) AS v FROM cu),
+        |bg AS (SELECT doc_id, toks[i] AS a, toks[i] || ' ' || toks[i+1] AS bgr
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)),
+        |cb AS (SELECT bgr, count(*) AS cnt_ab FROM bg GROUP BY 1),
+        |sc AS (SELECT bg.doc_id, (cb.cnt_ab * 1000000) // (cu.cnt + vv.v) AS p
+        |  FROM bg JOIN cb ON cb.bgr = bg.bgr JOIN cu ON cu.w = bg.a CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(p) // count(*) AS BIGINT) AS fluency
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      val tok = t.select(explode(col("toks")).as("w"))
+      val cu = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val vv = cu.agg(count(lit(1)).as("v"))
+      val bg = t.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(
+          graft.functions.ShingleExpressions.tokenNgrams(col("toks"), 2)).as("bgr"))
+        .withColumn("a", split(col("bgr"), " ").getItem(0))
+      val cb = bg.groupBy(col("bgr").as("cbr")).agg(count(lit(1)).as("cnt_ab"))
+      bg.join(cb, col("bgr") === col("cbr"))
+        .join(cu.toDF("cw", "cnt"), col("a") === col("cw"))
+        .crossJoin(broadcast(vv))
+        .select(col("doc_id"),
+          expr("(cnt_ab * 1000000) DIV (cnt + v)").as("p"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("SUM(p) DIV count(1)").cast("long").as("fluency"))
+        .orderBy("doc_id")
     }
   )
 }

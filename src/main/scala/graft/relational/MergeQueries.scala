@@ -1,0 +1,93 @@
+package graft.relational
+
+import graft.core.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** CDC / snapshot-merge operators: the "apply today's change batch to
+  * the dimension" step every warehouse runs nightly, here as an SCD
+  * type-2 merge (versioned history: updates close the old version and
+  * open a new one; inserts open version 1; untouched keys pass
+  * through). The reference has no mutation surface at all, so this is
+  * extended-surface: the operator a user of ANY batch engine needs the
+  * moment their input is a stream of snapshots rather than a static
+  * table (same motivation as x24's incremental snapshot dedup).
+  */
+object MergeQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // X48 — SCD2 merge of a change batch into the orders dimension.
+    // The batch is derived DETERMINISTICALLY from the base so both
+    // engines construct the identical input: keys ≡ 0 (mod 7) arrive
+    // re-priced (+10%, computed in exact integer cents — the Cols
+    // money discipline), and keys ≡ 0 (mod 13) arrive as brand-new
+    // orders under a shifted key space (k + 10^9, disjoint from any
+    // real key at every SF). The merge itself is the honest operator:
+    // a full outer join of base×batch on the key — the engine does NOT
+    // get to exploit how the batch was made — classifying each key as
+    // update (both sides, price changed), insert (batch only), or
+    // unchanged (base only; mod-7 keys that are also mod-13 don't
+    // exist — inserts are key-shifted), then emitting versioned rows:
+    // retired v1 + current v2 for updates, current v1 otherwise.
+    // SCALE SHAPE: one keyed shuffle for the outer join (batch and
+    // base co-partition on the key), per-row classification, then the
+    // versioned rows come from ONE pass — each joined row explodes to
+    // its 1-or-2 output versions (a union of two selects over the join
+    // would execute the join twice in Spark; the oracle's UNION ALL
+    // over the `m` CTE is the same single-evaluation shape because
+    // DuckDB materializes CTEs). No window, no driver materialization.
+    // At 100 TB the join is the unavoidable cost and everything else
+    // is map-side; bucketing both sides on the key (b1's layout) would
+    // remove even that exchange for a nightly pipeline.
+    Q(
+      "x48_scd2_merge",
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |upd AS (SELECT k, cents + cents // 10 AS cents FROM base WHERE k % 7 = 0),
+        |ins AS (SELECT k + 1000000000 AS k, cents FROM base WHERE k % 13 = 0),
+        |batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |m AS (SELECT COALESCE(b.k, t.k) AS k, b.cents AS old_cents,
+        |    t.cents AS new_cents,
+        |    CASE WHEN b.k IS NULL THEN 'insert'
+        |         WHEN t.k IS NULL THEN 'unchanged'
+        |         ELSE 'update' END AS change_type
+        |  FROM base b FULL OUTER JOIN batch t ON t.k = b.k),
+        |out AS (
+        |  SELECT k, 1 AS version, change_type <> 'update' AS is_current,
+        |    change_type, COALESCE(old_cents, new_cents) AS cents FROM m
+        |  UNION ALL
+        |  SELECT k, 2, TRUE, change_type, new_cents FROM m
+        |  WHERE change_type = 'update')
+        |SELECT k AS o_orderkey, CAST(version AS BIGINT) AS version,
+        |  is_current, change_type, cents / 100.0 AS price
+        |FROM out ORDER BY o_orderkey, version""".stripMargin
+    ) { (spark, dir) =>
+      val base = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val upd = base.filter(col("k") % 7 === 0)
+        .select(col("k"), (col("cents") + expr("cents DIV 10")).as("cents"))
+      val ins = base.filter(col("k") % 13 === 0)
+        .select((col("k") + 1000000000L).as("k"), col("cents"))
+      val batch = upd.unionByName(ins)
+      val m = base.toDF("bk", "old_cents")
+        .join(batch.toDF("tk", "new_cents"), col("tk") === col("bk"), "full_outer")
+        .select(coalesce(col("bk"), col("tk")).as("k"),
+          col("old_cents"), col("new_cents"),
+          when(col("bk").isNull, "insert")
+            .when(col("tk").isNull, "unchanged")
+            .otherwise("update").as("change_type"))
+      val v1 = struct(lit(1L).as("version"),
+        (col("change_type") =!= "update").as("is_current"),
+        coalesce(col("old_cents"), col("new_cents")).as("cents"))
+      val v2 = struct(lit(2L).as("version"), lit(true).as("is_current"),
+        col("new_cents").as("cents"))
+      m.select(col("k").as("o_orderkey"), col("change_type"),
+          explode(when(col("change_type") === "update", array(v1, v2))
+            .otherwise(array(v1))).as("r"))
+        .select(col("o_orderkey"), col("r.version"), col("r.is_current"),
+          col("change_type"), (col("r.cents") / 100.0).as("price"))
+        .orderBy("o_orderkey", "version")
+    }
+  )
+}

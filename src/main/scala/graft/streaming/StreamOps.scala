@@ -91,6 +91,40 @@ object StreamOps {
       .select(col("u1").as("user_id"), col("id1"), col("id2"))
   }
 
+  /** Left-outer stream-stream interval join — eventPairs' semantics
+    * plus "tell me about the events that never found a partner": a
+    * left event with no same-user successor inside 1 hour is emitted
+    * with a null right side. Inner matches emit eagerly as in
+    * eventPairs; the UNMATCHED rows are watermark-driven — Spark can
+    * only declare "no partner will ever arrive" once the right-side
+    * watermark passes the left row's last possible match time
+    * (ts1 + 1 hour), at which point the buffered row is evicted and
+    * emitted null-padded. State is the same bounded ~90-minute slice
+    * per side as the inner join; the left-outer flavor adds no state,
+    * only the deferred emission. The tail consequence (left rows whose
+    * match window the final watermark never passes stay in state,
+    * unemitted) is part of the declared semantics and is what the
+    * gated query's oracle models. */
+  def eventPairsLeftOuter(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("u1"), col("ts").as("ts1"), col("event_id").as("id1"))
+    val r = right.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("u2"), col("ts").as("ts2"), col("event_id").as("id2"))
+    l.join(r,
+      col("u1") === col("u2") &&
+        col("ts2") >= col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR") &&
+        col("id1") < col("id2"),
+      "leftOuter")
+      .select(col("u1").as("user_id"), col("id1"),
+        // -1 sentinel instead of NULL: the cross-engine hash gate
+        // compares sorted rows, and NULL ordering is the one place
+        // ANSI engines legitimately differ (Spark NULLS FIRST vs
+        // DuckDB NULLS LAST on ASC) — an integer sentinel removes
+        // the divergence without weakening the row content.
+        coalesce(col("id2"), lit(-1L)).as("id2"))
+  }
+
   /** Stream-static enrichment join: attach a dimension row (here the
     * customer's market segment, user_id = c_custkey) to every event.
     * The static side is broadcast — no shuffle of the stream, no state

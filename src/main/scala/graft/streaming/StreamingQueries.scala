@@ -407,6 +407,71 @@ object StreamingQueries {
         .orderBy("user_id", "id1", "id2")
     },
 
+    // S10 — LEFT-OUTER stream-stream interval join, oracle-gated end
+    // to end: s8's join with the semantics production asks for next —
+    // "and which events never found a partner?" (unanswered requests,
+    // abandoned carts, orphaned telemetry). The outer side makes the
+    // WATERMARK CONTRACT itself part of the gated surface: an
+    // unmatched left row can only be emitted once the right-side
+    // watermark proves no partner can arrive (wm > ts1 + 1h, the
+    // join's event-time upper bound), so the emitted set is
+    //   (a) every matched pair — emitted eagerly, exactly the batch
+    //       inner join (s8's argument), plus
+    //   (b) every unmatched left row whose match horizon the FINAL
+    //       watermark passed: ts1 + 1h < max(ts) - 30min. Left rows
+    //       whose horizon the final watermark never crosses are still
+    //       buffered when the stream stops — not emitted, by design —
+    //       and the oracle's WHERE clause states exactly that line.
+    // The -1 id2 sentinel stands in for NULL so the cross-engine hash
+    // is immune to NULLS FIRST/LAST divergence. State at 100 TB/day:
+    // identical to s8 — each side buffers a ~90-minute slice; the
+    // outer flavor adds deferred emission, not state.
+    Q(
+      "s10_stream_left_outer",
+      """WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events),
+        |j AS (SELECT a.user_id, a.event_id AS id1, epoch_us(a.ts) AS t1,
+        |    b.event_id AS id2
+        |  FROM events a LEFT JOIN events b
+        |    ON a.user_id = b.user_id AND b.ts >= a.ts
+        |    AND b.ts <= a.ts + INTERVAL 1 HOUR AND a.event_id < b.event_id)
+        |SELECT user_id, id1, COALESCE(id2, -1) AS id2
+        |FROM j CROSS JOIN mx
+        |WHERE id2 IS NOT NULL OR t1 + 3600000000 < m - 1800000000
+        |ORDER BY user_id, id1, id2""".stripMargin
+    ) { (spark, dir) =>
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = TempWork.dir("graft_s10_in")
+      val out = TempWork.dir("graft_s10_out")
+      val ckpt = TempWork.dir("graft_s10_ck")
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val midMs = b.getTimestamp(0).getTime +
+        (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      // Child session with narrowed state width — see s5.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", chunk1.toString).parquet(in)
+      try {
+        val q = StreamOps.eventPairsLeftOuter(stream, stream).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
+      spark.read.parquet(out)
+        .select("user_id", "id1", "id2")
+        .orderBy("user_id", "id1", "id2")
+    },
+
     // S9 — stream-static broadcast enrichment, oracle-gated end to
     // end: the "decorate the feed with reference data" stage every
     // production pipeline runs first. StreamOps.enriched joins each
