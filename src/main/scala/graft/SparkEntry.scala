@@ -17,6 +17,7 @@ object SparkEntry {
       graft.relational.SqlQueries.all ++
       graft.relational.BehaviorQueries.all ++
       graft.relational.MergeQueries.all ++
+      graft.relational.GraphQueries.all ++
       graft.llm.DedupQueries.all ++
       graft.llm.SimilarityQueries.all ++
       graft.llm.TextQueries.all ++

@@ -88,6 +88,96 @@ object MergeQueries {
         .select(col("o_orderkey"), col("r.version"), col("r.is_current"),
           col("change_type"), (col("r.cents") / 100.0).as("price"))
         .orderBy("o_orderkey", "version")
+    },
+
+    // X50 — fuzzy string join (record linkage): which part names are
+    // near-duplicates of each other? Candidates come from a BLOCKING
+    // key (the trailing noun token), pairs verified by exact
+    // Levenshtein distance ≤ 3 — the classic block-then-verify shape
+    // of every entity-resolution pipeline (never all-pairs).
+    // SCALE SHAPE: the first step collapses the part table to its
+    // NAME VOCABULARY (distinct p_name + count) — a partial-agg
+    // groupBy whose output is bounded by the name vocabulary, not the
+    // row count; the self-join then pairs vocabulary entries within a
+    // block. For a synthetic adjective×noun vocabulary this is exact
+    // and tiny; for open-vocabulary strings at 100 TB the same plan
+    // holds with the block key swapped for q-gram bands (x2's banding)
+    // — the verify stage and the vocabulary-first aggregation are
+    // unchanged. Levenshtein is evaluated only inside blocks, on the
+    // deduplicated vocabulary.
+    Q(
+      "x50_fuzzy_names",
+      """WITH v AS (SELECT p_name AS name, count(*) AS cnt,
+        |    regexp_extract(p_name, '(\S+)$', 1) AS blk
+        |  FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS ed,
+        |  a.cnt AS cnt_a, b.cnt AS cnt_b
+        |FROM v a JOIN v b ON a.blk = b.blk AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin
+    ) { (spark, dir) =>
+      val v = Tables(spark, dir, "part")
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
+        .withColumn("blk", regexp_extract(col("name"), "(\\S+)$", 1))
+      val a = v.toDF("name_a", "cnt_a", "blk_a")
+      val b = v.toDF("name_b", "cnt_b", "blk_b")
+      a.join(b, col("blk_a") === col("blk_b") && col("name_a") < col("name_b"))
+        .withColumn("ed", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("ed") <= 3)
+        .select("name_a", "name_b", "ed", "cnt_a", "cnt_b")
+        .orderBy("name_a", "name_b")
+    },
+
+    // X51 — incremental aggregate maintenance (materialized-view
+    // delta apply): the per-customer order count / revenue aggregate
+    // is kept current by merging a DELTA AGGREGATE computed from the
+    // change batch alone — the base fact table is never rescanned.
+    // The batch is x48's (mod-7 repriced +10%, mod-13 key-shifted
+    // inserts, same customer), so its per-customer delta is
+    // (+0 orders, +cents div 10) per update and (+1, +cents) per
+    // insert. THE GATE IS THE MV CONTRACT ITSELF: the oracle computes
+    // the aggregate by FULL RECOMPUTE over the post-merge snapshot —
+    // incremental apply must hash-match a from-scratch rebuild.
+    // SCALE SHAPE: base_agg is maintained state (aggregate-sized, not
+    // fact-sized); each refresh costs one batch-sized scan + partial
+    // agg + an aggregate-keyed outer join. At 100 TB with a daily
+    // batch this is the difference between touching ~0.1% of the data
+    // and touching all of it. Exact integer cents throughout, so
+    // incremental and recomputed sums are bit-identical in any
+    // accumulation order.
+    Q(
+      "x51_incremental_agg",
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |snap AS (
+        |  SELECT k, ck,
+        |    CASE WHEN k % 7 = 0 THEN cents + cents // 10 ELSE cents END AS cents
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k + 1000000000, ck, cents FROM base WHERE k % 13 = 0)
+        |SELECT ck AS custkey, count(*) AS n_orders, SUM(cents) AS cents
+        |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val base = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val baseAgg = base.groupBy("ck")
+        .agg(count(lit(1)).as("n0"), sum("cents").as("c0"))
+      // delta aggregate: batch-sized input, aggregate-keyed output
+      val delta = base
+        .filter(col("k") % 7 === 0 || col("k") % 13 === 0)
+        .select(col("ck"),
+          when(col("k") % 13 === 0, 1L).otherwise(0L).as("dn"),
+          (when(col("k") % 7 === 0, expr("cents DIV 10")).otherwise(0L) +
+            when(col("k") % 13 === 0, col("cents")).otherwise(0L)).as("dc"))
+        .groupBy("ck").agg(sum("dn").as("dn"), sum("dc").as("dc"))
+        .toDF("dck", "dn", "dc")
+      baseAgg.join(delta, col("ck") === col("dck"), "full_outer")
+        .select(coalesce(col("ck"), col("dck")).as("custkey"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cents"))
+        .orderBy("custkey")
     }
   )
 }
