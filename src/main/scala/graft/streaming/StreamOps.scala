@@ -125,6 +125,19 @@ object StreamOps {
         coalesce(col("id2"), lit(-1L)).as("id2"))
   }
 
+  /** Cumulative per-(user, event_type) totals for the update-mode
+    * upsert sink (s11). No watermark: update mode re-emits a key's NEW
+    * cumulative row whenever a micro-batch touches it, which is
+    * exactly what an upsert target wants. State is keyed by
+    * (user_id, event_type) — the aggregate's own cardinality, not the
+    * stream's; a production deployment bounds it with a watermark +
+    * window key when keys are unbounded. Integer ten-thousandths keep
+    * the sum exact in any accumulation order. */
+  def keyedTotals(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(fixed(col("value"), 10000)).as("val_10k"))
+
   /** Stream-static enrichment join: attach a dimension row (here the
     * customer's market segment, user_id = c_custkey) to every event.
     * The static side is broadcast — no shuffle of the stream, no state
