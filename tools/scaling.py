@@ -126,6 +126,17 @@ COMMENTARY = """\
   the corpus, and the brute-force ground-truth audit is a broadcast
   linear scan. No pairwise term anywhere: the row stays
   overhead-plus-linear.
+- **x47 (~4.6x)** — x33's linear 3-scan training plus ADC
+  shortlisting whose candidate count per query grows with the probed
+  cells' occupancy (4 cells x ~10x codes at sf1.0); the exact re-rank
+  stays fixed at 20 raw vectors per query, so the growth is entirely
+  the stage-1 scan — the design's point: approximation error only has
+  to keep the true top-5 inside a shortlist whose cost scales with
+  cell size, never with the corpus pairwise.
+- **x49/x51/x48 (~2-2.2x)** — edge extraction / delta derivation /
+  outer merge are single keyed joins over the 10x fact data; the
+  downstream work is bounded (nations^2 graph, aggregate-keyed merge,
+  per-row explode), so the rows track the scan cost.
 - **s5-s9 (~1.2-2.4x)** — micro-batch commit floor does not grow
   with data (BASELINE.md round-6 note); the data term (s8's join
   state, s9's 10x enriched rows through one sink) is starting to
