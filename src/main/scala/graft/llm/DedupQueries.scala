@@ -200,6 +200,73 @@ object DedupQueries {
         .orderBy("d1", "d2")
     },
 
+    // X52 — CONTAINMENT dedup (sub-document duplication): find pairs
+    // where the smaller document's shingle set is ≥ 80% contained in
+    // the other's — quotes, wrapped reposts, boilerplate-plus-payload.
+    // Jaccard banding (x2) structurally misses these: a small doc
+    // fully contained in a 10x larger one has Jaccard ≤ 0.1, so its
+    // minhash bands rarely collide. Candidates instead come from
+    // RARE-SHINGLE PROBING — each doc probes the posting lists of its
+    // 3 rarest shingles (corpus document frequency ≤ 10, ties broken
+    // by hash): a contained doc shares ~all its shingles with its
+    // container, so its rarest shared shingle finds the container in
+    // a posting list that is, by construction, ≤ 10 docs long.
+    // Candidate work is ≤ 3 probes × ≤ 10 postings per doc — LINEAR,
+    // never all-pairs. Docs consisting entirely of common shingles
+    // (df > 10 for every shingle) emit no probes — declared
+    // semantics: containment detection needs at least one
+    // distinguishing rare shingle, and the oracle applies the
+    // identical rule. Verify is exact: array_intersect over the full
+    // shingle-set arrays, containment = |A∩B| / min(|A|,|B|).
+    Q(
+      "x52_containment_dedup",
+      s"""WITH ${MinHash.oracleShingles(9)},
+         |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+         |df AS (SELECT h, count(*) AS dfc FROM sh GROUP BY 1),
+         |rare AS (SELECT doc_id, h FROM (
+         |    SELECT s.doc_id, s.h,
+         |      row_number() OVER (PARTITION BY s.doc_id ORDER BY d.dfc, s.h) AS rk
+         |    FROM sh s JOIN df d ON d.h = s.h WHERE d.dfc <= 10) t
+         |  WHERE rk <= 3),
+         |cand AS (SELECT DISTINCT least(r.doc_id, s.doc_id) AS d1,
+         |    greatest(r.doc_id, s.doc_id) AS d2
+         |  FROM rare r JOIN sh s ON s.h = r.h AND s.doc_id <> r.doc_id),
+         |inter AS (SELECT c.d1, c.d2, count(*) AS i FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2 AND b.h = a.h GROUP BY 1, 2),
+         |cont AS (SELECT d1, d2, (i * 1.0) / least(ca.c, cb.c) AS ct
+         |  FROM inter JOIN card ca ON ca.doc_id = d1
+         |  JOIN card cb ON cb.doc_id = d2)
+         |SELECT d1, d2, ct AS containment FROM cont
+         |WHERE ct >= 0.8 ORDER BY d1, d2""".stripMargin
+    ) { (spark, dir) =>
+      val shArr = CacheScope.cacheEager(
+        MinHash.shingleSets(MinHash.docs(spark, dir), 9).filter(col("c") > 0))
+      // exploded postings: one row per (doc, distinct shingle)
+      val sh = CacheScope.cacheEager(
+        shArr.select(col("doc_id"), explode(col("hs")).as("h")))
+      val dfc = sh.groupBy("h").agg(count(lit(1)).as("dfc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("dfc"), col("h"))
+      val rare = sh.join(dfc.filter(col("dfc") <= 10), "h")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id").as("rd"), col("h"))
+      val cand = rare
+        .join(sh.toDF("sd", "h"), "h")
+        .filter(col("rd") =!= col("sd"))
+        .select(least(col("rd"), col("sd")).as("d1"),
+          greatest(col("rd"), col("sd")).as("d2"))
+        .distinct()
+      cand
+        .join(shArr.toDF("ad", "ha", "c1"), col("d1") === col("ad"))
+        .join(shArr.toDF("bd", "hb", "c2"), col("d2") === col("bd"))
+        .select(col("d1"), col("d2"),
+          (size(array_intersect(col("ha"), col("hb"))) * lit(1.0) /
+            least(col("c1"), col("c2"))).as("containment"))
+        .filter(col("containment") >= 0.8)
+        .orderBy("d1", "d2")
+    },
+
     // X3 — embedding-cosine near-dup over SRP-LSH buckets: candidate
     // pairs are vectors whose 8-hyperplane sign signatures (the same
     // fixed planes as x8_ann_lsh) differ in at most 1 bit, verified by

@@ -160,17 +160,23 @@ object MinHash {
 
   /** Shared oracle-SQL CTE prefix for gram length n: shingles + seeds +
     * long-form signatures. Matches the Spark pipeline bit-for-bit. */
+  /** Just the distinct per-doc shingle-hash CTE (`sh`), shared by the
+    * signature oracle and the containment oracle (x52). */
+  def oracleShingles(n: Int): String = {
+    val poly = (2 to n).foldLeft("CAST(ascii(substr(s,1,1)) AS BIGINT)") {
+      (acc, i) => s"($acc*31 + ascii(substr(s,$i,1)))"
+    }
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, $poly AS h
+       |  FROM (SELECT doc_id, substr(lower(text), pos, $n) AS s
+       |        FROM documents, unnest(generate_series(1, length(text)-${n - 1})) t(pos)) u)""".stripMargin
+  }
+
   def oracleSig(n: Int): String = {
     val seedVals = seeds.zipWithIndex
       .map { case ((a, b), i) => s"($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
       .mkString(", ")
-    val poly = (2 to n).foldLeft("CAST(ascii(substr(s,1,1)) AS BIGINT)") {
-      (acc, i) => s"($acc*31 + ascii(substr(s,$i,1)))"
-    }
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, $poly AS h
-       |  FROM (SELECT doc_id, substr(lower(text), pos, $n) AS s
-       |        FROM documents, unnest(generate_series(1, length(text)-${n - 1})) t(pos)) u),
+    s"""WITH ${oracleShingles(n)},
        |seeds(i, a, b) AS (VALUES $seedVals),
        |sig AS (SELECT doc_id, i, min((a*(h % 2147483647)+b) % 2147483647) AS mh
        |        FROM sh CROSS JOIN seeds GROUP BY 1, 2)""".stripMargin

@@ -177,4 +177,27 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.size == "hello world".length - 4)
   }
+
+  test("x52 containment == brute-force replay of the rare-probe rule") {
+    val got = SparkEntry.queries("x52_containment_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent driver-side replay on the 50-doc corpus
+    val sets = MinHash.shingleSets(
+        graft.core.Tables(spark, sf0001, "documents"), 9)
+      .filter(col("c") > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (h, v) => h -> v.size }
+    val rare = sets.map { case (d, hs) =>
+      d -> hs.filter(df(_) <= 10).toSeq.sortBy(h => (df(h), h)).take(3).toSet
+    }
+    val exp = (for {
+      (a, ha) <- sets.toSeq; (b, hb) <- sets.toSeq
+      if a < b
+      if rare(a).exists(hb.contains) || rare(b).exists(ha.contains)
+      i = (ha & hb).size
+      if i * 1.0 / math.min(ha.size, hb.size) >= 0.8
+    } yield (a, b)).toSet
+    assert(got == exp,
+      s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
 }
