@@ -114,13 +114,17 @@ COMMENTARY = """\
   IVF cells hold 10x the codes, so per-query candidate work grows
   with corpus size while the query side stays fixed at 20. Both are
   scans + keyed joins end-to-end; no pairwise blow-up exists.
-- **x12/x36/x38 (~6-10x)** — the connected-components family:
+- **x12/x36/x38 (~9-12x, oscillating around the flag line run to
+  run)** — the connected-components family:
   candidate pairs from the shingle bands grow ~5-6x (see l2), the
   pointer-jumping loop adds a round as components multiply, and each
   round joins a 10x node table. x36 and x38 inherit x12's loop and
   add a per-cluster window / the funnel+mix stages (both partitioned,
-  neither global). At/below linear-per-data; the O(log diameter)
-  design doing its job.
+  neither global). The per-component term is the candidate-pair
+  growth (a data-character property of the duplicated corpus), not a
+  plan defect: every join stays band/label-keyed, and the loop count
+  grows with log(diameter), so the family tracks candidate volume —
+  the same bound l2/x2 obey — rather than any pairwise blow-up.
 - **x37 (~1.9x)** — training is x33's 3 fused scans (linear); the
   nprobe=4 probe side scans 4 cells per query whose size grows with
   the corpus, and the brute-force ground-truth audit is a broadcast
