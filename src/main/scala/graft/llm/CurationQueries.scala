@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.core.Cols._
-import graft.core.{Q, Tables}
+import graft.core.{CacheScope, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -346,6 +346,79 @@ object CurationQueries {
         .withColumn("mcf_scaled", expr("sum_freq * 1000000 DIV n_tok"))
         .orderBy(col("mcf_scaled"), col("doc_id"))
         .limit(25)
+    },
+
+    // X57 — hashed-n-gram importance weights (the DSIR shape, Xie et
+    // al. 2023): score every document by how much its bigram
+    // distribution looks like a TARGET slice of the corpus relative
+    // to the raw distribution. Bigrams hash into a FIXED 256-bucket
+    // feature space (per-token 8-char base-31 fold — the simhash
+    // token hash — composed across the pair), so the two
+    // distribution tables are 256 rows regardless of corpus size:
+    // the raw and target counts are one partial-aggregated pass
+    // each, the weight table broadcasts, and per-doc scoring is a
+    // map-side join + rollup — nothing scales with the vocabulary.
+    // Weights are integer-exact scaled ratios ((t+1)·10^6 div (r+1),
+    // add-one smoothed) in place of DSIR's log-ratio sum — monotone
+    // per-feature, so the induced document ranking has the same
+    // shape while staying bit-portable across engines. The target
+    // slice is a fresh-multiplier 5% hash range (decorrelated from
+    // x11/x18/x19/x40); in production it would be the curated
+    // high-quality reference corpus.
+    Q(
+      "x57_dsir_weights",
+      s"""WITH t AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+         |bgr AS (SELECT doc_id, lang, (doc_id * 2654435789) % 1000003 % 100 < 5 AS is_tgt,
+         |    rpad(substr(toks[i], 1, 8), 8, ' ') AS pa, rpad(substr(toks[i+1], 1, 8), 8, ' ') AS pb
+         |  FROM (SELECT doc_id, lang, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM t WHERE len(toks) >= 2) u),
+         |h AS (SELECT doc_id, lang, is_tgt,
+         |    ((${tokHashSql("pa")}) * 31 + (${tokHashSql("pb")})) % 1009 % 256 AS bkt FROM bgr),
+         |rc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr FROM h GROUP BY bkt),
+         |tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct FROM h WHERE is_tgt GROUP BY bkt),
+         |w AS (SELECT rc.bkt, ((coalesce(tc.ct, 0) + 1) * 1000000) // (rc.cr + 1) AS wt
+         |      FROM rc LEFT JOIN tc USING (bkt))
+         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(wt) AS BIGINT) AS score
+         |FROM h JOIN w USING (bkt)
+         |GROUP BY doc_id, lang ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    ) { (spark, dir) =>
+      // cacheEager: bg fans out to raw counts, target counts, AND the
+      // scoring join (three concurrent consumers of one explode).
+      val bg = CacheScope.cacheEager(
+        Tables.fanOut(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            ((col("doc_id") * 2654435789L) % 1000003L % 100 < 5).as("is_tgt"),
+            explode(graft.functions.ShingleExpressions
+              .tokenNgrams(wsTokens(col("text")), 2)).as("bg"))
+          .withColumn("bkt",
+            (tokHash32(substring_index(col("bg"), " ", 1)) * 31L
+              + tokHash32(substring_index(col("bg"), " ", -1))) % 1009L % 256L))
+      val raw = bg.groupBy("bkt").agg(count(lit(1)).as("cr"))
+      val tgt = bg.filter(col("is_tgt")).groupBy("bkt").agg(count(lit(1)).as("ct"))
+      val w = raw.join(tgt, Seq("bkt"), "left")
+        .select(col("bkt"),
+          expr("((coalesce(ct, 0) + 1) * 1000000) DIV (cr + 1)").as("wt"))
+      bg.join(broadcast(w), "bkt")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"), sum("wt").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
     }
   )
+
+  /** The simhash token hash (8-char right-space-padded base-31 fold,
+    * mod 2^32) as a Column — x57's per-token feature hash. */
+  private def tokHash32(t: Column): Column = {
+    val p = rpad(substring(t, 1, 8), 8, " ")
+    (2 to 8).foldLeft(ascii(substring(p, 1, 1)).cast("long")) {
+      (acc, i) => acc * 31L + ascii(substring(p, i, 1))
+    } % 4294967296L
+  }
+
+  /** The identical fold in oracle SQL over an already-padded column. */
+  private def tokHashSql(c: String): String =
+    (2 to 8).foldLeft(s"CAST(ascii(substr($c,1,1)) AS BIGINT)") {
+      (acc, i) => s"($acc*31 + ascii(substr($c,$i,1)))"
+    } + " % 4294967296"
 }

@@ -523,6 +523,60 @@ object DedupQueries {
         cc.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
           .orderBy("cluster_size")
-      })
+      }),
+
+    // X55 — cross-document BLOCK dedup (the C4 / RefinedWeb "line
+    // dedup" pass, re-expressed over this corpus's newline-free docs
+    // as non-overlapping 20-token blocks): any block whose exact text
+    // occurs in MORE THAN ONE document is boilerplate-by-evidence and
+    // is dropped from every document that carries it; the output is
+    // each document's keep/drop accounting. This catches sub-document
+    // duplication at a granularity neither whole-doc hashing (l1) nor
+    // doc-level near-dup (l2) sees, and complements x52's
+    // containment probe with an exact, threshold-free rule. Shape is
+    // two corpus-linear passes: block explode → df = count(DISTINCT
+    // doc) per block text (partial-aggregated map-side), then a keyed
+    // join back on the block text and a per-doc rollup. At 100 TB the
+    // join key would be a 128-bit content hash of the block rather
+    // than the text itself (bounding shuffle width at 16 bytes/row —
+    // identical semantics modulo collision odds ~2^-64); the string
+    // key here keeps the oracle exact. Within-doc repeats of a block
+    // count once per occurrence but only cross-DOC occurrence marks a
+    // block duplicated — a doc repeating its own phrase is not
+    // evidence of boilerplate.
+    Q(
+      "x55_block_dedup",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 20.0) AS BIGINT) AS nb FROM t WHERE len(toks) > 0),
+        |b AS (SELECT doc_id, array_to_string(toks[(i*20+1):(i*20+20)], ' ') AS bt
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(0, nb - 1)) AS i FROM c) u),
+        |df AS (SELECT bt, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM b GROUP BY bt),
+        |j AS (SELECT doc_id, b.bt, df FROM b JOIN df USING (bt))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_blocks,
+        |  CAST(SUM(CASE WHEN df = 1 THEN length(bt) ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN length(bt) ELSE 0 END) AS BIGINT) AS dropped_chars
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val base = Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("nb", ceil(size(col("toks")) / lit(20.0)).cast("long"))
+      // cacheEager: blocks fans out to the df aggregation AND the
+      // join-back probe side (the documented lazy-cache fan-out race).
+      val blocks = CacheScope.cacheEager(
+        base.select(col("doc_id"),
+            explode(expr("sequence(0, nb - 1)")).as("i"), col("toks"))
+          .select(col("doc_id"),
+            concat_ws(" ", expr("slice(toks, i * 20 + 1, 20)")).as("bt")))
+      val df = blocks.groupBy("bt").agg(countDistinct("doc_id").as("df"))
+      blocks.join(df, "bt")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_blocks"),
+          sum(when(col("df") === 1, length(col("bt")).cast("long")).otherwise(0L)).as("kept_chars"),
+          sum(when(col("df") >= 2, length(col("bt")).cast("long")).otherwise(0L)).as("dropped_chars"))
+        .orderBy("doc_id")
+    }
   )
 }

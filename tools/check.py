@@ -39,6 +39,10 @@ def run_verify():
         "graft.Verify", SFDIR, OUT,
     ]
     env = {"SPARK_GRAFT_CPUS": "8", "PATH": "/usr/bin:/bin"}
+    if ONLY:
+        # dump only the queries under inspection (the driver's own runs
+        # pass no filter and still dump the full surface)
+        env["SPARK_GRAFT_VERIFY_ONLY"] = ",".join(sorted(ONLY))
     r = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd="/root/repo")
     for line in r.stderr.splitlines():
         if "[verify]" in line or "Exception" in line:
