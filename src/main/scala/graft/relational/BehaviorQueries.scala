@@ -203,6 +203,50 @@ object BehaviorQueries {
         .agg(countDistinct(col("user_id")).as("active_users"),
           count(lit(1)).as("n_events"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // X54 — streaming-telemetry ANOMALY DETECTION: flag any event
+    // whose value sits more than 3 sigma from its user's trailing
+    // 24-event window (at least 8 priors required). The |z| > 3 test
+    // is evaluated WITHOUT division or sqrt — (n·x − S)² > 9·(n·Q − S²)
+    // over exact integer ten-thousandths (S = trailing sum, Q =
+    // trailing sum of squares) — so both engines compare identical
+    // integers; bounds: |v| ≤ 10^6 ten-thousandths, n ≤ 24 ⇒ every
+    // term ≤ ~6·10^15, comfortably inside BIGINT. Shape: the standard
+    // one-exchange window family — all three trailing aggregates
+    // share one frame over one user_id partition sort, state per
+    // partition is the 24-row frame, and at 100 TB this is exactly
+    // the per-key bounded-state scan a telemetry pipeline wants
+    // (streaming twin: mapGroupsWithState with a 24-deep ring
+    // buffer).
+    Q(
+      "x54_value_anomaly",
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+        |w AS (SELECT event_id, user_id, ts, v,
+        |    CAST(count(v) OVER win AS BIGINT) AS n,
+        |    SUM(v) OVER win AS s,
+        |    SUM(v * v) OVER win AS q
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, v, n
+        |FROM w WHERE n >= 8 AND (n*v - s)*(n*v - s) > 9*(n*q - s*s)
+        |ORDER BY event_id""".stripMargin
+    ) { (spark, dir) =>
+      val win = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-24, -1)
+      val dev = col("n") * col("v") - col("s")
+      Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          fixed(col("value"), 10000L).as("v"))
+        .withColumn("n", count("v").over(win))
+        .withColumn("s", sum("v").over(win))
+        .withColumn("q", sum(col("v") * col("v")).over(win))
+        .filter(col("n") >= 8 &&
+          dev * dev > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"),
+          col("v"), col("n"))
+        .orderBy("event_id")
     }
   )
 }

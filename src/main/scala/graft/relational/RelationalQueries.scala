@@ -506,6 +506,51 @@ object RelationalQueries {
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           col("g_prio"), col("g_status"), col("order_cnt"), col("total_price"))
         .orderBy("prio", "status", "g_prio", "g_status")
-    }
+    },
+
+    // R25 — APPROXIMATE quantiles: r22's scale path. r22's exact
+    // per-group quantiles need a full sort of every group (fine when
+    // groups fit a partition; a 100 TB group does not).
+    // percentile_approx aggregates a bounded-size mergeable quantile
+    // sketch — one linear pass, partial-aggregated map-side like any
+    // sum, no group-wide sort anywhere — which is THE way percentiles
+    // ship at warehouse scale. Sketch contents are engine-specific, so
+    // like x9 this is rows-only by design; the query emits the approx
+    // value NEXT TO r22's exact rank-definition value so the error is
+    // inspectable in the artifact, and QuerySmokeSpec gates the
+    // declared 1% tolerance.
+    Q("r25_approx_quantiles", None, (spark, dir) => {
+      val qNames = array(lit("p50"), lit("p90"), lit("p99"))
+      val approx = Tables(spark, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(percentile_approx(col("o_totalprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+        .select(col("pri"), posexplode(col("ap")).as(Seq("i", "approx_value")))
+        .select(col("pri"),
+          element_at(qNames, col("i").cast("int") + 1).as("q"),
+          col("approx_value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pri").orderBy("p")
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("pri")
+      val ranked = Tables(spark, dir, "orders")
+        .select(col("o_orderpriority").as("pri"), col("o_totalprice").as("p"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wc))
+      val specs = explode(array(Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).map {
+        case (name, f) => struct(lit(name).as("q"), lit(f).as("f"))
+      }: _*))
+      val exact = ranked
+        .select(col("pri"), col("p"), col("rn"), col("cnt"), specs.as("e"))
+        .filter(col("rn") === ceil(col("e.f") * col("cnt")))
+        .select(col("pri"), col("e.q").as("q"), col("p").as("exact_value"))
+      approx.join(exact, Seq("pri", "q")).orderBy("pri", "q")
+    },
+      rowsOnlyNote = Some("approximate-quantile sketches are " +
+        "engine-specific by nature (Spark: GK-style mergeable sketch; " +
+        "DuckDB: t-digest) — no cross-engine hash can exist; " +
+        "QuerySmokeSpec ('r25 approx quantiles within 1% of exact per " +
+        "group') gates the declared tolerance, and the query emits the " +
+        "approx next to r22's exact rank-definition value so the error " +
+        "is inspectable in the artifact itself"))
   )
 }

@@ -23,7 +23,7 @@ class QuerySmokeSpec extends AnyFunSuite {
     // x21's corpus is generated in-plan (never on disk), so DuckDB has
     // no table to run an oracle against; DedupSpec pins its exact
     // cluster histogram instead.
-    val rowsOnly = Set("x9_approx_distinct", "x21_skew_neardup")
+    val rowsOnly = Set("x9_approx_distinct", "x21_skew_neardup", "r25_approx_quantiles")
     val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == rowsOnly, s"queries without oracle: ${noOracle -- rowsOnly}")
   }
@@ -58,6 +58,24 @@ class QuerySmokeSpec extends AnyFunSuite {
       val relErr = math.abs(approx - exact) / exact
       assert(relErr <= 0.05,
         f"group ${r.get(0)}: approx=$approx%.0f exact=$exact%.0f relErr=$relErr%.4f > 5%%")
+    }
+  }
+
+  test("r25 approx quantiles within 1% of exact per group (declared tolerance gate)") {
+    // r25 emits the sketch value next to r22's exact rank-definition
+    // value; the declared contract is 1% relative error. With
+    // accuracy=10000 and sf0.001-sized groups the sketch is near-exact,
+    // so this also pins that the plumbing (posexplode labeling, join
+    // back to the exact side) lines the right quantiles up.
+    val rows = SparkEntry.queries("r25_approx_quantiles")(spark, sf001).collect()
+    assert(rows.length >= 9, s"expected >=9 (pri x quantile) rows, got ${rows.length}")
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("approx_value")
+      val exact = r.getAs[Double]("exact_value")
+      assert(exact > 0)
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 0.01,
+        f"${r.get(0)}/${r.get(1)}: approx=$approx%.2f exact=$exact%.2f relErr=$relErr%.4f > 1%%")
     }
   }
 }
