@@ -257,6 +257,53 @@ object ChunkingQueries {
         .select(col("doc_id"), col("lang"), col("n_tok"),
           expr("tok_before DIV 2048").as("pack_id"))
         .orderBy("doc_id")
+    },
+
+    // X56 — deterministic EPOCH SHUFFLE: the training-order
+    // permutation a multi-epoch run needs. Each epoch gets its own
+    // hash multiplier, so the 4 epochs are 4 decorrelated
+    // pseudo-random global orders of the same corpus — reproducible
+    // on any cluster size with zero coordination and no RNG state
+    // (the property that makes a resumable 100 TB data loader
+    // possible: worker w of W can reconstruct ITS slice of epoch e
+    // from (w, W, e) alone). Position hash is injective below the
+    // prime modulus, shard = pos % 8, and the output is a per-
+    // (epoch, shard) audit — count, lead doc, and an order
+    // FINGERPRINT (sum of rank·doc_id mod 2^31−1 over the shard's
+    // hash order) that pins the permutation itself, not just
+    // membership: a different order with the same members hash-fails.
+    // Production writes the ordered shards (x40's sink); the fused
+    // 4-epoch explode here keeps the audit one plan.
+    Q(
+      "x56_epoch_shuffle",
+      """WITH e AS (SELECT doc_id, ep FROM documents, unnest(generate_series(0, 3)) t(ep)),
+        |p AS (SELECT doc_id, ep,
+        |    (doc_id * CASE ep WHEN 0 THEN 2654435761 WHEN 1 THEN 2246822519
+        |                      WHEN 2 THEN 3432918353 ELSE 1540483477 END) % 1000003 AS pos
+        |  FROM e),
+        |r AS (SELECT ep, pos % 8 AS shard, doc_id,
+        |    row_number() OVER (PARTITION BY ep, pos % 8 ORDER BY pos, doc_id) AS rk FROM p)
+        |SELECT CAST(ep AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS lead_doc,
+        |  CAST(SUM((rk * doc_id) % 2147483647) % 2147483647 AS BIGINT) AS ord_fp
+        |FROM r GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin
+    ) { (spark, dir) =>
+      val mult = element_at(
+        array(lit(2654435761L), lit(2246822519L), lit(3432918353L), lit(1540483477L)),
+        col("ep").cast("int") + 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ep", "shard").orderBy("pos", "doc_id")
+      Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("ep"))
+        .withColumn("pos", (col("doc_id") * mult) % 1000003L)
+        .withColumn("shard", col("pos") % 8L)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("ep").as("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(when(col("rk") === 1L, col("doc_id"))).as("lead_doc"),
+          (sum((col("rk") * col("doc_id")) % 2147483647L) % 2147483647L).as("ord_fp"))
+        .orderBy("epoch", "shard")
     }
   )
 }

@@ -84,4 +84,36 @@ class BehaviorSpec extends AnyFunSuite {
     // offset-0 actives == cohort size, for every cohort
     assert(atZero == cohorts, s"$atZero vs $cohorts")
   }
+
+  test("x54 anomaly flags == brute-force trailing-window replay") {
+    // Independent reimplementation: collect the events, sort each
+    // user's stream by (ts, event_id), slide a 24-deep trailing
+    // window by hand, and apply the integer z^2 test.
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        expr("cast(round(value * 10000) as long)").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.indices.flatMap { i =>
+        val win = sorted.slice(math.max(0, i - 24), i).map(_._4)
+        val n = win.size.toLong
+        val s = win.sum
+        val q = win.map(x => x * x).sum
+        val x = sorted(i)._4
+        val dev = n * x - s
+        if (n >= 8 && dev * dev > 9 * (n * q - s * s))
+          Some((sorted(i)._1, sorted(i)._2, sorted(i)._3, x, n))
+        else None
+      }
+    }.toSet
+    val got = SparkEntry.queries("x54_value_anomaly")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(exp.nonEmpty, "replay found no anomalies at sf0.001 — test data changed?")
+    assert(got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
 }

@@ -109,4 +109,44 @@ class BpeSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
     assert(a.length == BpeQueries.Rounds)
   }
+
+  test("x53 encode == independent Scala replay of train + apply") {
+    // Full pipeline replay with no shared code: tokenize, count word
+    // types, train 8 merge rounds (argmax with the (count desc, pair
+    // asc) tie-break, greedy left-to-right apply), encode the
+    // vocabulary, roll up per language.
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("\\s+").filter(_.nonEmpty).toVector))
+    val freqs: Map[String, Long] =
+      docs.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var segs: Map[String, Vector[String]] =
+      freqs.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    for (_ <- 1 to BpeQueries.Rounds) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        pc(k) = pc.getOrElse(k, 0L) + freqs(w)
+      }
+      val ((pa, pb), _) = pc.toSeq.minBy { case ((a, b), c) => (-c, a + " " + b) }
+      segs = segs.map { case (w, l) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < l.length) {
+          if (i + 1 < l.length && l(i) == pa && l(i + 1) == pb) { out += pa + pb; i += 2 }
+          else { out += l(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    val nSym = segs.view.mapValues(_.size.toLong).toMap
+    val exp = docs.filter(_._3.nonEmpty).groupBy(_._2).map { case (lang, ds) =>
+      (lang, ds.map(_._1).distinct.size.toLong,
+        ds.map(_._3.size.toLong).sum, ds.flatMap(_._3).map(nSym).sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("x53_bpe_encode")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp, s"got=$got exp=$exp")
+  }
 }

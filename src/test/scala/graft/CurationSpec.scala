@@ -145,4 +145,32 @@ class CurationSpec extends AnyFunSuite {
         s"char delta $delta inconsistent with $nRed redactions")
     }
   }
+
+  test("x57 dsir weights == brute-force replay of hash, buckets, and scores") {
+    val base = graft.core.Tables(spark, sf0001, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("\\s+").filter(_.nonEmpty).toVector))
+    def th32(t: String): Long =
+      t.take(8).padTo(8, ' ').foldLeft(0L)((a, c) => a * 31 + c) % 4294967296L
+    val perDoc = base.collect { case (id, lang, toks) if toks.size >= 2 =>
+      val bkts = toks.sliding(2).map { case Vector(a, b) =>
+        (th32(a) * 31 + th32(b)) % 1009 % 256
+      }.toVector
+      val isTgt = id * 2654435789L % 1000003L % 100 < 5
+      (id, lang, isTgt, bkts)
+    }
+    val raw = perDoc.flatMap(_._4).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgt = perDoc.filter(_._3).flatMap(_._4)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wt: Map[Long, Long] = raw.map { case (b, r) =>
+      b -> (tgt.getOrElse(b, 0L) + 1) * 1000000L / (r + 1)
+    }
+    val exp = perDoc.map { case (id, lang, _, bkts) =>
+      (id, lang, bkts.size.toLong, bkts.map(wt).sum)
+    }.sortBy { case (id, _, _, score) => (-score, id) }.take(50).toSeq
+    val got = SparkEntry.queries("x57_dsir_weights")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp, s"first diff=${got.zip(exp).find(p => p._1 != p._2)}")
+  }
 }

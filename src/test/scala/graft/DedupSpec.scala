@@ -200,4 +200,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == exp,
       s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
+
+  test("x55 block dedup == brute-force replay of the 20-token-block rule") {
+    val docs = graft.core.Tables(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toVector).toMap
+    // blocks per doc (non-overlapping 20-token windows, last may be short)
+    val blocks: Map[Long, Vector[String]] = docs.collect {
+      case (id, toks) if toks.nonEmpty =>
+        id -> toks.grouped(20).map(_.mkString(" ")).toVector
+    }
+    val df: Map[String, Int] = blocks.toSeq
+      .flatMap { case (id, bs) => bs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val exp = blocks.map { case (id, bs) =>
+      id -> (bs.size.toLong,
+        bs.count(df(_) >= 2).toLong,
+        bs.filter(df(_) == 1).map(_.length.toLong).sum,
+        bs.filter(df(_) >= 2).map(_.length.toLong).sum)
+    }
+    val got = SparkEntry.queries("x55_block_dedup")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == exp,
+      s"diff=${(exp.toSet diff got.toSet).take(3)} | ${(got.toSet diff exp.toSet).take(3)}")
+  }
 }

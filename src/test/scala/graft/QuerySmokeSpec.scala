@@ -78,4 +78,33 @@ class QuerySmokeSpec extends AnyFunSuite {
         f"${r.get(0)}/${r.get(1)}: approx=$approx%.2f exact=$exact%.2f relErr=$relErr%.4f > 1%%")
     }
   }
+
+  test("x56 epoch shuffle: per-shard fingerprints replay and epochs decorrelate") {
+    val ids = graft.core.Tables(spark, sf0001, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val mults = Seq(2654435761L, 2246822519L, 3432918353L, 1540483477L)
+    val exp = (for ((m, ep) <- mults.zipWithIndex) yield {
+      val pos = ids.map(id => (id, id * m % 1000003L))
+      pos.groupBy(_._2 % 8).map { case (shard, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._1))
+        val fp = sorted.zipWithIndex
+          .map { case ((id, _), i) => (i + 1).toLong * id % 2147483647L }
+          .sum % 2147483647L
+        (ep.toLong, shard) -> ((rows.length.toLong, sorted.head._1, fp))
+      }
+    }).flatten.toMap
+    val got = SparkEntry.queries("x56_epoch_shuffle")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp)
+    // every epoch partitions the corpus exactly
+    (0L to 3L).foreach { ep =>
+      assert(got.collect { case ((e, _), (n, _, _)) if e == ep => n }.sum == ids.length)
+    }
+    // the four epochs are genuinely different orders: the full
+    // fingerprint vector differs between every pair of epochs
+    val fpVec = (0L to 3L).map(ep =>
+      got.toSeq.filter(_._1._1 == ep).sortBy(_._1._2).map(_._2._3))
+    assert(fpVec.distinct.size == 4, "two epochs produced the same order")
+  }
 }
