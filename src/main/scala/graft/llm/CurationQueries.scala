@@ -404,6 +404,84 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_bigrams"), sum("wt").as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // X58 — PII detection + redaction: scrub emails, IPv4 addresses,
+    // and phone numbers from every document and report the per-language
+    // redaction audit (docs touched, matches per type, characters
+    // removed) — the privacy pass every production corpus build runs
+    // before training. The synthetic corpus carries no PII, so the
+    // fixture PLANTS it deterministically in-plan (x48's
+    // deterministic-change-batch pattern): doc_id-derived emails /
+    // IPs / phone numbers appended to hash-selected docs, identically
+    // in both engines — the operator under test is the scrubber, the
+    // planting is the test fixture. Patterns are deliberately
+    // backtracking-free (no alternation, no nested quantifiers) so
+    // Java's NFA and DuckDB's RE2 leftmost semantics agree match for
+    // match. SHAPE: pure per-row codegen'd map (RegExpReplace /
+    // RegExpCount) + one tiny per-lang rollup — zero corpus shuffle;
+    // at 100 TB this runs at scan speed, and chars_redacted / match
+    // counts give the monitoring dashboard its drift signal.
+    Q(
+      "x58_pii_scrub",
+      """WITH a AS (SELECT doc_id, lang,
+        |    text ||
+        |    CASE WHEN doc_id % 7 = 3 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 5 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR) || '.' || CAST(doc_id % 13 AS VARCHAR) || ' logged' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, t,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |    CAST(len(regexp_extract_all(t, '\+1-555-\d{4}')) AS BIGINT) AS n_phone,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\+1-555-\d{4}', '[PHONE]', 'g') AS clean
+        |  FROM a)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_email + n_ip + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        |  CAST(SUM(n_email) AS BIGINT) AS emails,
+        |  CAST(SUM(n_ip) AS BIGINT) AS ips,
+        |  CAST(SUM(n_phone) AS BIGINT) AS phones,
+        |  CAST(SUM(length(t) - length(clean)) AS BIGINT) AS chars_redacted
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (spark, dir) =>
+      val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ipPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val phonePat = """\+1-555-\d{4}"""
+      val annotated = concat(col("text"),
+        when(col("doc_id") % 7 === 3,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com for details"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 5,
+          concat(lit(" server 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 97).cast("string"),
+            lit("."), (col("doc_id") % 13).cast("string"),
+            lit(" logged"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 2,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" now"))).otherwise(lit("")))
+      val clean = regexp_replace(regexp_replace(regexp_replace(col("t"),
+        lit(emailPat), lit("[EMAIL]")), lit(ipPat), lit("[IP]")),
+        lit(phonePat), lit("[PHONE]"))
+      Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("lang"), annotated.as("t"))
+        .select(col("lang"), col("t"),
+          regexp_count(col("t"), lit(emailPat)).as("n_email"),
+          regexp_count(col("t"), lit(ipPat)).as("n_ip"),
+          regexp_count(col("t"), lit(phonePat)).as("n_phone"),
+          clean.as("clean"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") + col("n_ip") + col("n_phone") > 0, 1L)
+            .otherwise(0L)).as("docs_with_pii"),
+          sum("n_email").cast("long").as("emails"),
+          sum("n_ip").cast("long").as("ips"),
+          sum("n_phone").cast("long").as("phones"),
+          sum(length(col("t")) - length(col("clean"))).cast("long").as("chars_redacted"))
+        .orderBy("lang")
     }
   )
 

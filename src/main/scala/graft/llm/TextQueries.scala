@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.core.Cols._
-import graft.core.{Q, Tables}
+import graft.core.{CacheScope, Q, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -384,6 +384,83 @@ object TextQueries {
         .agg(count(lit(1)).as("n_bigrams"),
           expr("SUM(p) DIV count(1)").cast("long").as("fluency"))
         .orderBy("doc_id")
+    },
+
+    // X60 — HEAVY n-GRAMS via a bounded-memory sketch with an EXACT
+    // guarantee: find every trigram above 0.2% corpus frequency with a
+    // per-partition Misra-Gries summary (capacity 512) feeding an
+    // exact recount — the sketch-then-verify shape that replaces x28's
+    // vocabulary-sized shuffle when the n-gram space is too large to
+    // aggregate. WHY THE GATE IS EXACT even though MG is approximate:
+    // MG(512) keeps every item whose partition-local frequency exceeds
+    // n_p/513, and any trigram with global frequency > N/500 must beat
+    // n_p/500 in at least one partition (pigeonhole over Σn_p = N), so
+    // the candidate union is a guaranteed SUPERSET of the true heavy
+    // hitters — partitioning changes WHICH extra candidates appear,
+    // never whether a true one does. The exact recount (map-side
+    // pre-filtered by the broadcast candidate set — ≤ 512 × partitions
+    // strings) then makes the output independent of partitioning:
+    // identical to a plain GROUP BY ... HAVING, which is the oracle.
+    // At 100 TB: one linear pass with 512 counters per task, a
+    // broadcast of a few thousand candidates, and a shuffle of ONLY
+    // candidate rows — the corpus-sized n-gram shuffle never happens.
+    // The uniform synthetic corpus has no heavy trigrams, so the
+    // fixture PLANTS boilerplate phrases on hash-selected docs (the
+    // x55/x58 pattern) for the sketch to find.
+    Q(
+      "x60_heavy_ngrams",
+      """WITH a AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 <> 0 THEN ' terms of service apply here' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' all rights reserved worldwide' ELSE '' END AS t
+        |  FROM documents),
+        |tk AS (SELECT list_filter(string_split_regex(lower(t), '\s+'), x -> x <> '') AS toks FROM a),
+        |g AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram
+        |      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM tk WHERE len(toks) >= 3) u),
+        |f AS (SELECT ngram, CAST(count(*) AS BIGINT) AS freq FROM g GROUP BY ngram)
+        |SELECT ngram, freq FROM f
+        |WHERE freq * 500 > (SELECT count(*) FROM g)
+        |ORDER BY ngram""".stripMargin
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val annotated = concat(col("text"),
+        when(col("doc_id") % 3 =!= 0, lit(" terms of service apply here"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" all rights reserved worldwide"))
+          .otherwise(lit("")))
+      // cacheEager: the trigram table fans out to the MG pass, the
+      // in-plan total, and the recount join (three consumers).
+      val tg = CacheScope.cacheEager(
+        Tables.fanOut(Tables(spark, dir, "documents"))
+          .select(explode(graft.functions.ShingleExpressions
+            .tokenNgrams(wsTokens(annotated), 3)).as("ngram")))
+      val cand = tg.as[String].mapPartitions { it =>
+        val cap = 512
+        val m = new java.util.HashMap[String, java.lang.Long](cap * 2)
+        it.foreach { t =>
+          val c = m.get(t)
+          if (c != null) m.put(t, c + 1L)
+          else if (m.size < cap) m.put(t, 1L)
+          else {
+            val e = m.entrySet().iterator()
+            while (e.hasNext) {
+              val en = e.next()
+              if (en.getValue == 1L) e.remove()
+              else en.setValue(en.getValue - 1L)
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        m.keySet().iterator().asScala
+      }.toDF("cnd").distinct()
+      val total = tg.agg(count(lit(1)).as("n_total"))
+      tg.join(broadcast(cand), col("ngram") === col("cnd"))
+        .groupBy("ngram").agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(total))
+        .filter(col("freq") * 500 > col("n_total"))
+        .select(col("ngram"), col("freq"))
+        .orderBy("ngram")
     }
   )
 }

@@ -58,6 +58,71 @@ object ExportQueries {
           min("doc_id").as("first_doc"),
           max("doc_id").as("last_doc"))
         .orderBy("shard")
+    },
+
+    // X59 — Z-ORDER data layout: interleave the bits of two scan
+    // dimensions (customer key x order day) into a Morton code, bucket
+    // rows by its high bits, and audit each bucket's bounding box in
+    // BOTH dimensions. This is the multi-dimensional clustering every
+    // warehouse layout engine (Delta OPTIMIZE ZORDER, Iceberg sort
+    // orders) uses to make min/max file statistics prune on TWO
+    // predicates at once: a linear sort by custkey gives tight custkey
+    // ranges per file but every file spans all dates; the Morton
+    // bucketing gives each bucket a ~256x4096 box in (custkey, day)
+    // space, so BOTH a custkey filter and a date filter skip most
+    // buckets (ZOrderSpec quantifies the box-area advantage vs the
+    // linear layout). The bit-spread is 4 shift-mask rounds (the magic-
+    // number trick), pure codegen'd integer ops — at 100 TB the code
+    // costs a scan, and the layout write is x40's repartition +
+    // partitionBy machinery keyed on z_bucket instead of a hash.
+    // Each dim is first RANGE-NORMALIZED to a 64-wide grid from its
+    // in-plan min/max (a 1-row broadcast — what Delta's ZORDER does
+    // with its range-partition ids), so the interleave sees uniform
+    // 6-bit coordinates whatever the raw key ranges are; the 64
+    // buckets = the top 6 bits of the 12-bit code, i.e. 8x8 tiles of
+    // the normalized grid — every bucket bounds BOTH dims at once
+    // (LayoutSketchSpec pins box ≤ 8x8 vs the linear sort's 1x64).
+    Q(
+      "x59_zorder_layout",
+      """WITH o AS (SELECT o_custkey AS ck,
+        |    epoch_us(o_orderdate) // 86400000000 AS dd FROM orders),
+        |bb AS (SELECT min(ck) AS ck0, max(ck) - min(ck) + 1 AS ckw,
+        |    min(dd) AS dd0, max(dd) - min(dd) + 1 AS ddw FROM o),
+        |n AS (SELECT ((ck - ck0) * 64) // ckw AS cx, ((dd - dd0) * 64) // ddw AS dy FROM o, bb),
+        |s1 AS (SELECT cx, dy, (cx | (cx << 8)) & 16711935 AS ax, (dy | (dy << 8)) & 16711935 AS ay FROM n),
+        |s2 AS (SELECT cx, dy, (ax | (ax << 4)) & 252645135 AS bx, (ay | (ay << 4)) & 252645135 AS gy FROM s1),
+        |s3 AS (SELECT cx, dy, (bx | (bx << 2)) & 858993459 AS ex, (gy | (gy << 2)) & 858993459 AS ey FROM s2),
+        |s4 AS (SELECT cx, dy, (ex | (ex << 1)) & 1431655765 AS fx, (ey | (ey << 1)) & 1431655765 AS fy FROM s3),
+        |m AS (SELECT cx, dy, (fx | (fy << 1)) AS morton FROM s4)
+        |SELECT morton >> 6 AS z_bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(cx) AS min_ck, max(cx) AS max_ck, min(dy) AS min_day, max(dy) AS max_day,
+        |  CAST(SUM(morton) AS BIGINT) AS morton_sum
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.Column
+      def spread(c: Column): Column = {
+        val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(16711935L))
+        val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(252645135L))
+        val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(858993459L))
+        d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(1431655765L))
+      }
+      val o = Tables(spark, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          expr("unix_micros(o_orderdate) DIV 86400000000").as("dd"))
+      val bb = o.agg(min("ck").as("ck0"),
+        (max("ck") - min("ck") + 1).as("ckw"),
+        min("dd").as("dd0"), (max("dd") - min("dd") + 1).as("ddw"))
+      o.crossJoin(broadcast(bb))
+        .select(expr("((ck - ck0) * 64) DIV ckw").as("cx"),
+          expr("((dd - dd0) * 64) DIV ddw").as("dy"))
+        .withColumn("morton", spread(col("cx"))
+          .bitwiseOR(shiftleft(spread(col("dy")), 1)))
+        .groupBy(shiftright(col("morton"), 6).as("z_bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min("cx").as("min_ck"), max("cx").as("max_ck"),
+          min("dy").as("min_day"), max("dy").as("max_day"),
+          sum("morton").cast("long").as("morton_sum"))
+        .orderBy("z_bucket")
     }
   )
 }

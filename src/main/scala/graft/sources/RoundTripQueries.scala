@@ -102,6 +102,42 @@ object RoundTripQueries {
           min(col("c_custkey")).as("first_cust"),
           max(col("c_custkey")).as("last_cust"))
         .orderBy("c_mktsegment")
+    },
+
+    // B4 — Hive-partitioned sink + PRUNED source: write orders
+    // partitioned by priority (5 directories), read back with a
+    // partition-column filter, and audit the filtered slice per month.
+    // The filter never touches data files of the other four partitions
+    // — it is resolved against DIRECTORY NAMES during file listing
+    // (PartitionedScanSpec asserts the scan's partition count), which
+    // is the first and cheapest pruning tier a 100 TB table has:
+    // before min/max stats, before bloom filters, a date- or
+    // tenant-partitioned layout turns a selective query into a listing
+    // of one directory. The audit is all-integer (counts, cents, key
+    // extremes) and the oracle filters the original table — equality
+    // proves the partitioned round trip lost nothing AND routed every
+    // row to the directory its partition value names.
+    Q(
+      "b4_partitioned_scan",
+      """SELECT (epoch_us(o_orderdate) // 86400000000) // 32 AS month_bin,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val out = TempWork.dir("graft_b4_part")
+      Tables(spark, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      spark.read.parquet(out)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(expr("unix_micros(o_orderdate) DIV 86400000000 DIV 32")
+          .as("month_bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(fixed(col("o_totalprice"), 100)).as("cents"),
+          min("o_orderkey").as("first_key"),
+          max("o_orderkey").as("last_key"))
+        .orderBy("month_bin")
     }
   )
 }

@@ -18,6 +18,18 @@ case class OpenSession(startUs: Long, lastTsUs: Long, events: Long)
 /** One finalized session emitted by `completedSessions`. */
 case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_ev: Long)
 
+/** Event with the value pre-encoded as exact integer ten-thousandths
+  * (x54's fixed-point encoding, applied BEFORE the typed boundary so
+  * the rounding is the same codegen'd `round` the batch query uses). */
+case class VEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, v: Long)
+
+/** Trailing-window state for the anomaly detector: the user's last
+  * ≤ 24 values in event order — a fixed ≤ 200-byte record per user. */
+case class Trail(vs: Seq[Long])
+
+/** One flagged anomaly (x54's output row). */
+case class AnomalyOut(event_id: Long, user_id: Long, ts_us: Long, v: Long, n: Long)
+
 /** Per-user rollup emitted by the stateful session counter. */
 case class UserSessions(user_id: Long, sessions: Long, events: Long)
 
@@ -268,6 +280,53 @@ object StreamOps {
             }
             out.iterator
           }
+      }
+  }
+
+  /** Streaming twin of x54's trailing-window anomaly detection: flag
+    * any event whose value sits more than 3 sigma from its user's
+    * trailing 24-event window (≥ 8 priors required), evaluated with
+    * the same division- and sqrt-free integer test as the batch form —
+    * (n·x − S)² > 9·(n·Q − S²) over exact ten-thousandths, every term
+    * within 2^52 (|v| ≤ 10^6, n ≤ 24), so streamed and batch flags are
+    * bit-identical. State is a per-user ring of the last ≤ 24 values —
+    * a fixed ≤ 200-byte record per user, independent of stream length
+    * (the telemetry shape: per-key bounded state, emit-on-flag).
+    * Rows within a batch are sorted by (event time, id); cross-batch
+    * per-user order is the source's contract (the gated run's
+    * time-split chunks satisfy it by construction). NoTimeout: the
+    * trail never expires — a user's baseline survives idle gaps, which
+    * is what a telemetry monitor wants; state stays bounded because
+    * the RECORD is bounded, not because keys die. */
+  def anomalies(events: Dataset[VEvent]): Dataset[AnomalyOut] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[Trail]
+    implicit val outEnc = Encoders.product[AnomalyOut]
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Trail, AnomalyOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[VEvent], state: GroupState[Trail]) =>
+          var buf = state.getOption.map(_.vs.toVector).getOrElse(Vector.empty[Long])
+          val out = scala.collection.mutable.ListBuffer.empty[AnomalyOut]
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val n = buf.length.toLong
+            if (n >= 8) {
+              var s = 0L; var q = 0L
+              buf.foreach { x => s += x; q += x * x }
+              val dev = n * e.v - s
+              if (dev * dev > 9L * (n * q - s * s))
+                out += AnomalyOut(e.event_id, uid, micros(e.ts), e.v, n)
+            }
+            buf = (buf :+ e.v).takeRight(24)
+          }
+          state.update(Trail(buf))
+          out.iterator
       }
   }
 }

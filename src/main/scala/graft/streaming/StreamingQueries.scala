@@ -606,6 +606,69 @@ object StreamingQueries {
       spark.read.parquet(latest.getOrElse(sys.error("s11: no snapshot written")))
         .select("user_id", "event_type", "n_events", "val_10k")
         .orderBy("user_id", "event_type")
+    },
+
+    // S12 — streaming anomaly detection, oracle-gated end to end:
+    // x54's trailing-window 3-sigma flagger run as a live stream —
+    // StreamOps.anomalies keeps a per-user ring of the last ≤ 24
+    // values (flatMapGroupsWithState, fixed ≤ 200-byte record per
+    // user) and applies the identical division- and sqrt-free integer
+    // test, so the streamed flag set hash-matches the BATCH query's
+    // oracle verbatim. Arrival is the s5 single-start two-chunk
+    // mechanics; the time-split guarantees per-user event-time order
+    // across batches (chunk 1 wholly precedes chunk 2) and the
+    // operator sorts within each batch, so the trailing window each
+    // event sees is exactly the batch ROWS 24 PRECEDING frame. No
+    // watermark: the detector never drops late data or expires trails
+    // — its state is bounded by the RECORD size, not by key death.
+    Q(
+      "s12_stream_anomaly",
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+        |w AS (SELECT event_id, user_id, ts, v,
+        |    CAST(count(v) OVER win AS BIGINT) AS n,
+        |    SUM(v) OVER win AS s,
+        |    SUM(v * v) OVER win AS q
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, v, n
+        |FROM w WHERE n >= 8 AND (n*v - s)*(n*v - s) > 9*(n*q - s*s)
+        |ORDER BY event_id""".stripMargin
+    ) { (spark, dir) =>
+      val events = Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          fixed(col("value"), 10000L).as("v"))
+      val in = TempWork.dir("graft_s12_in")
+      val out = TempWork.dir("graft_s12_out")
+      val ckpt = TempWork.dir("graft_s12_ck")
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val midMs = b.getTimestamp(0).getTime +
+        (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      // Child session with narrowed state width — see s5.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      import ss.implicits._
+      val stream = ss.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", chunk1.toString).parquet(in)
+        .as[VEvent]
+      try {
+        val q = StreamOps.anomalies(stream).toDF().writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
+      spark.read.parquet(out)
+        .select("event_id", "user_id", "ts_us", "v", "n")
+        .orderBy("event_id")
     }
   )
 }
