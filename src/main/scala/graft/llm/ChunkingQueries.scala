@@ -304,6 +304,58 @@ object ChunkingQueries {
           max(when(col("rk") === 1L, col("doc_id"))).as("lead_doc"),
           (sum((col("rk") * col("doc_id")) % 2147483647L) % 2147483647L).as("ord_fp"))
         .orderBy("epoch", "shard")
+    },
+
+    // X63 — deterministic NEGATIVE SAMPLING for contrastive training:
+    // pair every document (anchor) with k=4 pseudo-random other
+    // documents via a hash ring over the dense id space — negative
+    // j of anchor d is (d·2654435761 + (j+1)·40503) mod p mod N. No
+    // RNG state, no cartesian product, reproducible on any cluster:
+    // the sampling is a pure per-row expression (the x56 multiplier
+    // discipline — a FRESH constant, decorrelated from every other
+    // hash decision in the engine), and materializing the negatives'
+    // attributes is one keyed join of 4N rows against the corpus —
+    // at 100 TB the only cost is that join's shuffle, which AQE
+    // handles like any fact-fact equi-join. Output is the
+    // anchor-language x negative-language flow matrix plus an exact
+    // integer length-difference sum — the monitoring surface that
+    // catches a skewed ring (all negatives from one shard) or a
+    // degenerate sampler (self-pairs) immediately. Self-pairs are
+    // kept, counted, and reported rather than silently resampled —
+    // the honest contract, since resampling would make the ring
+    // data-dependent.
+    Q(
+      "x63_negative_sampling",
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |pairs AS (SELECT d.doc_id, d.lang, d.n_chars,
+        |    (d.doc_id * 2654435761 + (j.j + 1) * 40503) % 1000003 % nn.n AS neg_id
+        |  FROM documents d CROSS JOIN nn,
+        |       (SELECT unnest(generate_series(0, 3)) AS j) j),
+        |joined AS (SELECT p.lang AS lang_a, d2.lang AS lang_n,
+        |    CASE WHEN p.doc_id = p.neg_id THEN 1 ELSE 0 END AS self_pair,
+        |    abs(p.n_chars - d2.n_chars) AS chardiff
+        |  FROM pairs p JOIN documents d2 ON d2.doc_id = p.neg_id)
+        |SELECT lang_a, lang_n, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(self_pair) AS BIGINT) AS self_pairs,
+        |  CAST(SUM(chardiff) AS BIGINT) AS sum_chardiff
+        |FROM joined GROUP BY 1, 2 ORDER BY lang_a, lang_n""".stripMargin
+    ) { (spark, dir) =>
+      val d = Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val nn = d.agg(count(lit(1)).as("n"))
+      val pairs = d.crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(sequence(lit(0L), lit(3L))).as("j"), col("n"))
+        .withColumn("neg_id",
+          (col("doc_id") * 2654435761L + (col("j") + 1L) * 40503L) % 1000003L % col("n"))
+      val d2 = d.select(col("doc_id").as("nid"),
+        col("lang").as("lang_n"), col("n_chars").as("nc2"))
+      pairs.join(d2, col("neg_id") === col("nid"))
+        .groupBy(col("lang").as("lang_a"), col("lang_n"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("doc_id") === col("neg_id"), 1L).otherwise(0L)).as("self_pairs"),
+          sum(abs(col("n_chars") - col("nc2"))).cast("long").as("sum_chardiff"))
+        .orderBy("lang_a", "lang_n")
     }
   )
 }

@@ -598,6 +598,50 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(wf).cast("long"))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
+    },
+
+    // X62 — EMBEDDING DRIFT monitor: per-dimension distribution stats
+    // of the embedding column, split into two slices (labels 0-4 vs
+    // 5-9 — standing in for "yesterday's shards vs today's"), in exact
+    // integer ten-thousandths. The ML-ops health check every embedding
+    // pipeline runs: a model regression or feature-order bug shows up
+    // as a per-dim mean/variance shift long before retrieval quality
+    // visibly degrades, and the all-integer sums make day-over-day
+    // diffs byte-comparable. SHAPE: posexplode → 64-key partial
+    // aggregation — combines map-side to 64 rows per partition, one
+    // 64-row exchange, zero joins; at 100 TB it is a single scan. The
+    // float32→double promotion is explicit on BOTH engines so the
+    // ten-thousandth rounding sees the identical IEEE value.
+    Q(
+      "x62_embedding_drift",
+      """WITH v AS (SELECT label,
+        |    i - 1 AS dim, CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v10k
+        |  FROM (SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) u)
+        |SELECT dim,
+        |  CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN label < 5 THEN v10k ELSE 0 END) AS BIGINT) AS sum_a,
+        |  CAST(SUM(CASE WHEN label >= 5 THEN v10k ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN label < 5 THEN v10k * v10k ELSE 0 END) AS BIGINT) AS sq_a,
+        |  CAST(SUM(CASE WHEN label >= 5 THEN v10k * v10k ELSE 0 END) AS BIGINT) AS sq_b,
+        |  min(v10k) AS lo, max(v10k) AS hi
+        |FROM v GROUP BY dim ORDER BY dim""".stripMargin
+    ) { (spark, dir) =>
+      val isA = col("label") < 5
+      Tables.fanOut(Tables(spark, dir, "embeddings"))
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "f")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          fixed(col("f").cast("double"), 10000L).as("v10k"))
+        .groupBy("dim")
+        .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+          sum(when(isA, col("v10k")).otherwise(0L)).as("sum_a"),
+          sum(when(!isA, col("v10k")).otherwise(0L)).as("sum_b"),
+          sum(when(isA, col("v10k") * col("v10k")).otherwise(0L)).as("sq_a"),
+          sum(when(!isA, col("v10k") * col("v10k")).otherwise(0L)).as("sq_b"),
+          min("v10k").as("lo"), max("v10k").as("hi"))
+        .orderBy("dim")
     }
   )
 }

@@ -87,6 +87,92 @@ object GraphQueries {
         .join(broadcast(n), col("n_nationkey") === col("nk"))
         .select(col("n_name").as("nation"), col("rank_ppb"))
         .orderBy("nation")
+    },
+
+    // X61 — TRIANGLE COUNTING over the undirected nation trade graph:
+    // how many closed 3-cliques does each nation participate in? The
+    // third canonical graph kernel next to components (x12) and
+    // centrality (x49), and the standard clustering-coefficient
+    // numerator. ALGORITHM: degree-ordered orientation — every
+    // undirected edge points from its (degree, id)-smaller endpoint to
+    // the larger; a triangle {u,v,w} then has exactly ONE wedge
+    // u→v, u→w with an oriented closing edge v→w, so the
+    // wedge-join ⋈ edge-join counts each triangle once, no
+    // deduplication pass. At web scale this orientation is THE trick
+    // that makes triangle counting feasible: wedge count drops from
+    // Σ deg² (hub-quadratic) to Σ out-deg² with out-deg bounded by
+    // O(√m) (arboricity), and both joins are plain keyed shuffles.
+    // Here the corpus-sized stage is x49's edge extraction (partial-
+    // aggregated to ≤ nations² rows before any shuffle); the triangle
+    // joins run on that bounded graph. The oracle replays the same
+    // orientation in SQL.
+    Q(
+      "x61_triangle_count",
+      """WITH e0 AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM e0 WHERE src <> dst),
+        |deg AS (SELECT nk, count(*) AS d FROM (
+        |    SELECT a AS nk FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1),
+        |oe AS (SELECT least(da.d * 100 + ue.a, db.d * 100 + ue.b) AS u,
+        |       greatest(da.d * 100 + ue.a, db.d * 100 + ue.b) AS v
+        |  FROM ue JOIN deg da ON da.nk = ue.a JOIN deg db ON db.nk = ue.b),
+        |tri AS (SELECT w1.u AS x, w1.v AS y, w2.v AS z
+        |  FROM oe w1 JOIN oe w2 ON w1.u = w2.u AND w1.v < w2.v
+        |  JOIN oe e3 ON e3.u = w1.v AND e3.v = w2.v),
+        |pn AS (SELECT x % 100 AS nk FROM tri UNION ALL SELECT y % 100 FROM tri UNION ALL SELECT z % 100 FROM tri)
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM pn JOIN nation n ON n.n_nationkey = pn.nk
+        |GROUP BY 1 ORDER BY nation""".stripMargin
+    ) { (spark, dir) =>
+      val l = Tables(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val e0 = l
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .agg(count(lit(1)))
+        .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      val ue = graft.core.CacheScope.cacheEager(
+        e0.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+      val deg = ue.select(col("a").as("nk"))
+        .union(ue.select(col("b")))
+        .groupBy("nk").agg(count(lit(1)).as("d"))
+      // Total orientation order embedded in one key: ord = deg*100 + nk
+      // (both < 100 on the ≤ 25-node nation graph — at open-vocabulary
+      // scale this would be a (deg, id) struct key). Every edge points
+      // ord-ascending, and the SAME ord order drives the wedge dedup
+      // AND the closing-edge lookup — the consistency that makes each
+      // triangle match exactly once.
+      val oe = graft.core.CacheScope.cacheEager(
+        ue.join(deg.toDF("nka", "da"), col("a") === col("nka"))
+          .join(deg.toDF("nkb", "db"), col("b") === col("nkb"))
+          .select(
+            least(col("da") * 100 + col("a"), col("db") * 100 + col("b")).as("u"),
+            greatest(col("da") * 100 + col("a"), col("db") * 100 + col("b")).as("v")))
+      val w2 = oe.toDF("u2", "v2")
+      val e3 = oe.toDF("u3", "v3")
+      val tri = oe
+        .join(w2, col("u") === col("u2") && col("v") < col("v2"))
+        .join(e3, col("v") === col("u3") && col("v2") === col("v3"))
+        .select(col("u").as("x"), col("v").as("y"), col("v2").as("z"))
+      val pn = tri.select(
+        explode(array(col("x") % 100, col("y") % 100, col("z") % 100)).as("nk"))
+      val n = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+      pn.join(broadcast(n), col("n_nationkey") === col("nk"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("nation")
     }
   )
 }

@@ -551,6 +551,44 @@ object RelationalQueries {
         "QuerySmokeSpec ('r25 approx quantiles within 1% of exact per " +
         "group') gates the declared tolerance, and the query emits the " +
         "approx next to r22's exact rank-definition value so the error " +
-        "is inspectable in the artifact itself"))
+        "is inspectable in the artifact itself")),
+
+    // R26 — DISTINCT COUNT over a sliding value window: for every
+    // purchase, how many distinct event types did that user produce in
+    // the trailing 30 days (purchase included)? SQL window frames
+    // cannot express COUNT(DISTINCT) — neither Spark nor DuckDB
+    // accepts it — so each engine states the semantics its own way and
+    // the hash gate proves they agree: Spark evaluates
+    // size(collect_set(type)) over a RANGE frame (r21's value-frame
+    // machinery; the set is built per-frame in the window operator, so
+    // the cost is one user_id exchange + sort — NOT a per-row rescan),
+    // while the DuckDB oracle states the definition directly as a
+    // correlated distinct-count subquery. The result is the classic
+    // "breadth of engagement" feature a behavioral model consumes.
+    // State per frame is bounded by the type alphabet (5), not the
+    // window row count — the property that keeps the collect_set
+    // window safe on an unbounded feed.
+    Q(
+      "r26_distinct_window",
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  (SELECT count(DISTINCT e2.event_type) FROM events e2
+        |   WHERE e2.user_id = e.user_id
+        |     AND e2.ts <= e.ts
+        |     AND e2.ts >= e.ts - INTERVAL 30 DAY) AS n_types
+        |FROM events e WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin
+    ) { (spark, dir) =>
+      val horizonUs = 30L * 86400L * 1000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-horizonUs, 0)
+      Tables(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          epochUs(col("ts")).as("ts_us"))
+        .withColumn("n_types", size(collect_set(col("event_type")).over(w)).cast("long"))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("n_types"))
+        .orderBy("event_id")
+    }
   )
 }
