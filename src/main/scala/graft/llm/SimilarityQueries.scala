@@ -642,6 +642,60 @@ object SimilarityQueries {
           sum(when(!isA, col("v10k") * col("v10k")).otherwise(0L)).as("sq_b"),
           min("v10k").as("lo"), max("v10k").as("hi"))
         .orderBy("dim")
+    },
+
+    // X68 — CLASS-CENTROID OUTLIERS: for every label, the 5 vectors
+    // farthest from their class centroid — the standard mislabeled-
+    // example / embedding-corruption detector a training pipeline runs
+    // over its labeled slices. DIVISION-FREE EXACTNESS: the natural
+    // score ‖v − s/n‖² needs a rational centroid, so the query scores
+    // n²·‖v − c‖² = Σ_d (n·v_d − s_d)² instead — exact integers over
+    // ten-thousandths, same ranking within a label (n is constant per
+    // label). Bounds: |n·v_d − s_d| ≤ 2n·10^4 = 10^8 at sf1.0's
+    // n = 5,000/label ⇒ each square ≤ 10^16, the 64-dim sum ≤ 6.4·10^17
+    // < 2^63; past n ≈ 10^5 a deployment keeps (n, s_d) exact and
+    // scores in double — the ranking tolerates 1-ulp noise. SHAPE:
+    // per-(label, dim) centroid agg (10 x 64 rows, partial map-side)
+    // broadcast back onto the exploded vectors, one per-vec rollup,
+    // one tiny top-5 window per label — two bounded exchanges, no
+    // corpus-sized join.
+    Q(
+      "x68_centroid_outliers",
+      """WITH v AS (SELECT vec_id, label, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS v10k
+        |  FROM (SELECT vec_id, label, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings) u),
+        |c AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(v10k) AS BIGINT) AS s FROM v GROUP BY 1, 2),
+        |d AS (SELECT v.vec_id, v.label,
+        |    CAST(SUM((c.n * v.v10k - c.s) * (c.n * v.v10k - c.s)) AS BIGINT) AS n2dev2
+        |  FROM v JOIN c ON c.label = v.label AND c.dim = v.dim
+        |  GROUP BY 1, 2),
+        |r AS (SELECT label, vec_id, n2dev2,
+        |    row_number() OVER (PARTITION BY label ORDER BY n2dev2 DESC, vec_id) AS rk
+        |  FROM d)
+        |SELECT CAST(label AS BIGINT) AS label, vec_id, n2dev2, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin
+    ) { (spark, dir) =>
+      val v = CacheScope.cacheEager(
+        Tables.fanOut(Tables(spark, dir, "embeddings"))
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "f")))
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            col("dim").cast("long").as("dim"),
+            fixed(col("f").cast("double"), 10000L).as("v10k")))
+      val c = v.groupBy(col("label").as("cl"), col("dim").as("cd"))
+        .agg(count(lit(1)).as("n"), sum("v10k").as("s"))
+      val dev = col("n") * col("v10k") - col("s")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("n2dev2").desc, col("vec_id"))
+      v.join(broadcast(c), col("label") === col("cl") && col("dim") === col("cd"))
+        .groupBy("vec_id", "label")
+        .agg(sum(dev * dev).as("n2dev2"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("label"), col("vec_id"), col("n2dev2"), col("rk"))
+        .orderBy("label", "rk")
     }
   )
 }

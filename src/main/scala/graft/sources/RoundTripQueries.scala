@@ -138,6 +138,51 @@ object RoundTripQueries {
           min("o_orderkey").as("first_key"),
           max("o_orderkey").as("last_key"))
         .orderBy("month_bin")
+    },
+
+    // B5 — SCHEMA EVOLUTION round trip: a table whose early files were
+    // written BEFORE a column existed (the v1 batch drops `props`),
+    // read back as one table with `mergeSchema` — the lakehouse
+    // reality every long-lived 100 TB dataset lives with, since
+    // rewriting history on every added column is off the table. The
+    // audit proves the merged read (a) unions the schemas, (b) fills
+    // the missing column with NULL exactly on the v1 rows (even/odd
+    // event_id split — deterministic, engine-independent), and (c)
+    // loses no rows or values across the generations. mergeSchema is
+    // declared explicitly: footer-schema union is a real (one footer
+    // per file) planning cost a production table pays via its
+    // catalog/manifest instead — the read path is otherwise identical.
+    Q(
+      "b5_schema_evolution",
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1_rows,
+        |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 0
+        |       WHEN props IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS props_present,
+        |  CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS val_10k,
+        |  min(event_id) AS first_ev, max(event_id) AS last_ev
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val out = TempWork.dir("graft_b5_evo")
+      val ev = Tables(spark, dir, "events")
+      // generation 1: the schema before `props` existed
+      ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(out)
+      // generation 2: the widened schema
+      ev.filter(col("event_id") % 2 =!= 0)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(out)
+      spark.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("v1_rows"),
+          sum(when(col("event_id") % 2 === 0, 0L)
+            .when(col("props").isNull, 0L).otherwise(1L)).as("props_present"),
+          sum(fixed(col("value"), 10000L)).as("val_10k"),
+          min("event_id").as("first_ev"),
+          max("event_id").as("last_ev"))
+        .orderBy("event_type")
     }
   )
 }

@@ -30,6 +30,12 @@ case class Trail(vs: Seq[Long])
 /** One flagged anomaly (x54's output row). */
 case class AnomalyOut(event_id: Long, user_id: Long, ts_us: Long, v: Long, n: Long)
 
+/** Edge-alert state: the user's previous value (valid iff seen). */
+case class LastV(v: Long, seen: Boolean)
+
+/** One upward-crossing alert emitted by `edgeAlerts`. */
+case class AlertOut(event_id: Long, user_id: Long, ts_us: Long, v: Long)
+
 /** Per-user rollup emitted by the stateful session counter. */
 case class UserSessions(user_id: Long, sessions: Long, events: Long)
 
@@ -326,6 +332,43 @@ object StreamOps {
             buf = (buf :+ e.v).takeRight(24)
           }
           state.update(Trail(buf))
+          out.iterator
+      }
+  }
+
+  /** Threshold EDGE alerting with episode suppression: emit one alert
+    * per UPWARD CROSSING of the threshold — a user's value exceeding T
+    * alerts only if their previous value was at or below T (or this is
+    * their first event) — not on every elevated sample. The dedup that
+    * separates an alerting pipeline from a spam generator, and the
+    * minimal stateful-stream shape: state is ONE value per key (the
+    * previous sample), so memory is exactly the key cardinality. Batch
+    * twin: `lag(v) over (partition by user order by ts, id)` — the
+    * gated run hash-matches that oracle. In-batch order restored by
+    * sorting; cross-batch order is the arrival contract (time-split
+    * chunks). */
+  def edgeAlerts(events: Dataset[VEvent], threshold10k: Long): Dataset[AlertOut] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[LastV]
+    implicit val outEnc = Encoders.product[AlertOut]
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastV, AlertOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[VEvent], state: GroupState[LastV]) =>
+          var last = state.getOption.getOrElse(LastV(0L, seen = false))
+          val out = scala.collection.mutable.ListBuffer.empty[AlertOut]
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (e.v > threshold10k && (!last.seen || last.v <= threshold10k))
+              out += AlertOut(e.event_id, uid, micros(e.ts), e.v)
+            last = LastV(e.v, seen = true)
+          }
+          state.update(last)
           out.iterator
       }
   }

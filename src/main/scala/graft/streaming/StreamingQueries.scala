@@ -669,6 +669,61 @@ object StreamingQueries {
       spark.read.parquet(out)
         .select("event_id", "user_id", "ts_us", "v", "n")
         .orderBy("event_id")
+    },
+
+    // S13 — threshold edge alerting, oracle-gated end to end: one
+    // alert per UPWARD CROSSING of 80.0 (per user), never one per
+    // elevated sample — StreamOps.edgeAlerts keeps exactly ONE value
+    // of state per user (the previous sample), the smallest possible
+    // stateful-streaming footprint, and the batch oracle states the
+    // identical semantics as a lag() window. Same two-chunk arrival
+    // and in-order contract as s12. The pair (s12, s13) spans the
+    // stateful-alerting spectrum: a bounded ring of history vs a
+    // single carried sample.
+    Q(
+      "s13_stream_edge_alerts",
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+        |w AS (SELECT event_id, user_id, ts, v,
+        |    lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM e)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, v
+        |FROM w WHERE v > 800000 AND (pv IS NULL OR pv <= 800000)
+        |ORDER BY event_id""".stripMargin
+    ) { (spark, dir) =>
+      val events = Tables(spark, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          fixed(col("value"), 10000L).as("v"))
+      val in = TempWork.dir("graft_s13_in")
+      val out = TempWork.dir("graft_s13_out")
+      val ckpt = TempWork.dir("graft_s13_ck")
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val midMs = b.getTimestamp(0).getTime +
+        (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      import ss.implicits._
+      val stream = ss.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", chunk1.toString).parquet(in)
+        .as[VEvent]
+      try {
+        val q = StreamOps.edgeAlerts(stream, 800000L).toDF().writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
+      spark.read.parquet(out)
+        .select("event_id", "user_id", "ts_us", "v")
+        .orderBy("event_id")
     }
   )
 }

@@ -60,4 +60,20 @@ class AnomalyStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty, "fixture produced no anomalies — test is vacuous")
   }
+
+  test("s13: edge alerts suppress within-episode repeats; == batch lag form") {
+    import spark.implicits._
+    // hand fixture: one user crossing up, staying high, dropping,
+    // crossing again — exactly 2 alerts; a second user never crossing
+    def ev(id: Long, uid: Long, tMin: Long, v: Long) =
+      graft.streaming.VEvent(id, new java.sql.Timestamp(tMin * 60000L), uid, v)
+    val t = 800000L
+    val in = Seq(
+      ev(1, 1, 0, 700000), ev(2, 1, 1, 850000), ev(3, 1, 2, 900000),
+      ev(4, 1, 3, 100000), ev(5, 1, 4, 810000),
+      ev(6, 2, 0, 790000), ev(7, 2, 1, 800000))
+    val got = graft.streaming.StreamOps.edgeAlerts(in.toDS(), t)
+      .collect().map(_.event_id).sorted
+    assert(got.toSeq == Seq(2L, 5L))
+  }
 }

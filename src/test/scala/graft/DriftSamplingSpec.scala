@@ -77,6 +77,45 @@ class DriftSamplingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).toSet == langs)
   }
 
+  test("x68: top-5 outlier scores match a literal per-vector recompute") {
+    val got = SparkEntry.queries("x68_centroid_outliers")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // literal recompute: centroid sums per (label, dim), score per vec
+    val raw = Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        // Spark round() semantics exactly: BigDecimal HALF_UP on the double
+        r.getSeq[Float](2).map(f => java.math.BigDecimal.valueOf(f.toDouble * 10000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue)))
+    val byLabel = raw.groupBy(_._2)
+    val want = byLabel.toSeq.flatMap { case (lbl, vs) =>
+      val n = vs.length.toLong
+      val dims = vs.head._3.length
+      val s = (0 until dims).map(d => vs.map(_._3(d)).sum)
+      vs.map { case (id, _, v) =>
+        val score = (0 until dims).map { d =>
+          val dev = n * v(d) - s(d); dev * dev
+        }.sum
+        (lbl, id, score)
+      }.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+        .map { case ((l, id, sc), i) => (l, id, sc, i + 1L) }
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.length == byLabel.size * 5)
+  }
+
+  test("b5: merged-schema read fills NULL exactly on the v1 generation") {
+    val rows = SparkEntry.queries("b5_schema_evolution")(spark, sf0001).collect()
+    val ev = Tables(spark, sf0001, "events")
+    assert(rows.map(_.getLong(1)).sum == ev.count())
+    // every v2 row kept its props (source never has nulls), no v1 row did
+    val v2 = ev.filter(col("event_id") % 2 =!= 0).count()
+    assert(rows.map(_.getLong(3)).sum == v2)
+    val v1 = ev.filter(col("event_id") % 2 === 0).count()
+    assert(rows.map(_.getLong(2)).sum == v1)
+  }
+
   test("r26: range-frame collect_set == join-based distinct recount") {
     val got = SparkEntry.queries("r26_distinct_window")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
