@@ -356,6 +356,54 @@ object ChunkingQueries {
           sum(when(col("doc_id") === col("neg_id"), 1L).otherwise(0L)).as("self_pairs"),
           sum(abs(col("n_chars") - col("nc2"))).cast("long").as("sum_chardiff"))
         .orderBy("lang_a", "lang_n")
+    },
+
+    // X64 — LENGTH-BUCKET BATCHING: group documents into padded-length
+    // buckets (token count rounded up to a multiple of 16 — the pad
+    // granularity), order each bucket by a fresh-multiplier hash (so
+    // batches mix sources, not storage order), and cut batches of 8.
+    // The dynamic-batching step every sequence trainer runs: batching
+    // similar lengths bounds padding waste, which the audit REPORTS
+    // (pad_tokens = Σ bucket − n_tok) next to per-bucket batch counts
+    // and an order fingerprint pinning the batch assignment itself.
+    // SHAPE: one scan + one per-bucket window (exchange keyed on the
+    // bucket — bounded partitions since bucket count is small); the
+    // batch id is (rank−1) DIV 8 inside the bucket's hash order. At
+    // extreme scale the global per-bucket rank becomes x56's
+    // shard-local position (batch = shard-local rank, reconstructible
+    // per worker) — the window form here keeps the whole assignment
+    // hash-gateable.
+    Q(
+      "x64_length_batching",
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang, n_tok, ((n_tok + 15) // 16) * 16 AS bucket,
+        |    (doc_id * 2654435699) % 1000003 AS pos FROM t WHERE n_tok > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY pos, doc_id) AS rk FROM b),
+        |a AS (SELECT bucket, doc_id, n_tok, (rk - 1) // 8 AS batch_id, rk FROM r)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(batch_id) + 1 AS BIGINT) AS n_batches,
+        |  CAST(SUM(bucket - n_tok) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM((rk * doc_id) % 2147483647) % 2147483647 AS BIGINT) AS ord_fp
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin
+    ) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("pos", "doc_id")
+      Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          size(wsTokens(col("text"))).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("bucket", expr("((n_tok + 15) DIV 16) * 16"))
+        .withColumn("pos", (col("doc_id") * 2654435699L) % 1000003L)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("batch_id", expr("(rk - 1) DIV 8"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          (max("batch_id") + 1L).as("n_batches"),
+          sum(col("bucket") - col("n_tok")).cast("long").as("pad_tokens"),
+          (sum((col("rk") * col("doc_id")) % 2147483647L) % 2147483647L).as("ord_fp"))
+        .orderBy("bucket")
     }
   )
 }

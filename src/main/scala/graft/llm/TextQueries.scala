@@ -461,6 +461,65 @@ object TextQueries {
         .filter(col("freq") * 500 > col("n_total"))
         .select(col("ngram"), col("freq"))
         .orderBy("ngram")
+    },
+
+    // X65 — SPARSE RETRIEVAL: idf-weighted trigram search — for each
+    // query document, the top-5 corpus documents ranked by the summed
+    // rarity weight of SHARED trigrams. The lexical-retrieval
+    // complement to the dense-vector family (l3/x8/x29/x47): BM25-
+    // shaped scoring where rarity is the signal, restated in exact
+    // integers (weight per shared trigram = (N·100) DIV df — monotone
+    // in idf at fixed df, division-free determinism like x14's
+    // score). SCALE DISCIPLINE (the x52 rare-probe bound): queries
+    // probe ONLY their trigrams with df ≤ 20 — bounded posting lists,
+    // so per-query candidate work is ≤ 48 trigrams × 20 postings
+    // regardless of corpus size, and the common-trigram flood a naive
+    // inverted-index join would suffer never happens. Stopword-heavy
+    // trigrams contribute little idf weight anyway — dropping them is
+    // the declared semantics, exactly what Lucene's rare-term
+    // optimizations approximate.
+    Q(
+      "x65_sparse_retrieval",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM t WHERE len(toks) >= 3) u),
+        |df AS (SELECT tg, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY tg),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |rare AS (SELECT g.doc_id, g.tg, df.df FROM g JOIN df USING (tg) WHERE df.df <= 20),
+        |hits AS (SELECT q.doc_id AS qid, c.doc_id AS did, SUM((nn.n * 100) // q.df) AS score
+        |  FROM rare q JOIN g c ON c.tg = q.tg AND c.doc_id <> q.doc_id
+        |  CROSS JOIN nn
+        |  WHERE q.doc_id % 100 = 17
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT qid, did, CAST(score AS BIGINT) AS score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rn FROM hits)
+        |SELECT qid, did, score, CAST(rn AS BIGINT) AS rn
+        |FROM rk WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    ) { (spark, dir) =>
+      val g = CacheScope.cacheEager(
+        Tables.fanOut(Tables(spark, dir, "documents"))
+          .filter(size(wsTokens(col("text"))) >= 3)
+          .select(col("doc_id"), explode(graft.functions.ShingleExpressions
+            .tokenNgrams(wsTokens(col("text")), 3)).as("tg"))
+          .distinct())
+      val dfc = g.groupBy("tg").agg(count(lit(1)).as("df"))
+      val nn = Tables(spark, dir, "documents").agg(count(lit(1)).as("n"))
+      val rare = g.join(dfc, "tg").filter(col("df") <= 20)
+        .filter(col("doc_id") % 100 === 17)
+        .select(col("tg").as("qtg"), col("doc_id").as("qid"), col("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("score").desc, col("did"))
+      g.join(rare, col("tg") === col("qtg") && col("doc_id") =!= col("qid"))
+        .crossJoin(broadcast(nn))
+        .select(col("qid"), col("doc_id").as("did"),
+          expr("(n * 100) DIV df").as("wt"))
+        .groupBy("qid", "did")
+        .agg(sum("wt").as("score"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("did"), col("score"), col("rn"))
+        .orderBy("qid", "rn")
     }
   )
 }

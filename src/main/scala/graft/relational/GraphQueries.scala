@@ -173,6 +173,102 @@ object GraphQueries {
         .groupBy(col("n_name").as("nation"))
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy("nation")
+    },
+
+    // X66 — LINK PREDICTION by neighborhood overlap: score every
+    // NON-adjacent nation pair by the Jaccard similarity of their
+    // trade neighborhoods (common neighbors / union) and report the
+    // top 10 — "these two nations don't trade yet, but trade with the
+    // same partners". The fourth graph kernel (components → x12,
+    // centrality → x49, triangles → x61, similarity → here), and the
+    // common-neighbor machinery is exactly x61's wedge join: pairs of
+    // edges sharing an endpoint, counted per (smaller, larger)
+    // endpoint pair. Jaccard in exact ppm: cn·10^6 DIV (da + db − cn)
+    // — division-free determinism. The anti-join against the edge set
+    // keeps only candidate (unlinked) pairs. Corpus-sized work is
+    // x49/x61's shared edge extraction; everything after runs on the
+    // nations²-bounded graph — at open-graph scale the wedge join is
+    // the cost and degree-capping (drop hub wedges) is the standard
+    // mitigation, noted here because the nation graph needs none.
+    // EDGE RULE: a pair is linked iff it carries at least 0.25% of
+    // total trade volume (w·400 ≥ Σw) — a RELATIVE threshold, so the
+    // graph stays comparably sparse at every scale factor where an
+    // absolute cutoff would saturate (the raw trade graph is COMPLETE
+    // at sf0.01+ — every nation pair trades a little — and a complete
+    // graph has no links to predict).
+    Q(
+      "x66_link_prediction",
+      """WITH e0 AS (SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM e0 WHERE src <> dst),
+        |up AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |    CAST(SUM(w) AS BIGINT) AS w
+        |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |ue AS (SELECT a, b FROM up CROSS JOIN tot WHERE w * 400 >= t),
+        |adj AS (SELECT a AS x, b AS y FROM ue UNION ALL SELECT b, a FROM ue),
+        |deg AS (SELECT x AS nk, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |cn AS (SELECT least(a1.x, a2.x) AS p, greatest(a1.x, a2.x) AS q,
+        |    CAST(count(*) AS BIGINT) AS cn
+        |  FROM adj a1 JOIN adj a2 ON a1.y = a2.y AND a1.x < a2.x
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT cn.p, cn.q, cn.cn, dp.d AS dp, dq.d AS dq
+        |  FROM cn JOIN deg dp ON dp.nk = cn.p JOIN deg dq ON dq.nk = cn.q
+        |  WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.a = cn.p AND ue.b = cn.q)),
+        |sc AS (SELECT p, q, cn, (cn * 1000000) // (dp + dq - cn) AS jac_ppm FROM cand),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY jac_ppm DESC, p, q) AS rn FROM sc)
+        |SELECT np.n_name AS nation_a, nq.n_name AS nation_b, cn, CAST(jac_ppm AS BIGINT) AS jac_ppm
+        |FROM rk JOIN nation np ON np.n_nationkey = rk.p
+        |JOIN nation nq ON nq.n_nationkey = rk.q
+        |WHERE rn <= 10 ORDER BY jac_ppm DESC, nation_a, nation_b""".stripMargin
+    ) { (spark, dir) =>
+      val l = Tables(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val e0 = graft.core.CacheScope.cacheEager(
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("s_nationkey") =!= col("c_nationkey"))
+          .groupBy(col("s_nationkey").cast("long").as("src"),
+            col("c_nationkey").cast("long").as("dst"))
+          .agg(count(lit(1)).as("w")))
+      val tot = e0.agg(sum("w").as("t"))
+      val ue = graft.core.CacheScope.cacheEager(
+        e0.groupBy(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .agg(sum("w").as("w"))
+          .crossJoin(broadcast(tot))
+          .filter(col("w") * 400 >= col("t"))
+          .select(col("a"), col("b")))
+      val adj = ue.select(col("a").as("x"), col("b").as("y"))
+        .union(ue.select(col("b"), col("a")))
+      val deg = adj.groupBy(col("x").as("nk")).agg(count(lit(1)).as("d"))
+      val a2 = adj.toDF("x2", "y2")
+      val cn = adj.join(a2, col("y") === col("y2") && col("x") < col("x2"))
+        .groupBy(col("x").as("p"), col("x2").as("q"))
+        .agg(count(lit(1)).as("cn"))
+      val cand = cn
+        .join(ue.toDF("ea", "eb"),
+          col("p") === col("ea") && col("q") === col("eb"), "left_anti")
+        .join(deg.toDF("nkp", "dp"), col("p") === col("nkp"))
+        .join(deg.toDF("nkq", "dq"), col("q") === col("nkq"))
+        .select(col("p"), col("q"), col("cn"),
+          expr("(cn * 1000000) DIV (dp + dq - cn)").as("jac_ppm"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .orderBy(col("jac_ppm").desc, col("p"), col("q"))
+      val names = Tables(spark, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+      cand.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10)
+        .join(broadcast(names.toDF("kp", "nation_a")), col("p") === col("kp"))
+        .join(broadcast(names.toDF("kq", "nation_b")), col("q") === col("kq"))
+        .select(col("nation_a"), col("nation_b"), col("cn"), col("jac_ppm"))
+        .orderBy(col("jac_ppm").desc, col("nation_a"), col("nation_b"))
     }
   )
 }

@@ -150,6 +150,41 @@ object SqlQueries {
         "nature — no cross-engine hash can exist; QuerySmokeSpec ('x9 " +
         "approx_count_distinct is within 5% of exact per group') gates the " +
         "declared tolerance, and the query emits approx next to exact so " +
-        "the error is inspectable in the artifact itself"))
+        "the error is inspectable in the artifact itself")),
+
+    // R27 — UNPIVOT (melt): r18's pivot inverse — lineitem's four
+    // numeric measures rotated from columns into (metric, value) rows
+    // via the Dataset.unpivot API (Spark 3.4+'s melt; the wide→long
+    // reshape every metrics pipeline needs before a generic per-metric
+    // aggregation). Values go through the exact-cents/ten-thousandths
+    // integer path BEFORE the rotation so the per-metric sums are
+    // order-independent. SHAPE: unpivot is a zero-shuffle per-row
+    // expansion (4 rows out per row in, like a bounded explode); the
+    // only exchange is the final 4-group aggregate. The oracle states
+    // the same reshape as a UNION ALL — the portable SQL spelling.
+    Q(
+      "r27_unpivot_metrics",
+      """WITH m AS (
+        |  SELECT 'l_discount' AS metric, CAST(round(l_discount * 10000) AS BIGINT) AS v10k FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(round(l_extendedprice * 10000) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', CAST(round(l_quantity * 10000) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', CAST(round(l_tax * 10000) AS BIGINT) FROM lineitem)
+        |SELECT metric, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(v10k) AS BIGINT) AS sum_10k,
+        |  min(v10k) AS min_10k, max(v10k) AS max_10k
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin
+    ) { (spark, dir) =>
+      Tables(spark, dir, "lineitem")
+        .select(fixed(col("l_quantity"), 10000L).as("l_quantity"),
+          fixed(col("l_extendedprice"), 10000L).as("l_extendedprice"),
+          fixed(col("l_discount"), 10000L).as("l_discount"),
+          fixed(col("l_tax"), 10000L).as("l_tax"))
+        .unpivot(Array.empty, "metric", "v10k")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"),
+          sum("v10k").as("sum_10k"),
+          min("v10k").as("min_10k"), max("v10k").as("max_10k"))
+        .orderBy("metric")
+    }
   )
 }
