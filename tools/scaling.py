@@ -154,6 +154,21 @@ COMMENTARY = """\
   crossing from overhead-dominated to data-dominated across this
   step; their absolute sf1.0 times (0.3-2.4 s for ~6M lineitem /
   50k docs / 1M events) are the engine working as designed.
+- **Round-7c/d rows (x53-x68, r25-r27, b4/b5, s12/s13): all inside
+  the 1-4.7x band, no new flags.** The shapes predict it: x53's
+  encode is vocabulary-granular (corpus term = one explode + one
+  join); x55/x57/x60/x65 are corpus-linear passes with bounded join
+  sides (block df, 256 buckets, MG candidates, df<=20 posting
+  lists); x56/x63/x64 are pure per-row hash/window arithmetic;
+  x61/x66 run their wedge joins on the nations^2-bounded graph so
+  only the shared edge extraction scales; x62/x68 are 64-key /
+  640-row partial aggs; x58's regex battery is a scan; b4/b5 rewrite
+  the 10x events table (the write IS the row, like b1); s12/s13 ride
+  the micro-batch commit floor plus a linear state pass. r26 is the
+  one to watch at the NEXT decade: its collect_set range frame holds
+  the 30-day slice per user, so its cost follows events-per-user —
+  fine while the window row count is bounded, and the comment on the
+  query names the mapGroupsWithState swap if a key ever isn't.
 """
 
 
