@@ -104,6 +104,66 @@ object MultimodalQueries {
         }
         .toDF("doc_id", "frame", "off", "b")
         .orderBy("doc_id", "frame")
+    },
+
+    // M3 — PAYLOAD INTEGRITY SCAN: recompute each binary payload's
+    // position-weighted checksum (Σ byte·pos — order-SENSITIVE, so a
+    // swapped block is caught, unlike a plain byte sum) and compare
+    // it against the stored manifest value — the bit-rot / corrupt-
+    // object sweep every petabyte object store schedules. The corpus
+    // has no corruption, so the fixture FLIPS the first byte of
+    // hash-selected payloads (doc_id % 97 == 13 → b0 := 255 − b0,
+    // always detectable since valid ASCII < 128) after recording the
+    // clean checksum — the planted-fixture discipline (COVERAGE.md
+    // round-7 notes). The byte-level work is a typed mapPartitions
+    // over the binary column (m1's decoder slot — this is what an
+    // S3-inventory integrity job looks like on Spark); checksums stay
+    // exact in int64 (≤ 126·Σpos ≈ 1.6e7 per 500-byte payload). Audit
+    // per language: payload count, corrupt count, summed stored vs
+    // recomputed checksums — the corruption shows up twice (count and
+    // checksum-sum delta), so a scrubbed-but-miscounted or
+    // counted-but-unscrubbed bug cannot pass.
+    Q(
+      "m3_integrity_scan",
+      """WITH ch AS (SELECT doc_id, lang, text,
+        |    unnest(generate_series(1, length(text))) AS pos FROM documents),
+        |ck AS (SELECT doc_id, lang,
+        |    CAST(SUM(ascii(substr(text, pos, 1)) * pos) AS BIGINT) AS stored,
+        |    CAST(MAX(CASE WHEN pos = 1 THEN ascii(substr(text, 1, 1)) END) AS BIGINT) AS b0
+        |  FROM ch GROUP BY doc_id, lang),
+        |f AS (SELECT doc_id, lang, stored,
+        |    CASE WHEN doc_id % 97 = 13 THEN stored + 255 - 2 * b0 ELSE stored END AS actual
+        |  FROM ck)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_payloads,
+        |  CAST(SUM(CASE WHEN actual <> stored THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(stored) AS BIGINT) AS sum_stored,
+        |  CAST(SUM(actual) AS BIGINT) AS sum_actual
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (spark, dir) =>
+      val sp = spark
+      import sp.implicits._
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, lang, bytes) =>
+          var clean = 0L
+          var i = 0
+          while (i < bytes.length) { clean += (bytes(i) & 0xff).toLong * (i + 1); i += 1 }
+          // FIXTURE: plant the corruption after recording the manifest
+          if (id % 97 == 13 && bytes.length > 0)
+            bytes(0) = (255 - (bytes(0) & 0xff)).toByte
+          var actual = 0L
+          i = 0
+          while (i < bytes.length) { actual += (bytes(i) & 0xff).toLong * (i + 1); i += 1 }
+          (id, lang, clean, actual)
+        })
+        .toDF("doc_id", "lang", "stored", "actual")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(when(col("actual") =!= col("stored"), 1L).otherwise(0L)).as("n_corrupt"),
+          sum("stored").cast("long").as("sum_stored"),
+          sum("actual").cast("long").as("sum_actual"))
+        .orderBy("lang")
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.Cols._
-import graft.core.{Q, Tables}
+import graft.core.{CacheScope, Q, Tables}
 import graft.ops.AsOfJoin
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -589,6 +589,76 @@ object RelationalQueries {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"), col("n_types"))
         .orderBy("event_id")
+    },
+
+    // R28 — ROBUST STATISTICS per group: median, MAD (median absolute
+    // deviation), IQR, and the count of MAD-outliers (|v − med| >
+    // 3·MAD) for each event type — the outlier-resistant alternative
+    // to mean/stddev that real telemetry monitoring uses (x54's
+    // z-score flags assume near-normal data; MAD does not). All
+    // quantiles use r22's exact rank definition (value at
+    // rn = ceil(f·cnt) under (value, event_id) order) over integer
+    // ten-thousandths, so both engines pick the identical element —
+    // no interpolation to diverge. SHAPE: two window families (ranks
+    // over values, then ranks over deviations from the per-group
+    // median), each one exchange on the 5-key group column, plus a
+    // tiny broadcast of the 5-row median table back onto the rows.
+    // MAD needs the median FIRST, so the two passes are inherent to
+    // the statistic, not a plan artifact.
+    Q(
+      "r28_robust_stats",
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+        |r AS (SELECT event_type, event_id, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM e),
+        |med AS (SELECT event_type, max(CASE WHEN rn = (cnt + 1) // 2 THEN v END) AS med,
+        |    max(CASE WHEN rn = (cnt + 3) // 4 THEN v END) AS p25,
+        |    max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN v END) AS p75
+        |  FROM r GROUP BY event_type),
+        |d AS (SELECT r.event_type, r.event_id, abs(r.v - med.med) AS dev, med.med
+        |  FROM r JOIN med USING (event_type)),
+        |dr AS (SELECT event_type, event_id, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM d),
+        |mad AS (SELECT event_type, max(CASE WHEN rn = (cnt + 1) // 2 THEN dev END) AS mad
+        |  FROM dr GROUP BY event_type)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  med.med, med.p25, med.p75, (med.p75 - med.p25) AS iqr, mad.mad,
+        |  CAST(SUM(CASE WHEN abs(e.v - med.med) > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY 1, 3, 4, 5, 6, 7 ORDER BY event_type""".stripMargin
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(Tables(spark, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          fixed(col("value"), 10000L).as("v")))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("v", "event_id")
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val ranked = e
+        .withColumn("rn", row_number().over(wv).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wc))
+      val med = ranked.groupBy("event_type").agg(
+        max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("v"))).as("med"),
+        max(when(col("rn") === expr("(cnt + 3) DIV 4"), col("v"))).as("p25"),
+        max(when(col("rn") === expr("(3 * cnt + 3) DIV 4"), col("v"))).as("p75"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("dev", "event_id")
+      val mad = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("event_id"),
+          abs(col("v") - col("med")).as("dev"))
+        .withColumn("rn", row_number().over(wd).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("dev"))).as("mad"))
+      e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "p25", "p75", "mad")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("v") - col("med")) > lit(3L) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med"), col("p25"), col("p75"),
+          (col("p75") - col("p25")).as("iqr"), col("mad"), col("n_outliers"))
+        .orderBy("event_type")
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.core.Cols._
 import graft.core.{Q, Tables}
 import graft.streaming.TempWork
 import org.apache.spark.sql.functions._
@@ -123,6 +124,52 @@ object ExportQueries {
           min("dy").as("min_day"), max("dy").as("max_day"),
           sum("morton").cast("long").as("morton_sum"))
         .orderBy("z_bucket")
+    },
+
+    // B6 — SMALL-FILE COMPACTION: the maintenance pass every streaming
+    // or micro-batch ingested table needs — a fragmented layout (here
+    // 64 small files, the shape a day of 15-minute micro-batches
+    // leaves) rewritten into few right-sized files. Target size is
+    // computed from the FRAGMENTED LAYOUT'S OWN measured bytes (a
+    // bounded driver directory listing — the table-manifest read every
+    // real compactor does), files = ceil(bytes / 4 MiB), floor 1.
+    // The audit re-aggregates the compacted table per event type and
+    // must equal the oracle's aggregate over the original — proof the
+    // rewrite lost nothing; CompactionSpec asserts the file-count
+    // contract (64 before, ceil(bytes/4MiB) after) that the
+    // cross-engine hash cannot see. At 100 TB this is exactly
+    // OPTIMIZE/compaction: read-shuffle-write sized by bytes, with
+    // bin-packing by coalesce (no shuffle — partitions merge in
+    // place).
+    Q(
+      "b6_compaction",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS val_10k,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  min(event_id) AS first_ev, max(event_id) AS last_ev
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val frag = TempWork.dir("graft_b6_frag")
+      val out = TempWork.dir("graft_b6_compact")
+      Tables(spark, dir, "events")
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      // bounded driver-side manifest read: total bytes of the layout
+      val bytes = new java.io.File(frag).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length).sum
+      val target = math.max(1L, (bytes + (4L << 20) - 1) / (4L << 20)).toInt
+      spark.read.parquet(frag)
+        .coalesce(target)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(fixed(col("value"), 10000L)).as("val_10k"),
+          countDistinct(col("user_id")).as("n_users"),
+          min("event_id").as("first_ev"),
+          max("event_id").as("last_ev"))
+        .orderBy("event_type")
     }
   )
 }
