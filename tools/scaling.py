@@ -164,7 +164,10 @@ COMMENTARY = """\
   only the shared edge extraction scales; x62/x68 are 64-key /
   640-row partial aggs; x58's regex battery is a scan; b4/b5 rewrite
   the 10x events table (the write IS the row, like b1); s12/s13 ride
-  the micro-batch commit floor plus a linear state pass. r26 is the
+  the micro-batch commit floor plus a linear state pass; r28's two
+  window families key on the 5-value type column; b6 rewrites the
+  events table twice (fragment + compact — the write IS the row);
+  m3's checksum pass is a typed scan. r26 is the
   one to watch at the NEXT decade: its collect_set range frame holds
   the 30-day slice per user, so its cost follows events-per-user —
   fine while the window row count is bounded, and the comment on the
