@@ -309,7 +309,14 @@ object ChunkingQueries {
     // X63 — deterministic NEGATIVE SAMPLING for contrastive training:
     // pair every document (anchor) with k=4 pseudo-random other
     // documents via a hash ring over the dense id space — negative
-    // j of anchor d is (d·2654435761 + (j+1)·40503) mod p mod N. No
+    // j of anchor d is (d·2654435761 + (j+1)·40503) mod N. (An earlier
+    // form reduced mod 1000003 first, which silently capped the ring
+    // at ~1M distinct negatives — beyond a million documents every
+    // negative would come from doc_id < 1000003, breaking the
+    // any-cluster/100 TB reproducibility story; ADVICE r7. The direct
+    // mod-N ring spans the full id space; the int64 product bounds the
+    // design at doc_id ≤ ~3.4e9 — billions of documents — before
+    // modmul widening would be needed, and that bound is explicit.) No
     // RNG state, no cartesian product, reproducible on any cluster:
     // the sampling is a pure per-row expression (the x56 multiplier
     // discipline — a FRESH constant, decorrelated from every other
@@ -328,7 +335,7 @@ object ChunkingQueries {
       "x63_negative_sampling",
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |pairs AS (SELECT d.doc_id, d.lang, d.n_chars,
-        |    (d.doc_id * 2654435761 + (j.j + 1) * 40503) % 1000003 % nn.n AS neg_id
+        |    (d.doc_id * 2654435761 + (j.j + 1) * 40503) % nn.n AS neg_id
         |  FROM documents d CROSS JOIN nn,
         |       (SELECT unnest(generate_series(0, 3)) AS j) j),
         |joined AS (SELECT p.lang AS lang_a, d2.lang AS lang_n,
@@ -347,7 +354,7 @@ object ChunkingQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           explode(sequence(lit(0L), lit(3L))).as("j"), col("n"))
         .withColumn("neg_id",
-          (col("doc_id") * 2654435761L + (col("j") + 1L) * 40503L) % 1000003L % col("n"))
+          (col("doc_id") * 2654435761L + (col("j") + 1L) * 40503L) % col("n"))
       val d2 = d.select(col("doc_id").as("nid"),
         col("lang").as("lang_n"), col("n_chars").as("nc2"))
       pairs.join(d2, col("neg_id") === col("nid"))

@@ -46,7 +46,9 @@ object MlLsh {
     * (distance = 1 - Jaccard). Returns (d1, d2, jaccard_distance). */
   def neardupCandidates(spark: SparkSession, dir: String, gram: Int,
       maxDistance: Double): DataFrame = graft.core.CacheScope.scoped {
-    val feats = graft.core.CacheScope.cache(shingleFeatures(spark, dir, gram))
+    // feats fans out to fit() AND both sides of the similarity join —
+    // the multi-branch case the repo's cacheEager rule exists for.
+    val feats = graft.core.CacheScope.cacheEager(shingleFeatures(spark, dir, gram))
     val model = fit(feats)
     model.approxSimilarityJoin(feats, feats, maxDistance, "dist")
       .select(col("datasetA.doc_id").as("d1"), col("datasetB.doc_id").as("d2"), col("dist"))

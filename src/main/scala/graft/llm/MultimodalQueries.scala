@@ -123,16 +123,28 @@ object MultimodalQueries {
     // recomputed checksums — the corruption shows up twice (count and
     // checksum-sum delta), so a scrubbed-but-miscounted or
     // counted-but-unscrubbed bug cannot pass.
+    // CROSS-ENGINE EQUIVALENCE CONTRACT (ADVICE r7): the oracle walks
+    // CHARACTER positions with ascii() codepoints while the Spark side
+    // walks UTF-8 BYTE offsets — equivalent iff text is ASCII. That
+    // invariant is now ASSERTED (IntegrityRobustSpec "m3 ascii invariant"
+    // fails the suite if any documents.text byte ≥ 0x80), and the
+    // zero-length case is structural: the LEFT JOIN below keeps empty
+    // docs in n_payloads with stored = 0, matching the mapPartitions
+    // side, and the corruption branch guards b0 IS NOT NULL exactly as
+    // the Scala guards bytes.length > 0.
     Q(
       "m3_integrity_scan",
-      """WITH ch AS (SELECT doc_id, lang, text,
+      """WITH ch AS (SELECT doc_id, text,
         |    unnest(generate_series(1, length(text))) AS pos FROM documents),
-        |ck AS (SELECT doc_id, lang,
+        |agg AS (SELECT doc_id,
         |    CAST(SUM(ascii(substr(text, pos, 1)) * pos) AS BIGINT) AS stored,
         |    CAST(MAX(CASE WHEN pos = 1 THEN ascii(substr(text, 1, 1)) END) AS BIGINT) AS b0
-        |  FROM ch GROUP BY doc_id, lang),
+        |  FROM ch GROUP BY doc_id),
+        |ck AS (SELECT d.doc_id, d.lang, COALESCE(a.stored, 0) AS stored, a.b0
+        |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id),
         |f AS (SELECT doc_id, lang, stored,
-        |    CASE WHEN doc_id % 97 = 13 THEN stored + 255 - 2 * b0 ELSE stored END AS actual
+        |    CASE WHEN doc_id % 97 = 13 AND b0 IS NOT NULL
+        |      THEN stored + 255 - 2 * b0 ELSE stored END AS actual
         |  FROM ck)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_payloads,
         |  CAST(SUM(CASE WHEN actual <> stored THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,

@@ -93,7 +93,7 @@ object SimilarityQueries {
         |r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p2)
         |SELECT qid, nid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     ) { (spark, dir) =>
-      val e = CacheScope.cache(vectors(spark, dir)
+      val e = CacheScope.cacheEager(vectors(spark, dir)
         .withColumn("nrm", l2norm(col("v")))
         .withColumn("sig", lshSig(col("v"))))
       val q = e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn", "qsig")
@@ -142,7 +142,7 @@ object SimilarityQueries {
       val cent = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v").as("cv"),
           dot(col("v"), col("v")).as("cc"))
-      val assigned = CacheScope.cache(e.crossJoin(broadcast(cent))
+      val assigned = CacheScope.cacheEager(e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("v"), col("nrm"),
           struct((col("cc") - lit(2.0) * dot(col("v"), col("cv"))).as("score"),
             col("cid").as("cid")).as("sc"))

@@ -211,8 +211,10 @@ object BehaviorQueries {
     // is evaluated WITHOUT division or sqrt — (n·x − S)² > 9·(n·Q − S²)
     // over exact integer ten-thousandths (S = trailing sum, Q =
     // trailing sum of squares) — so both engines compare identical
-    // integers; bounds: |v| ≤ 10^6 ten-thousandths, n ≤ 24 ⇒ every
-    // term ≤ ~6·10^15, comfortably inside BIGINT. Shape: the standard
+    // integers; bounds: observed |v| reaches ~4.9e6 ten-thousandths,
+    // n ≤ 24 ⇒ dev² reaches ~5.5e16 — beyond a double's 2^52
+    // exact-integer range but comfortably inside INT64, which is why
+    // both engines MUST stay in integer arithmetic. Shape: the standard
     // one-exchange window family — all three trailing aggregates
     // share one frame over one user_id partition sort, state per
     // partition is the 24-row frame, and at 100 TB this is exactly

@@ -61,7 +61,7 @@ object GraphQueries {
          |tp AS (SELECT 150000000 // n AS t FROM nn),
          |r0 AS (SELECT nk, 1000000000 // n AS r FROM nodes CROSS JOIN nn),
          |$iterCtes
-         |SELECT n.n_name AS nation, r.r AS rank_ppb
+         |SELECT n.n_name AS nation, CAST(r.r AS BIGINT) AS rank_ppb
          |FROM r$Iters r JOIN nation n ON n.n_nationkey = r.nk
          |ORDER BY n.n_name""".stripMargin
     ) { (spark, dir) =>

@@ -156,7 +156,8 @@ object MergeQueries {
         |  FROM base
         |  UNION ALL
         |  SELECT k + 1000000000, ck, cents FROM base WHERE k % 13 = 0)
-        |SELECT ck AS custkey, count(*) AS n_orders, SUM(cents) AS cents
+        |SELECT ck AS custkey, count(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
         |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (spark, dir) =>
       val base = Tables(spark, dir, "orders")

@@ -293,9 +293,12 @@ object StreamOps {
     * any event whose value sits more than 3 sigma from its user's
     * trailing 24-event window (≥ 8 priors required), evaluated with
     * the same division- and sqrt-free integer test as the batch form —
-    * (n·x − S)² > 9·(n·Q − S²) over exact ten-thousandths, every term
-    * within 2^52 (|v| ≤ 10^6, n ≤ 24), so streamed and batch flags are
-    * bit-identical. State is a per-user ring of the last ≤ 24 values —
+    * (n·x − S)² > 9·(n·Q − S²) over exact ten-thousandths. Both
+    * engines evaluate every term in INT64 (observed |v| reaches
+    * ~4.9e6 ten-thousandths, so dev² reaches ~5.5e16 — beyond a
+    * double's 2^52 exact-integer range but far inside 2^63; do NOT
+    * refactor this test into floating point), so streamed and batch
+    * flags are bit-identical. State is a per-user ring of the last ≤ 24 values —
     * a fixed ≤ 200-byte record per user, independent of stream length
     * (the telemetry shape: per-key bounded state, emit-on-flag).
     * Rows within a batch are sorted by (event time, id); cross-batch

@@ -174,13 +174,18 @@ object StreamingQueries {
       val mid = lit(new java.sql.Timestamp(midMs))
       // parquet chunks, not json: exact microsecond ts roundtrip and a
       // cheaper write — the arrival format a real feed would use.
-      // coalesce(4): a feed chunk is a handful of files, not one file
-      // per scan task (32 x ~100KB) — fewer file-source listings and
-      // per-file open costs in every micro-batch at zero parallelism
+      // repartition(4) — not coalesce(4) — so BOTH chunks produce
+      // EXACTLY 4 files by construction (coalesce yields ≤4 depending
+      // on upstream partitioning; if chunk 2 had ever produced more
+      // files than chunk 1, maxFilesPerTrigger = chunk1 would split
+      // chunk 2 across triggers and break the in-order per-chunk
+      // arrival contract the stateful queries assume — ADVICE r7).
+      // A feed chunk stays a handful of files, not one per scan task:
+      // fewer file-source listings per micro-batch at zero parallelism
       // loss for a 100k-row arrival chunk.
-      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
       val chunk1 = TempWork.stampOlder(in)
-      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") >= mid).repartition(4).write.mode("append").parquet(in)
       // The stream runs on its own CHILD session (shared SparkContext
       // and extensions, isolated SQLConf): the state-store width is
       // frozen from spark.sql.shuffle.partitions at stream start, and
@@ -255,9 +260,9 @@ object StreamingQueries {
       val midMs = b.getTimestamp(0).getTime +
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
-      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
       val chunk1 = TempWork.stampOlder(in)
-      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") >= mid).repartition(4).write.mode("append").parquet(in)
       // Child session with narrowed state width — see s5.
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -320,9 +325,9 @@ object StreamingQueries {
       // dedup state must do the suppressing.
       val overlapMs = math.min(900000L, (midMs - minMs) / 4)
       val repl = lit(new java.sql.Timestamp(midMs - overlapMs))
-      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
       val chunk1 = TempWork.stampOlder(in)
-      events.filter(col("ts") >= repl).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") >= repl).repartition(4).write.mode("append").parquet(in)
       // Child session with narrowed state width — see s5.
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -383,9 +388,9 @@ object StreamingQueries {
       val midMs = b.getTimestamp(0).getTime +
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
-      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
       val chunk1 = TempWork.stampOlder(in)
-      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") >= mid).repartition(4).write.mode("append").parquet(in)
       // Child session with narrowed state width — see s5.
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -448,9 +453,9 @@ object StreamingQueries {
       val midMs = b.getTimestamp(0).getTime +
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
-      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
       val chunk1 = TempWork.stampOlder(in)
-      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") >= mid).repartition(4).write.mode("append").parquet(in)
       // Child session with narrowed state width — see s5.
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -499,9 +504,9 @@ object StreamingQueries {
       val midMs = b.getTimestamp(0).getTime +
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
-      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
       val chunk1 = TempWork.stampOlder(in)
-      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") >= mid).repartition(4).write.mode("append").parquet(in)
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = ss.readStream.schema(events.schema)
@@ -549,7 +554,7 @@ object StreamingQueries {
     Q(
       "s11_stream_upsert",
       """SELECT user_id, event_type, count(*) AS n_events,
-        |  SUM(CAST(round(value * 10000) AS BIGINT)) AS val_10k
+        |  CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS val_10k
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (spark, dir) =>
       val events = Tables(spark, dir, "events")
@@ -561,9 +566,9 @@ object StreamingQueries {
       val midMs = b.getTimestamp(0).getTime +
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
-      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
       val chunk1 = TempWork.stampOlder(in)
-      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") >= mid).repartition(4).write.mode("append").parquet(in)
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       val stream = ss.readStream.schema(events.schema)
@@ -645,9 +650,9 @@ object StreamingQueries {
       val midMs = b.getTimestamp(0).getTime +
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
-      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
       val chunk1 = TempWork.stampOlder(in)
-      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") >= mid).repartition(4).write.mode("append").parquet(in)
       // Child session with narrowed state width — see s5.
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -701,9 +706,9 @@ object StreamingQueries {
       val midMs = b.getTimestamp(0).getTime +
         (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
       val mid = lit(new java.sql.Timestamp(midMs))
-      events.filter(col("ts") < mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
       val chunk1 = TempWork.stampOlder(in)
-      events.filter(col("ts") >= mid).coalesce(4).write.mode("append").parquet(in)
+      events.filter(col("ts") >= mid).repartition(4).write.mode("append").parquet(in)
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       import ss.implicits._

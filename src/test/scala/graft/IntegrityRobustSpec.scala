@@ -70,4 +70,18 @@ class IntegrityRobustSpec extends AnyFunSuite {
     assert(gotDelta == wantDelta)
     assert(rows.map(_.getLong(2)).sum > 0, "no corruption planted — vacuous")
   }
+
+  test("m3 ascii invariant: the char-position oracle is valid for this corpus") {
+    // The m3 oracle walks CHARACTER positions with ascii() codepoints;
+    // the Spark side walks UTF-8 BYTE offsets. Equivalent iff every
+    // text is pure ASCII (then char index = byte index and codepoint =
+    // byte value). Assert that invariant here so the cross-engine gate
+    // is justified structurally, not by luck of the corpus (ADVICE r7).
+    val nonAscii = Tables(spark, sf0001, "documents")
+      .filter(col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain non-ASCII text — the m3 oracle's " +
+        "char-position arithmetic no longer matches the byte-offset scan")
+  }
 }

@@ -101,6 +101,30 @@ def main():
                    spark_rows=len(got_rows), oracle_rows=len(exp_rows))
             bad += 1
             continue
+        # Type-parity gate (VERDICT r7 item 2): the driver's canonical
+        # hash is TYPE-sensitive, so an oracle whose integer SUM / `//`
+        # silently widens to DuckDB HUGEINT (int128) or DECIMAL reads
+        # as an engine failure even when every value matches (the
+        # s11/x49/x51 slip). Fail loudly at gate time instead: any
+        # column where exactly one side is HUGEINT/DECIMAL is an
+        # oracle-typing bug — add CAST(... AS BIGINT/DOUBLE) there.
+        def tclass(t):
+            s = str(t).upper()
+            return "DECIMAL" if s.startswith("DECIMAL") else s
+        tbad = [(c, tclass(exp.types[exp_cols.index(c)]),
+                 tclass(got.types[got_cols.index(c)]))
+                for c in sorted(exp_cols)
+                if tclass(exp.types[exp_cols.index(c)]) !=
+                   tclass(got.types[got_cols.index(c)])
+                and {"HUGEINT", "DECIMAL"} &
+                    {tclass(exp.types[exp_cols.index(c)]),
+                     tclass(got.types[got_cols.index(c)])}]
+        if tbad:
+            print(f"FAIL {name}: oracle/spark TYPE mismatch (cast the oracle): {tbad}")
+            record(name, schema_match=False, err=f"type_mismatch: {tbad}",
+                   spark_rows=len(got_rows), oracle_rows=len(exp_rows))
+            bad += 1
+            continue
         # align column order by name
         eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
