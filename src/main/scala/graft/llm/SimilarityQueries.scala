@@ -54,6 +54,38 @@ object SimilarityQueries {
     Tables.fanOut(Tables(spark, dir, "embeddings"))
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
 
+  /** The IVF-PQ top-5 search oracle: joint coarse + 4 subspace k-means
+    * trainings replayed as CTEs, codes expanded back to reconstructed
+    * vectors, cell-pruned cosine top-5 for the first 20 queries.
+    * Shared verbatim by x33 (in-plan build + search) and b7 (the same
+    * search run from PERSISTED index artifacts) — one oracle, two
+    * engine paths that must both hash-match it. */
+  private[llm] def ivfPqTop5Sql: String = {
+    val sub = (0 until 4).map { m =>
+      s"s${m}e AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e),\n" +
+        KMeans.oracleCtes(s"s${m}e", 16, s"s$m")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${KMeans.oracleCtes},
+       |$sub,
+       |rec AS (SELECT a.vec_id, a.cell,
+       |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
+       |  FROM af a
+       |  JOIN s0af a0 ON a0.vec_id = a.vec_id JOIN s0c${KMeans.Iters} b0 ON b0.cid = a0.cell
+       |  JOIN s1af a1 ON a1.vec_id = a.vec_id JOIN s1c${KMeans.Iters} b1 ON b1.cid = a1.cell
+       |  JOIN s2af a2 ON a2.vec_id = a.vec_id JOIN s2c${KMeans.Iters} b2 ON b2.cid = a2.cell
+       |  JOIN s3af a3 ON a3.vec_id = a.vec_id JOIN s3c${KMeans.Iters} b3 ON b3.cid = a3.cell),
+       |p AS (SELECT q.vec_id AS qid, q.cell AS cell, r.vec_id AS nid,
+       |    round(list_dot_product(qe.v, r.rv)
+       |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(r.rv, r.rv))), 4) AS sim
+       |  FROM rec q JOIN e qe ON qe.vec_id = q.vec_id
+       |  JOIN rec r ON r.cell = q.cell AND r.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20),
+       |rr AS (SELECT qid, cell, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p)
+       |SELECT qid, cell, nid, sim, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // L3 — brute-force cosine top-5 for the first 20 query vectors.
@@ -307,31 +339,7 @@ object SimilarityQueries {
     // codebook lookup, so the shuffled/scanned width is the code
     // width, not 64 doubles — the whole point of PQ at 100 TB).
     Q(
-      "x33_ivf_pq_search", {
-        val sub = (0 until 4).map { m =>
-          s"s${m}e AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e),\n" +
-            KMeans.oracleCtes(s"s${m}e", 16, s"s$m")
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |${KMeans.oracleCtes},
-           |$sub,
-           |rec AS (SELECT a.vec_id, a.cell,
-           |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
-           |  FROM af a
-           |  JOIN s0af a0 ON a0.vec_id = a.vec_id JOIN s0c${KMeans.Iters} b0 ON b0.cid = a0.cell
-           |  JOIN s1af a1 ON a1.vec_id = a.vec_id JOIN s1c${KMeans.Iters} b1 ON b1.cid = a1.cell
-           |  JOIN s2af a2 ON a2.vec_id = a.vec_id JOIN s2c${KMeans.Iters} b2 ON b2.cid = a2.cell
-           |  JOIN s3af a3 ON a3.vec_id = a.vec_id JOIN s3c${KMeans.Iters} b3 ON b3.cid = a3.cell),
-           |p AS (SELECT q.vec_id AS qid, q.cell AS cell, r.vec_id AS nid,
-           |    round(list_dot_product(qe.v, r.rv)
-           |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(r.rv, r.rv))), 4) AS sim
-           |  FROM rec q JOIN e qe ON qe.vec_id = q.vec_id
-           |  JOIN rec r ON r.cell = q.cell AND r.vec_id <> q.vec_id
-           |  WHERE q.vec_id < 20),
-           |rr AS (SELECT qid, cell, nid, sim,
-           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p)
-           |SELECT qid, cell, nid, sim, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-      }
+      "x33_ivf_pq_search", ivfPqTop5Sql
     ) { (spark, dir) =>
       val e = CacheScope.cacheEager(
         vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
@@ -363,6 +371,32 @@ object SimilarityQueries {
       scored.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
+    },
+
+    // B7 — PERSISTED ANN INDEX round trip (round-7 VERDICT task 3):
+    // x33's trained artifacts — coarse codebook, 4 PQ codebooks, and
+    // the coded corpus — are WRITTEN to parquet (AnnIndex.save), the
+    // in-memory index is discarded, and the search runs entirely from
+    // the LOADED artifacts (AnnIndex.load + searchTop5). The gate is
+    // the strongest possible statement of artifact fidelity: the
+    // oracle is x33's VERBATIM — a search over the saved-then-loaded
+    // index must hash-match the search over the index that never left
+    // memory. This closes the build-once/search-many gap: x33/x37/x47
+    // retrain in-plan because their oracles replay the training; a
+    // production deployment calls AnnIndex.build + save once (3
+    // linear scans), then every query is load (a (M+1)·K-row bounded
+    // read) + one cell-keyed probe join over 2-byte codes. Reference
+    // anchor: the produce-once/consume-downstream trace-artifact
+    // contract (main.rs:17-25) applied to index artifacts.
+    Q(
+      "b7_ann_index_roundtrip", ivfPqTop5Sql
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(vectors(spark, dir))
+      val built = AnnIndex.build(e)
+      val path = graft.streaming.TempWork.dir("graft_b7_annidx")
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.searchTop5(loaded, e, 20)
     },
 
     // X37 — nprobe as the DECLARED recall/cost dial (VERDICT r6

@@ -1,0 +1,59 @@
+package graft
+
+import graft.core.Cols._
+import graft.core.Tables
+import graft.llm.AnnIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the persisted IVF-PQ index beyond b7's oracle gate:
+  * artifact fidelity (save→load is bit-exact) and path equivalence
+  * (the search over loaded artifacts is row-identical to x33's
+  * never-persisted in-plan search).
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def vecs = Tables(spark, sf0001, "embeddings")
+    .select(col("vec_id"), vecD(col("embedding")).as("v"))
+
+  test("save/load round-trips every codebook bit-exactly") {
+    val built = AnnIndex.build(vecs)
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_spec").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      assert(loaded.coarse.length == built.coarse.length)
+      built.coarse.zip(loaded.coarse).foreach { case (b, l) =>
+        assert(java.util.Arrays.equals(b, l))
+      }
+      assert(loaded.pq.length == AnnIndex.M)
+      built.pq.zip(loaded.pq).foreach { case (bs, ls) =>
+        bs.zip(ls).foreach { case (b, l) => assert(java.util.Arrays.equals(b, l)) }
+      }
+      // coded corpus survives intact: same rows, same codes
+      val a = built.codes.orderBy("vec_id").collect()
+      val b = loaded.codes.orderBy("vec_id").collect()
+      assert(a.length == b.length && a.length > 0)
+      a.zip(b).foreach { case (x, y) =>
+        assert(x.getLong(0) == y.getLong(0) && x.getLong(1) == y.getLong(1))
+        assert(x.getSeq[Long](2) == y.getSeq[Long](2))
+      }
+    } finally {
+      val root = java.nio.file.Paths.get(path)
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
+  test("search from the loaded index is row-identical to x33's in-plan search") {
+    val fromIndex = SparkEntry.queries("b7_ann_index_roundtrip")(spark, sf0001)
+      .collect().map(_.toSeq)
+    val inPlan = SparkEntry.queries("x33_ivf_pq_search")(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(fromIndex.length == inPlan.length && fromIndex.nonEmpty)
+    fromIndex.zip(inPlan).foreach { case (a, b) => assert(a == b) }
+  }
+}
