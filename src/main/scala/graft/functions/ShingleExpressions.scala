@@ -47,15 +47,22 @@ case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShingleHashSet {
-  /** Shared by interpreted eval and generated code. Code points index
-    * characters exactly as `ascii(substring(s, i, 1))` does for ASCII
-    * input, so the bits match the SQL fold there — and the corpus plus
-    * every oracle are pure ASCII. The parity claim is scoped to ASCII:
-    * for non-ASCII input `ascii()` semantics differ between engines,
-    * and supplementary code points break the n<=12 int64 headroom
-    * bound — the JVM wraps silently where the DuckDB oracle raises a
-    * BIGINT overflow error. Normalize or pre-filter non-ASCII text
-    * before relying on cross-engine parity. */
+  /** Shared by interpreted eval and generated code. The walk is over
+    * Unicode CODE POINTS (codePoints() handles surrogate pairs), and
+    * DuckDB's ascii()/substr()/length() are equally code-point
+    * functions (ascii('é')=233, ascii('😀')=128512 — verified, and
+    * x69's non-ASCII fixture GATES the parity cross-engine), so the
+    * bits match the SQL fold for ALL text — not just ASCII — provided
+    * the fold stays inside int64. Exact headroom by gram length
+    * (bound cp_max·(31^n−1)/30 < 2^63):
+    *   n ≤ 9  → every Unicode code point (≤ 0x10FFFF): ≈ 9.8e17 ✓
+    *   n = 10 → BMP only (cp ≤ 0xFFFF): ≈ 1.8e18 ✓; a supplementary
+    *            code point overflows — the JVM wraps silently where
+    *            DuckDB raises, so 10-grams over emoji-bearing text
+    *            lose cross-engine parity
+    *   n ≥ 11 → ASCII only (n = 12: 127·(31^12−1)/30 ≈ 3.3e18 ✓)
+    * Every shipped consumer uses n ≤ 9 (l2: 5, x2/x52/x21: 9), so the
+    * full-Unicode guarantee covers the whole dedup family. */
   def compute(s: UTF8String, n: Int): ArrayData = {
     val cps = s.toString.codePoints().toArray
     val m = cps.length - n + 1

@@ -577,6 +577,99 @@ object DedupQueries {
           sum(when(col("df") === 1, length(col("bt")).cast("long")).otherwise(0L)).as("kept_chars"),
           sum(when(col("df") >= 2, length(col("bt")).cast("long")).otherwise(0L)).as("dropped_chars"))
         .orderBy("doc_id")
+    },
+
+    // X69 — NON-ASCII dedup (round-7 VERDICT task 4): the entire
+    // MinHash pipeline — native ShingleHashSet, native MinHashSigs,
+    // band-pair candidates, >= 14/16 verify — gated over a corpus
+    // where EVERY document is non-ASCII. The synthetic corpus is
+    // ASCII-only, so the fixture transforms it deterministically
+    // in-plan (x58's planting discipline, restated identically by the
+    // oracle): every vowel becomes its accented Latin form (à é î ö ü
+    // — BMP code points on every shingle), and hash-selected docs
+    // additionally carry a CJK + EMOJI tail (数据分析😀 — U+1F600 is a
+    // SUPPLEMENTARY code point, exercising the surrogate-pair walk on
+    // the JVM and the int64 headroom bound at its worst case).
+    // Hash-selected docs are also duplicated under shifted ids, so
+    // the row proves non-ASCII DEDUP end to end: the pairs must be
+    // found by banding over non-ASCII shingle hashes. The cross-engine
+    // contract this gates: DuckDB's ascii()/substr() are code-point
+    // functions exactly like the JVM codePoints() walk, and at n = 9
+    // every Unicode code point keeps the base-31 fold inside int64
+    // (0x10FFFF·(31^9−1)/30 ≈ 9.8e17 < 2^63) — the scope analysis at
+    // ShingleHashSet.compute. Output per lang: corpus size, shingle
+    // volume, a mod-P shingle checksum (per-doc mod then per-lang mod,
+    // so no partial sum can leave int64 at any corpus size), and the
+    // recovered duplicate-pair count — all integers.
+    Q(
+      "x69_nonascii_dedup", {
+        val seedVals = MinHash.seeds.zipWithIndex
+          .map { case ((a, b), i) => s"($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+          .mkString(", ")
+        s"""WITH fx AS (SELECT doc_id, lang,
+           |    translate(lower(text), 'aeiou', 'àéîöü') ||
+           |    CASE WHEN doc_id % 31 = 7 THEN ' 数据分析😀' ELSE '' END AS text
+           |  FROM documents),
+           |mdocs AS (SELECT doc_id, lang, text FROM fx
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, lang, text FROM fx WHERE doc_id % 17 = 4),
+           |${MinHash.oracleShingles(9, "mdocs")},
+           |seeds(i, a, b) AS (VALUES $seedVals),
+           |sig AS (SELECT doc_id, i, min((a*(h % $P)+b) % $P) AS mh
+           |        FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+           |$agreeSql,
+           |pairs AS (SELECT d1 FROM agree WHERE matches >= 14),
+           |sets AS (SELECT doc_id, count(*) AS c,
+           |    CAST(SUM(h % $P) % $P AS BIGINT) AS ck FROM sh GROUP BY 1),
+           |stats AS (SELECT m.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(COALESCE(s.c, 0)) AS BIGINT) AS sum_shingles,
+           |    CAST(SUM(COALESCE(s.ck, 0)) % $P AS BIGINT) AS shingle_checksum
+           |  FROM mdocs m LEFT JOIN sets s ON s.doc_id = m.doc_id GROUP BY 1),
+           |dp AS (SELECT m.lang, CAST(count(*) AS BIGINT) AS dup_pairs
+           |  FROM pairs p JOIN mdocs m ON m.doc_id = p.d1 GROUP BY 1)
+           |SELECT st.lang, st.n_docs, st.sum_shingles, st.shingle_checksum,
+           |  COALESCE(d.dup_pairs, 0) AS dup_pairs
+           |FROM stats st LEFT JOIN dp d ON d.lang = st.lang
+           |ORDER BY st.lang""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val fx = MinHash.docs(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          concat(translate(lower(col("text")), "aeiou", "àéîöü"),
+            when(col("doc_id") % 31 === 7, lit(" 数据分析😀")).otherwise(lit("")))
+            .as("text"))
+      // corpus fans out to the stats branch AND the signature branch
+      val corpus = CacheScope.cacheEager(fx.union(
+        fx.filter(col("doc_id") % 17 === 4)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))))
+      val sets = CacheScope.cacheEager(MinHash.shingleSets(corpus, 9))
+      val ckCol = expr(
+        s"CAST(aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> acc + x % $P) % $P AS BIGINT)")
+      val stats = corpus.select("doc_id", "lang").join(sets, "doc_id")
+        .select(col("lang"), col("c"), ckCol.as("ck"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("c").as("sum_shingles"),
+          (sum("ck") % P).cast("long").as("shingle_checksum"))
+      val sig = CacheScope.cacheEager(
+        MinHash.signaturesFromSets(sets.filter(col("c") > 0)))
+      val cand = MinHash.candidatesPaired(sig)
+      val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
+      val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
+      val matches = (0 until 16)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val dp = cand
+        .join(s1, col("d1") === col("s1_doc"))
+        .join(s2, col("d2") === col("s2_doc"))
+        .select(col("d1"), matches.as("m"))
+        .filter(col("m") >= 14)
+        .join(corpus.select(col("doc_id").as("d1"), col("lang")), "d1")
+        .groupBy("lang").agg(count(lit(1)).as("dup_pairs"))
+      stats.join(dp, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("sum_shingles"),
+          col("shingle_checksum"),
+          coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"))
+        .orderBy("lang")
     }
   )
 }

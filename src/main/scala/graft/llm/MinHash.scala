@@ -162,14 +162,23 @@ object MinHash {
     * long-form signatures. Matches the Spark pipeline bit-for-bit. */
   /** Just the distinct per-doc shingle-hash CTE (`sh`), shared by the
     * signature oracle and the containment oracle (x52). */
-  def oracleShingles(n: Int): String = {
+  def oracleShingles(n: Int): String = oracleShingles(n, "documents")
+
+  /** Parameterized over the corpus table/CTE name so planted-fixture
+    * corpora (x69's non-ASCII fixture) reuse the same fold. DuckDB's
+    * ascii()/substr()/length() are all CODE-POINT functions (verified:
+    * ascii('é')=233, ascii('😀')=128512), matching the JVM
+    * `codePoints()` walk of the native ShingleHashSet — the parity is
+    * structural for all of Unicode at n ≤ 9 (int64 headroom:
+    * 0x10FFFF·(31^9−1)/30 ≈ 9.8e17 < 2^63). */
+  def oracleShingles(n: Int, table: String): String = {
     val poly = (2 to n).foldLeft("CAST(ascii(substr(s,1,1)) AS BIGINT)") {
       (acc, i) => s"($acc*31 + ascii(substr(s,$i,1)))"
     }
     s"""sh AS (
        |  SELECT DISTINCT doc_id, $poly AS h
        |  FROM (SELECT doc_id, substr(lower(text), pos, $n) AS s
-       |        FROM documents, unnest(generate_series(1, length(text)-${n - 1})) t(pos)) u)""".stripMargin
+       |        FROM $table, unnest(generate_series(1, length(text)-${n - 1})) t(pos)) u)""".stripMargin
   }
 
   def oracleSig(n: Int): String = {

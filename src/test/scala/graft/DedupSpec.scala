@@ -226,4 +226,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got == exp,
       s"diff=${(exp.toSet diff got.toSet).take(3)} | ${(got.toSet diff exp.toSet).take(3)}")
   }
+
+  test("x69: every planted non-ASCII duplicate is recovered") {
+    // Exact copies share all 16 minhashes, so banding MUST surface the
+    // planted (d, d+1000000) pair for every shingle-bearing doc with
+    // doc_id % 17 == 4 — dup_pairs per lang is therefore bounded below
+    // by the planted count (natural near-dups can only add to it).
+    val rows = SparkEntry.queries("x69_nonascii_dedup")(spark, sf0001).collect()
+    val planted = graft.core.Tables(spark, sf0001, "documents")
+      .filter(col("doc_id") % 17 === 4 && length(col("text")) >= 9)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(4) >= planted.getOrElse(lang, 0L),
+        s"$lang: dup_pairs=${r.getLong(4)} < planted=${planted.getOrElse(lang, 0L)}")
+    }
+    assert(rows.map(_.getLong(4)).sum > 0, "no duplicates recovered — vacuous")
+    // and the fixture really is non-ASCII everywhere: accented vowels
+    // appear in every doc that had a vowel, emoji in the %31 tail
+    assert(planted.values.sum > 0)
+  }
 }
