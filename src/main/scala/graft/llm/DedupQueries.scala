@@ -670,6 +670,105 @@ object DedupQueries {
           col("shingle_checksum"),
           coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"))
         .orderBy("lang")
+    },
+
+    // X70 — SUBSTRING-GRANULAR dedup (round-7 VERDICT task 7): exact
+    // repeated substrings ACROSS documents at ARBITRARY token offsets
+    // — the suffix-array-style duplicate-span detection of production
+    // corpus dedup (the "deduplicating training data" pass), which
+    // x55's ALIGNED 20-token blocks structurally miss (a span
+    // straddling a block boundary never matches) and x52's containment
+    // only sees when one doc's whole shingle set nests in another's.
+    // ALGORITHM — sliding-anchor + interval merge, no suffix array
+    // needed on Spark: every position emits its 10-token anchor
+    // (sliding, not block-aligned); an anchor appearing in >= 2
+    // DISTINCT docs is duplicate evidence at its exact offset; a
+    // maximal shared span of T >= 10 tokens yields T-9 consecutive
+    // duplicated anchor positions, so merging overlapping-or-adjacent
+    // anchor intervals [p, p+9] (new island iff p > prev + 10)
+    // recovers each span's full token coverage without double-counting
+    // overlaps. FIXTURE (x58 discipline, oracle-replayed): a fixed
+    // 15-token boilerplate sentence planted at the START of docs with
+    // doc_id % 23 = 1 and at the END of docs with doc_id % 23 = 12 —
+    // the same span at different offsets in different docs, which is
+    // precisely the case alignment-based dedup cannot see; its 6
+    // interior anchors are shared, its boundary anchors are
+    // context-unique, so each planting surfaces as one 15-token span.
+    // SCALE SHAPE: one explode to corpus-token-count anchor rows, one
+    // anchor-keyed df aggregation (partial combine does the heavy
+    // lifting; at 100 TB the anchor text becomes a 128-bit hash —
+    // x55's note), one join-back of the SPARSE duplicated positions,
+    // and a per-doc window over only those. Linear end to end; no
+    // pairwise term anywhere.
+    Q(
+      "x70_substring_dedup", {
+        val b = "subscribe to our newsletter for updates and follow " +
+          "the official channel for more information today"
+        s"""WITH fx AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 23 = 1 THEN '$b ' || text
+           |         WHEN doc_id % 23 = 12 THEN text || ' $b'
+           |         ELSE text END AS text
+           |  FROM documents),
+           |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM fx),
+           |a AS (SELECT doc_id, p, array_to_string(toks[p:(p+9)], ' ') AS anchor
+           |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS p
+           |            FROM t WHERE len(toks) >= 10) u),
+           |adf AS (SELECT anchor, count(DISTINCT doc_id) AS df FROM a GROUP BY 1),
+           |d AS (SELECT a.doc_id, a.p FROM a JOIN adf USING (anchor) WHERE adf.df >= 2),
+           |isl AS (SELECT doc_id, p,
+           |    SUM(CASE WHEN prev IS NULL OR p > prev + 10 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp
+           |  FROM (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM d) x),
+           |sp AS (SELECT doc_id, grp, max(p) - min(p) + 10 AS covered FROM isl GROUP BY 1, 2),
+           |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM t)
+           |SELECT n.doc_id, n.n_tok,
+           |  CAST(count(*) AS BIGINT) AS n_spans,
+           |  CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+           |  CAST(MAX(covered) AS BIGINT) AS longest_span,
+           |  n.n_tok - CAST(SUM(covered) AS BIGINT) AS kept_tokens
+           |FROM sp JOIN n ON n.doc_id = sp.doc_id
+           |GROUP BY n.doc_id, n.n_tok ORDER BY n.doc_id""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val b = "subscribe to our newsletter for updates and follow " +
+        "the official channel for more information today"
+      val fx = Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 23 === 1, concat(lit(b + " "), col("text")))
+            .when(col("doc_id") % 23 === 12, concat(col("text"), lit(" " + b)))
+            .otherwise(col("text")).as("text"))
+      // t fans out to the anchor branch and the per-doc token counts
+      val t = CacheScope.cacheEager(
+        fx.select(col("doc_id"), wsTokens(col("text")).as("toks")))
+      // anchors fan out to the df aggregation and the join-back probe
+      val anchors = CacheScope.cacheEager(
+        t.filter(size(col("toks")) >= 10)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, size(toks) - 9)")).as("p"), col("toks"))
+          .select(col("doc_id"), col("p"),
+            concat_ws(" ", expr("slice(toks, p, 10)")).as("anchor")))
+      val adf = anchors.groupBy("anchor").agg(countDistinct("doc_id").as("df"))
+      val dup = anchors.join(adf.filter(col("df") >= 2), "anchor")
+        .select("doc_id", "p")
+      val wLag = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      val isl = dup
+        .withColumn("prev", lag("p", 1).over(wLag))
+        .withColumn("brk",
+          when(col("prev").isNull || col("p") > col("prev") + 10, 1L).otherwise(0L))
+        .withColumn("grp", sum("brk").over(
+          wLag.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val sp = isl.groupBy("doc_id", "grp")
+        .agg((max("p") - min("p") + 10).cast("long").as("covered"))
+      val n = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      sp.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum("covered").cast("long").as("dup_tokens"),
+          max("covered").as("longest_span"))
+        .join(n, "doc_id")
+        .select(col("doc_id"), col("n_tok"), col("n_spans"), col("dup_tokens"),
+          col("longest_span"), (col("n_tok") - col("dup_tokens")).as("kept_tokens"))
+        .orderBy("doc_id")
     }
   )
 }

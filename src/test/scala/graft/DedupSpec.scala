@@ -247,4 +247,27 @@ class DedupSpec extends AnyFunSuite {
     // appear in every doc that had a vowel, emoji in the %31 tail
     assert(planted.values.sum > 0)
   }
+
+  test("x70: planted arbitrary-offset spans are recovered at both offsets") {
+    val got = SparkEntry.queries("x70_substring_dedup")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val docIds = graft.core.Tables(spark, sf0001, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val atStart = docIds.filter(_ % 23 == 1)
+    val atEnd = docIds.filter(_ % 23 == 12)
+    // the boilerplate appears in >= 2 docs, so every planted doc must
+    // surface with a duplicated region covering the full 15-token span
+    assert(atStart.nonEmpty && atEnd.nonEmpty, "fixture vacuous at this sf")
+    (atStart ++ atEnd).foreach { id =>
+      val (_, _, dupTokens, longest, _) = got.getOrElse(id,
+        fail(s"planted doc $id missing from span report"))
+      assert(dupTokens >= 15 && longest >= 15,
+        s"doc $id: dup_tokens=$dupTokens longest=$longest — span not recovered")
+    }
+    // accounting invariant: dup + kept == n_tok on every reported doc
+    got.foreach { case (id, (nTok, _, dup, _, kept)) =>
+      assert(dup + kept == nTok, s"doc $id: $dup + $kept != $nTok")
+    }
+  }
 }
