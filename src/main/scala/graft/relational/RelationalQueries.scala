@@ -15,6 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** The trailing-30-day distinct-type semantics, stated ONCE as the
+    * oracle's correlated distinct-count subquery and gated against TWO
+    * engine plans: r26's collect_set RANGE-frame window and x71's
+    * bounded-state sorted scan — the same definition, two physical
+    * strategies that must hash-agree. */
+  private val distinctWindowSql =
+    """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      |  (SELECT count(DISTINCT e2.event_type) FROM events e2
+      |   WHERE e2.user_id = e.user_id
+      |     AND e2.ts <= e.ts
+      |     AND e2.ts >= e.ts - INTERVAL 30 DAY) AS n_types
+      |FROM events e WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // R1 — TPC-H Q1 shape: scan + pushed filter + 8-way hash aggregate.
@@ -566,17 +580,16 @@ object RelationalQueries {
     // correlated distinct-count subquery. The result is the classic
     // "breadth of engagement" feature a behavioral model consumes.
     // State per frame is bounded by the type alphabet (5), not the
-    // window row count — the property that keeps the collect_set
-    // window safe on an unbounded feed.
+    // window row count — but the RANGE-frame MACHINERY still buffers
+    // each user's 30-day row slice, which degrades if one user's
+    // event rate explodes. x71 below is the hardened form the
+    // round-7 scaling note asked for: the same semantics as a
+    // bounded-state sorted scan (per-type latest-timestamp map, the
+    // mapGroupsWithState discipline run in batch), gated against THIS
+    // query's identical oracle.
     Q(
       "r26_distinct_window",
-      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-        |  (SELECT count(DISTINCT e2.event_type) FROM events e2
-        |   WHERE e2.user_id = e.user_id
-        |     AND e2.ts <= e.ts
-        |     AND e2.ts >= e.ts - INTERVAL 30 DAY) AS n_types
-        |FROM events e WHERE e.event_type = 'purchase'
-        |ORDER BY e.event_id""".stripMargin
+      distinctWindowSql
     ) { (spark, dir) =>
       val horizonUs = 30L * 86400L * 1000000L
       val w = org.apache.spark.sql.expressions.Window
@@ -588,6 +601,62 @@ object RelationalQueries {
         .withColumn("n_types", size(collect_set(col("event_type")).over(w)).cast("long"))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts_us"), col("n_types"))
+        .orderBy("event_id")
+    },
+
+    // X71 — r26's semantics under the BOUNDED-STATE plan (round-7
+    // VERDICT task 8): distinct event types in the trailing 30 days
+    // per purchase, computed by a per-user sorted scan that keeps ONE
+    // timestamp per event type — presence in the window needs only
+    // each type's MOST RECENT occurrence (last_ts(type) >= t − 30d),
+    // so state is the type alphabet (5 entries), independent of the
+    // user's event rate. This is the mapGroupsWithState discipline
+    // run in batch: repartition on user_id + secondary sort
+    // (ts, event_id) + one stateful pass — the plan that survives a
+    // single user producing millions of events where r26's RANGE
+    // frame buffers them all. TIE HANDLING: the oracle's frame is
+    // e2.ts <= e.ts regardless of event id, so the scan updates ALL
+    // same-timestamp events before emitting that timestamp's
+    // purchases. mapPartitions is justified here the way m3's is:
+    // the operator under test IS the imperative bounded-state scan;
+    // the oracle is r26's verbatim, so the two plans must hash-agree.
+    Q(
+      "x71_distinct_window_scan",
+      distinctWindowSql
+    ) { (spark, dir) =>
+      val sp = spark
+      import sp.implicits._
+      val horizonUs = 30L * 86400L * 1000000L
+      Tables(spark, dir, "events")
+        .select(col("user_id"), epochUs(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .as[(Long, Long, Long, String)]
+        .mapPartitions { iter =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          val last = scala.collection.mutable.HashMap.empty[String, Long]
+          val tsBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+          var curUser = Long.MinValue
+          var curTs = Long.MinValue
+          def flush(): Unit = if (tsBatch.nonEmpty) {
+            tsBatch.foreach { case (_, et) => last(et) = curTs }
+            tsBatch.foreach { case (eid, et) =>
+              if (et == "purchase")
+                out += ((eid, curUser, curTs,
+                  last.valuesIterator.count(_ >= curTs - horizonUs).toLong))
+            }
+            tsBatch.clear()
+          }
+          iter.foreach { case (u, ts, eid, et) =>
+            if (u != curUser) { flush(); last.clear(); curUser = u; curTs = ts }
+            else if (ts != curTs) { flush(); curTs = ts }
+            tsBatch += ((eid, et))
+          }
+          flush()
+          out.iterator
+        }
+        .toDF("event_id", "user_id", "ts_us", "n_types")
         .orderBy("event_id")
     },
 
