@@ -51,19 +51,41 @@ object AnnIndex {
       pq: IndexedSeq[IndexedSeq[Array[Double]]],
       codes: DataFrame)
 
+  /** Code vectors against EXISTING codebooks — a pure codegen'd map
+    * (M+1 literal-centroid argmins per row, no join, no shuffle).
+    * This is the whole-index encoder at build time AND the
+    * incremental encoder for vectors the trainer never saw
+    * ([[append]]). */
+  def encode(vecs: DataFrame,
+      coarse: IndexedSeq[Array[Double]],
+      pq: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val codeCols = (0 until M).map(m =>
+      KMeans.assignCell(slice(col("v"), m * Sub + 1, Sub), pq(m)))
+    vecs.select(
+      col("vec_id"),
+      KMeans.assignCell(col("v"), coarse).as("cell"),
+      array(codeCols: _*).as("codes"))
+  }
+
   /** Train the joint coarse+PQ codebooks (KMeans.trainJoint — Iters
     * linear scans total) and code every vector. `vecs` must have
     * (vec_id, v: array<double>). */
   def build(vecs: DataFrame): Index = {
     val (coarse, pq) = KMeans.trainJoint(vecs, M, Sub)
-    val codeCols = (0 until M).map(m =>
-      KMeans.assignCell(slice(col("v"), m * Sub + 1, Sub), pq(m)))
-    val codes = vecs.select(
-      col("vec_id"),
-      KMeans.assignCell(col("v"), coarse).as("cell"),
-      array(codeCols: _*).as("codes"))
-    Index(coarse, pq, codes)
+    Index(coarse, pq, encode(vecs, coarse, pq))
   }
+
+  /** Incremental index update: code `newVecs` with the PERSISTED
+    * index's codebooks (no retraining — the production pattern for
+    * growing an IVF-PQ index between rebuilds) and append them to the
+    * codes artifact. Cost = one linear scan of the new batch + the
+    * append write; the codebooks are untouched, so every existing
+    * code stays valid and a reload sees the union. */
+  def append(spark: SparkSession, idx: Index, newVecs: DataFrame,
+      path: String): Unit =
+    encode(newVecs, idx.coarse, idx.pq)
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("append").parquet(s"$path/codes.parquet")
 
   /** Persist the index. Codebooks are written as one tiny parquet
     * (deterministic single file, ordered rows); codes as a normal

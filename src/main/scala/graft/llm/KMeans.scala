@@ -270,14 +270,22 @@ object KMeans {
     * `"(SELECT k FROM kk)"` next to [[scaledKSql]] for corpus-scaled
     * capacity (the CTE bodies are K-independent: assignment is a
     * generic argmin over whatever c0 holds, updates group by cell). */
+  /** Stand-alone nearest-centroid assignment CTE: `$name (vec_id, v,
+    * cell)` = every row of `$eTable` assigned to its nearest centroid
+    * in `$centTable (cid, cv)` — the same (score, cid) argmin as
+    * [[assignCell]]. Public so consumers can assign vectors the
+    * TRAINER never saw against an already-trained codebook (b8's
+    * incremental index append). */
+  def oracleAssign(name: String, eTable: String, centTable: String): String =
+    s"""$name AS (SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY (list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv)), c.cid) AS rk
+       |    FROM $eTable e CROSS JOIN $centTable c) t
+       |  WHERE rk = 1)""".stripMargin
+
   def oracleCtes(eTable: String, dims: Int, pfx: String, seedBound: String): String = {
-    def assign(name: String, c: String): String =
-      s"""$name AS (SELECT vec_id, v, cid AS cell FROM (
-         |    SELECT e.vec_id, e.v, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY (list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv)), c.cid) AS rk
-         |    FROM $eTable e CROSS JOIN $c c) t
-         |  WHERE rk = 1)""".stripMargin
+    def assign(name: String, c: String): String = oracleAssign(name, eTable, c)
     def update(a: String, prev: String, next: String): String =
       s"""${next}s AS (SELECT cell, g.d, SUM(CAST(floor(a.v[g.d] * 65536.0) AS BIGINT)) AS s, COUNT(*) AS n
          |  FROM $a a CROSS JOIN (SELECT UNNEST(range(1, ${dims + 1})) AS d) g GROUP BY cell, g.d),

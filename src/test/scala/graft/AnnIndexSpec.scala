@@ -48,6 +48,34 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("append codes new vectors identically to a from-scratch encode") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_app").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, all.filter(col("vec_id") >= half), path)
+      val merged = AnnIndex.load(spark, path).codes
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      // contract: merged artifact == encoding the FULL corpus against
+      // the half-trained codebooks in one shot
+      val oneShot = AnnIndex.encode(all, built.coarse, built.pq)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(merged.length == oneShot.length && merged.length == all.count())
+      merged.zip(oneShot).foreach { case (a, b) => assert(a == b) }
+    } finally {
+      val root = java.nio.file.Paths.get(path)
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+  }
+
   test("search from the loaded index is row-identical to x33's in-plan search") {
     val fromIndex = SparkEntry.queries("b7_ann_index_roundtrip")(spark, sf0001)
       .collect().map(_.toSeq)
