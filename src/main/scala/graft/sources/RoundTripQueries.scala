@@ -183,6 +183,44 @@ object RoundTripQueries {
           min("event_id").as("first_ev"),
           max("event_id").as("last_ev"))
         .orderBy("event_type")
+    },
+
+    // B9 — ORC round trip on events: the OTHER mainstream columnar
+    // format (Spark ships the ORC reader/writer natively; a lake
+    // migrating between Hive-era ORC and parquet runs exactly this).
+    // ORC stores timestamps at nanosecond precision natively — no
+    // format-string contract needed, unlike b2/b3's text formats —
+    // and doubles as IEEE bits, so the audit proves the binary
+    // round trip preserves micros instants, exact value sums, and
+    // row identity. The filter on the read side additionally
+    // exercises ORC's predicate-pushdown path (min/max stripe stats
+    // — the ORC analogue of parquet row-group pruning; the audit
+    // restricts to purchase/click so a pushdown bug that drops or
+    // double-reads stripes shows up in the counts).
+    Q(
+      "b9_orc_roundtrip",
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS users,
+        |  CAST(SUM(CAST(round(value*10000) AS BIGINT)) AS BIGINT) AS val_10k,
+        |  min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max,
+        |  min(event_id) AS first_ev, max(event_id) AS last_ev
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val out = TempWork.dir("graft_b9_orc")
+      Tables(spark, dir, "events")
+        .write.mode("overwrite").orc(out)
+      spark.read.schema(eventsSchema).orc(out)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          sum(fixed(col("value"), 10000L)).as("val_10k"),
+          min(epochUs(col("ts"))).as("ts_min"),
+          max(epochUs(col("ts"))).as("ts_max"),
+          min("event_id").as("first_ev"),
+          max("event_id").as("last_ev"))
+        .orderBy("event_type")
     }
   )
 }
