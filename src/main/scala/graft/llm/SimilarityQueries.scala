@@ -54,6 +54,45 @@ object SimilarityQueries {
     Tables.fanOut(Tables(spark, dir, "embeddings"))
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
 
+  /** The half-trained / full-assigned search oracle shared by b8
+    * (batch encode-and-append) and s14 (the same append arriving
+    * through a stream): codebooks train on the first half of the
+    * corpus (replayed CTEs), then ALL vectors — including ones the
+    * trainer never saw — are assigned and reconstructed against those
+    * codebooks, and the cell-pruned cosine top-5 runs over the merged
+    * set. */
+  private[llm] def ivfPqAppendSql: String = {
+    val it = KMeans.Iters
+    val sub = (0 until 4).map { m =>
+      s"s${m}e1 AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e1),\n" +
+        KMeans.oracleCtes(s"s${m}e1", 16, s"s$m") + ",\n" +
+        s"s${m}ea AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e),\n" +
+        KMeans.oracleAssign(s"s${m}aa", s"s${m}ea", s"s${m}c$it")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |hh AS (SELECT count(*) // 2 AS h FROM e),
+       |e1 AS (SELECT e.vec_id, e.v FROM e CROSS JOIN hh WHERE e.vec_id < hh.h),
+       |${KMeans.oracleCtes("e1", 64, "")},
+       |${KMeans.oracleAssign("aa", "e", s"c$it")},
+       |$sub,
+       |rec AS (SELECT a.vec_id, a.cell,
+       |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
+       |  FROM aa a
+       |  JOIN s0aa a0 ON a0.vec_id = a.vec_id JOIN s0c$it b0 ON b0.cid = a0.cell
+       |  JOIN s1aa a1 ON a1.vec_id = a.vec_id JOIN s1c$it b1 ON b1.cid = a1.cell
+       |  JOIN s2aa a2 ON a2.vec_id = a.vec_id JOIN s2c$it b2 ON b2.cid = a2.cell
+       |  JOIN s3aa a3 ON a3.vec_id = a.vec_id JOIN s3c$it b3 ON b3.cid = a3.cell),
+       |p AS (SELECT q.vec_id AS qid, q.cell AS cell, r.vec_id AS nid,
+       |    round(list_dot_product(qe.v, r.rv)
+       |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(r.rv, r.rv))), 4) AS sim
+       |  FROM rec q JOIN e qe ON qe.vec_id = q.vec_id
+       |  JOIN rec r ON r.cell = q.cell AND r.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20),
+       |rr AS (SELECT qid, cell, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p)
+       |SELECT qid, cell, nid, sim, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** The IVF-PQ top-5 search oracle: joint coarse + 4 subspace k-means
     * trainings replayed as CTEs, codes expanded back to reconstructed
     * vectors, cell-pruned cosine top-5 for the first 20 queries.
@@ -417,37 +456,7 @@ object SimilarityQueries {
     // pattern accepts until the next rebuild, and the search output
     // prices it in identically on both engines.
     Q(
-      "b8_ann_index_append", {
-        val it = KMeans.Iters
-        val sub = (0 until 4).map { m =>
-          s"s${m}e1 AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e1),\n" +
-            KMeans.oracleCtes(s"s${m}e1", 16, s"s$m") + ",\n" +
-            s"s${m}ea AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e),\n" +
-            KMeans.oracleAssign(s"s${m}aa", s"s${m}ea", s"s${m}c$it")
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |hh AS (SELECT count(*) // 2 AS h FROM e),
-           |e1 AS (SELECT e.vec_id, e.v FROM e CROSS JOIN hh WHERE e.vec_id < hh.h),
-           |${KMeans.oracleCtes("e1", 64, "")},
-           |${KMeans.oracleAssign("aa", "e", s"c$it")},
-           |$sub,
-           |rec AS (SELECT a.vec_id, a.cell,
-           |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
-           |  FROM aa a
-           |  JOIN s0aa a0 ON a0.vec_id = a.vec_id JOIN s0c$it b0 ON b0.cid = a0.cell
-           |  JOIN s1aa a1 ON a1.vec_id = a.vec_id JOIN s1c$it b1 ON b1.cid = a1.cell
-           |  JOIN s2aa a2 ON a2.vec_id = a.vec_id JOIN s2c$it b2 ON b2.cid = a2.cell
-           |  JOIN s3aa a3 ON a3.vec_id = a.vec_id JOIN s3c$it b3 ON b3.cid = a3.cell),
-           |p AS (SELECT q.vec_id AS qid, q.cell AS cell, r.vec_id AS nid,
-           |    round(list_dot_product(qe.v, r.rv)
-           |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(r.rv, r.rv))), 4) AS sim
-           |  FROM rec q JOIN e qe ON qe.vec_id = q.vec_id
-           |  JOIN rec r ON r.cell = q.cell AND r.vec_id <> q.vec_id
-           |  WHERE q.vec_id < 20),
-           |rr AS (SELECT qid, cell, nid, sim,
-           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p)
-           |SELECT qid, cell, nid, sim, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-      }
+      "b8_ann_index_append", ivfPqAppendSql
     ) { (spark, dir) =>
       val e = CacheScope.cacheEager(vectors(spark, dir))
       // bounded: one scalar — the corpus midpoint the oracle restates
@@ -459,6 +468,54 @@ object SimilarityQueries {
       AnnIndex.append(spark, loaded, e.filter(col("vec_id") >= half), path)
       val merged = AnnIndex.load(spark, path)
       AnnIndex.searchTop5(merged, e, 20)
+    },
+
+    // S14 — STREAMING INDEX INGESTION: b8's encode-and-append arriving
+    // through Structured Streaming. The index is built and persisted
+    // from the first half of the corpus; the second half lands as
+    // parquet files consumed by a file-source stream whose foreachBatch
+    // codes each micro-batch with the LOADED codebooks and appends to
+    // the artifact — the continuously-growing vector index every
+    // retrieval deployment runs (new embeddings stream in, codebooks
+    // stay versioned until the next rebuild). The search over the
+    // merged artifact gates against b8's VERBATIM oracle: however the
+    // appends were micro-batched, the final index must equal the batch
+    // one — chunking-independence, the s11 upsert contract applied to
+    // index artifacts. (Production note: foreachBatch passes an epoch
+    // id for idempotent re-delivery on failure; a single gated run has
+    // no retries, so the append is unconditional here.)
+    Q(
+      "s14_stream_index_append", ivfPqAppendSql
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(vectors(spark, dir))
+      val half = e.count() / 2
+      val built = AnnIndex.build(e.filter(col("vec_id") < half))
+      val path = graft.streaming.TempWork.dir("graft_s14_annidx")
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      val in = graft.streaming.TempWork.dir("graft_s14_in")
+      val ckpt = graft.streaming.TempWork.dir("graft_s14_ck")
+      e.filter(col("vec_id") >= half)
+        .repartition(2).write.mode("append").parquet(in)
+      // Child session: narrowed shuffle width for the tiny stream
+      // (the s5 pattern); the parent session's conf is untouched.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(e.schema).parquet(in)
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            AnnIndex.append(batch.sparkSession, loaded, batch, path)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        graft.streaming.TempWork.delete(in)
+        graft.streaming.TempWork.delete(ckpt)
+      }
+      AnnIndex.searchTop5(AnnIndex.load(spark, path), e, 20)
     },
 
     // X37 — nprobe as the DECLARED recall/cost dial (VERDICT r6
