@@ -501,7 +501,12 @@ object SimilarityQueries {
       // (the s5 pattern); the parent session's conf is untouched.
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val stream = ss.readStream.schema(e.schema).parquet(in)
+      // maxFilesPerTrigger=1 FORCES one append job per file — the
+      // gated run really executes MULTIPLE micro-batch appends, so
+      // the chunking-independence the oracle checks is exercised,
+      // not assumed (2 files → 2 triggers → 2 appends).
+      val stream = ss.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
       try {
         val q = stream.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
