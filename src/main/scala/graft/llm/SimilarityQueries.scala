@@ -854,6 +854,111 @@ object SimilarityQueries {
         .filter(col("rk") <= 5)
         .select(col("label"), col("vec_id"), col("n2dev2"), col("rk"))
         .orderBy("label", "rk")
+    },
+
+    // X72 — HYBRID retrieval fusion: the dense cosine top-k (l3's
+    // brute-force scorer over the query set doc_id % 100 = 17) and the
+    // sparse rare-trigram top-k (x65's inverted probes, same query
+    // set) fused per query with reciprocal-rank fusion. RRF is the
+    // production-standard way to combine a BM25-ish lexical list with
+    // an embedding list (each ranker votes 1/(60+rank)); stated here
+    // in exact integer fixed point — 1000000 DIV (60+rank) — so the
+    // fused score is a BIGINT both engines compute identically (a
+    // double 1/(60+r) sum would be order-sensitive). A doc missing
+    // from one list contributes 0 from that list; in_dense/in_sparse
+    // flags expose which ranker(s) surfaced each hit. Scale shape:
+    // both input lists are per-query top-20 (bounded), so the fusion
+    // join is tiny regardless of corpus size; the expensive parts are
+    // the two retrieval legs, each already bounded (dense: broadcast
+    // query side over a linear scan — swap in the persisted IVF-PQ
+    // index (b7) at real scale; sparse: rare-posting probes with
+    // df <= 20, never a full inverted scan).
+    Q(
+      "x72_hybrid_fusion",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dp AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+        |    round(list_dot_product(q.v, x.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 4) AS sim
+        |  FROM e q JOIN e x ON x.vec_id <> q.vec_id WHERE q.vec_id % 100 = 17),
+        |dr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM dp),
+        |dl AS (SELECT qid, nid AS did, 1000000 // (60 + rn) AS dc FROM dr WHERE rn <= 20),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        |            FROM t WHERE len(toks) >= 3) u),
+        |df AS (SELECT tg, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY tg),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |rare AS (SELECT g.doc_id, g.tg, df.df FROM g JOIN df USING (tg) WHERE df.df <= 20),
+        |hits AS (SELECT q.doc_id AS qid, c.doc_id AS did, SUM((nn.n * 100) // q.df) AS score
+        |  FROM rare q JOIN g c ON c.tg = q.tg AND c.doc_id <> q.doc_id
+        |  CROSS JOIN nn
+        |  WHERE q.doc_id % 100 = 17
+        |  GROUP BY 1, 2),
+        |sr AS (SELECT qid, did, row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rn FROM hits),
+        |sl AS (SELECT qid, did, 1000000 // (60 + rn) AS sc FROM sr WHERE rn <= 20),
+        |f AS (SELECT COALESCE(dl.qid, sl.qid) AS qid, COALESCE(dl.did, sl.did) AS did,
+        |    CAST(COALESCE(dc, 0) + COALESCE(sc, 0) AS BIGINT) AS fused,
+        |    CAST(CASE WHEN dc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_dense,
+        |    CAST(CASE WHEN sc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_sparse
+        |  FROM dl FULL OUTER JOIN sl ON sl.qid = dl.qid AND sl.did = dl.did),
+        |r AS (SELECT qid, did, fused, in_dense, in_sparse,
+        |    row_number() OVER (PARTITION BY qid ORDER BY fused DESC, did) AS rn FROM f)
+        |SELECT qid, did, fused, in_dense, in_sparse, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    ) { (spark, dir) =>
+      // Dense leg — l3's scorer, query set % 100 = 17.
+      val e = vectors(spark, dir).withColumn("nrm", l2norm(col("v")))
+      val dq = e.filter(col("vec_id") % 100 === 17).toDF("qid", "qv", "qn")
+      val dx = e.toDF("nid", "xv", "xn")
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      val dense = broadcast(dq).join(dx, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          r4(dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("sim"))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") <= 20)
+        .select(col("qid").as("dqid"), col("nid").as("ddid"),
+          expr("1000000L DIV (60 + rn)").as("dc"))
+      // Sparse leg — x65's rare-trigram inverted probes, same query set.
+      val g = CacheScope.cacheEager(
+        Tables.fanOut(Tables(spark, dir, "documents"))
+          .filter(size(wsTokens(col("text"))) >= 3)
+          .select(col("doc_id"), explode(graft.functions.ShingleExpressions
+            .tokenNgrams(wsTokens(col("text")), 3)).as("tg"))
+          .distinct())
+      val dfc = g.groupBy("tg").agg(count(lit(1)).as("df"))
+      val nn = Tables(spark, dir, "documents").agg(count(lit(1)).as("n"))
+      val rare = g.join(dfc, "tg").filter(col("df") <= 20)
+        .filter(col("doc_id") % 100 === 17)
+        .select(col("tg").as("qtg"), col("doc_id").as("pqid"), col("df"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy("sqid").orderBy(col("score").desc, col("sdid"))
+      val sparse = g
+        .join(rare, col("tg") === col("qtg") && col("doc_id") =!= col("pqid"))
+        .crossJoin(broadcast(nn))
+        .select(col("pqid").as("sqid"), col("doc_id").as("sdid"),
+          expr("(n * 100) DIV df").as("wt"))
+        .groupBy("sqid", "sdid")
+        .agg(sum("wt").as("score"))
+        .withColumn("rn", row_number().over(ws))
+        .filter(col("rn") <= 20)
+        .select(col("sqid"), col("sdid"),
+          expr("1000000L DIV (60 + rn)").as("sc"))
+      // Fuse: per-(query, doc) outer join of the two bounded lists.
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("fused").desc, col("did"))
+      dense
+        .join(sparse,
+          col("dqid") === col("sqid") && col("ddid") === col("sdid"),
+          "full_outer")
+        .select(coalesce(col("dqid"), col("sqid")).as("qid"),
+          coalesce(col("ddid"), col("sdid")).as("did"),
+          (coalesce(col("dc"), lit(0L)) + coalesce(col("sc"), lit(0L))).as("fused"),
+          when(col("dc").isNotNull, 1L).otherwise(0L).as("in_dense"),
+          when(col("sc").isNotNull, 1L).otherwise(0L).as("in_sparse"))
+        .withColumn("rn", row_number().over(wf).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
     }
   )
 }

@@ -81,7 +81,13 @@ object PlanDump {
     // typed mapPartitions (the mapGroupsWithState discipline in
     // batch).
     "x70_substring_dedup", "b7_ann_index_roundtrip",
-    "x71_distinct_window_scan")
+    "x71_distinct_window_scan",
+    // round 8b: x72's hybrid fusion — the two bounded top-k legs
+    // (broadcast dense scorer; rare-posting sparse probes) meeting in
+    // a tiny full-outer fusion join; x73's bloom pruning — one fact
+    // scan feeding four broadcast joins (three position probes + the
+    // exact side), no fact-side exchange before the 5-group agg.
+    "x72_hybrid_fusion", "x73_bloom_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

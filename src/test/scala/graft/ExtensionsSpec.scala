@@ -72,4 +72,28 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == Map("hot" -> 500500L))
   }
+
+  test("x73: bloom passes are a superset of exact matches, FP accounting is exact") {
+    val sp = gspark
+    val rows = SparkEntry.queries("x73_bloom_prune")(sp, TestSpark.sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, bloom, exact, fp) =>
+      // a true member always passes its own bit positions
+      assert(bloom >= exact)
+      assert(fp == bloom - exact)
+      assert(bloom <= n)
+    }
+    // probe coverage: every order is counted exactly once
+    val total = graft.core.Tables(sp, TestSpark.sf001, "orders").count()
+    assert(rows.map(_._2).sum == total)
+    // the exact side equals a direct semi-join, independently spelled
+    val semi = graft.core.Tables(sp, TestSpark.sf001, "orders")
+      .join(graft.core.Tables(sp, TestSpark.sf001, "customer")
+          .filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .count()
+    assert(rows.map(_._4).sum == semi)
+  }
 }

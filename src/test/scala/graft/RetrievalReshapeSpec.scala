@@ -39,6 +39,29 @@ class RetrievalReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("x72: fused ranks dense per query, scores non-increasing, every hit flagged by a leg") {
+    val rows = SparkEntry.queries("x72_hybrid_fusion")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // no self-hits; every surfaced doc came from at least one leg; the
+    // fused score is bounded by two maximal RRF votes (rank 1 twice)
+    assert(rows.forall { case (q, d, f, id, is, _) =>
+      q != d && (id == 1L || is == 1L) && f > 0 && f <= 2 * (1000000 / 61)
+    })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._6).sorted.toSeq == (1L to rs.length).toSeq)
+      val byRank = rs.sortBy(_._6).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // a doc surfaced by BOTH legs carries both votes: its fused score
+    // is at least two minimal (rank-20) votes, i.e. above any possible
+    // single-leg-only score floor
+    assert(rows.filter(r => r._4 == 1L && r._5 == 1L)
+      .forall(_._3 >= 2 * (1000000 / 80)))
+  }
+
   test("x66: predicted pairs are NOT significant edges, jaccard in (0, 1e6]") {
     val rows = SparkEntry.queries("x66_link_prediction")(spark, sf001)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
