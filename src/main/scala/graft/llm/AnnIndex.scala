@@ -104,6 +104,32 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/codes.parquet")
   }
 
+  /** Compact an index whose codes artifact has accumulated append
+    * fragments (b8/s14 leave the base write plus one file set per
+    * appended batch): rewrite the codes into ceil(bytes/4MiB) files
+    * (b6's measured-bytes bin-packing) hash-clustered by cell and
+    * sorted (cell, vec_id) — restoring the locality appends erode, so
+    * a cell-pruned search reads contiguous row-group runs again. The
+    * compacted artifact lands in a NEW directory (parquet cannot
+    * overwrite a source mid-read); a deployment swaps the index
+    * pointer, the two-generation pattern every OPTIMIZE pass uses.
+    * Codebooks are rewritten verbatim — compaction is a pure layout
+    * change, which is exactly what the b10 gate proves. */
+  def compact(spark: SparkSession, from: String, to: String): Unit = {
+    spark.read.parquet(s"$from/centroids.parquet")
+      .coalesce(1).sortWithinPartitions("space", "cid")
+      .write.mode("overwrite").parquet(s"$to/centroids.parquet")
+    // bounded driver-side manifest read: total bytes of the layout
+    val bytes = new java.io.File(s"$from/codes.parquet").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length).sum
+    val target = math.max(1L, (bytes + (4L << 20) - 1) / (4L << 20)).toInt
+    spark.read.parquet(s"$from/codes.parquet")
+      .repartition(target, col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").parquet(s"$to/codes.parquet")
+  }
+
   /** Load a persisted index: one bounded collect of (M+1)·K codebook
     * rows (the KMeans division of labor — driver traffic scales with
     * the codebook, never the corpus); codes stay a distributed scan. */

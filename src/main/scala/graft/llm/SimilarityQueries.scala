@@ -523,6 +523,35 @@ object SimilarityQueries {
       AnnIndex.searchTop5(AnnIndex.load(spark, path), e, 20)
     },
 
+    // B10 — INDEX COMPACTION: the OPTIMIZE maintenance pass for the
+    // persisted index. b8/s14 grow the codes artifact by appending
+    // one file set per batch; left alone, an ingesting deployment
+    // accumulates exactly the small-file fragmentation b6 compacts
+    // away on tables — and appends interleave cells across files, so
+    // the (cell, vec_id) clustering the base write established (and
+    // cell-pruned searches exploit as contiguous row-group runs)
+    // erodes. AnnIndex.compact rewrites the codes into measured-bytes
+    // bin-packed files hash-clustered by cell into a NEW artifact
+    // generation (pointer-swap deployment). The gate is b8's VERBATIM
+    // oracle: a search over the compacted index must hash-match the
+    // search over the fragmented one — compaction is a pure layout
+    // change, no row gained/lost/recoded. AnnIndexSpec pins the
+    // layout contract itself (file count, clustering, row identity).
+    Q(
+      "b10_ann_index_compact", ivfPqAppendSql
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(vectors(spark, dir))
+      val half = e.count() / 2
+      val built = AnnIndex.build(e.filter(col("vec_id") < half))
+      val path = graft.streaming.TempWork.dir("graft_b10_annidx")
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, e.filter(col("vec_id") >= half), path)
+      val compacted = graft.streaming.TempWork.dir("graft_b10_compact")
+      AnnIndex.compact(spark, path, compacted)
+      AnnIndex.searchTop5(AnnIndex.load(spark, compacted), e, 20)
+    },
+
     // X37 — nprobe as the DECLARED recall/cost dial (VERDICT r6
     // stretch): the same jointly-trained IVF-PQ index as x33, searched
     // at nprobe=1 AND nprobe=4, scored against the exact brute-force

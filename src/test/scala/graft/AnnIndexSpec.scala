@@ -84,4 +84,54 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(fromIndex.length == inPlan.length && fromIndex.nonEmpty)
     fromIndex.zip(inPlan).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("compact: bin-packed file count, cell clustering, row-identical codes") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_cpa").toString
+    val path2 = java.nio.file.Files.createTempDirectory("graft_annidx_cpb").toString
+    def parquetFiles(p: String) = new java.io.File(s"$p/codes.parquet")
+      .listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    def rm(p: String): Unit = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+    try {
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, all.filter(col("vec_id") >= half), path)
+      val fragFiles = parquetFiles(path).length
+      AnnIndex.compact(spark, path, path2)
+      // layout contract: measured-bytes bin-packing (tiny codes at
+      // spec scale → exactly 1 file), strictly fewer than the
+      // fragmented layout's base+append file sets
+      val bytes = parquetFiles(path).map(_.length).sum
+      val target = math.max(1L, (bytes + (4L << 20) - 1) / (4L << 20)).toInt
+      assert(parquetFiles(path2).length == target && target < fragFiles)
+      // compaction is a pure layout change: same rows, same codes,
+      // same codebooks
+      val a = AnnIndex.load(spark, path).codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      val b = AnnIndex.load(spark, path2).codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(a.length == b.length && a.length > 0)
+      a.zip(b).foreach { case (x, y) => assert(x == y) }
+      val l2 = AnnIndex.load(spark, path2)
+      loaded.coarse.zip(l2.coarse).foreach { case (x, y) =>
+        assert(java.util.Arrays.equals(x, y))
+      }
+      // clustering contract: within every compacted file, rows are
+      // sorted by (cell, vec_id) — the row-group locality a
+      // cell-pruned search exploits
+      parquetFiles(path2).foreach { f =>
+        val rows = spark.read.parquet(f.getAbsolutePath)
+          .select("cell", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(rows.sameElements(rows.sorted))
+      }
+    } finally { rm(path); rm(path2) }
+  }
 }

@@ -167,11 +167,29 @@ COMMENTARY = """\
   the micro-batch commit floor plus a linear state pass; r28's two
   window families key on the 5-value type column; b6 rewrites the
   events table twice (fragment + compact — the write IS the row);
-  m3's checksum pass is a typed scan. r26 is the
-  one to watch at the NEXT decade: its collect_set range frame holds
-  the 30-day slice per user, so its cost follows events-per-user —
-  fine while the window row count is bounded, and the comment on the
-  query names the mapGroupsWithState swap if a key ever isn't.
+  m3's checksum pass is a typed scan. r26's watch
+  item is DISCHARGED in round 8: its collect_set range frame holds
+  the 30-day slice per user (cost follows events-per-user), and x71
+  now implements the pre-named bounded-state swap — the same
+  semantics as a repartition + secondary-sort + one-pass scan keeping
+  only each type's latest timestamp (state = the 5-entry alphabet,
+  independent of event rate), gated against r26's verbatim oracle.
+  A hot key that breaks r26's frame has a green plan to move to.
+- **Round-8 rows (b7/b8/b9/s14, x69-x73): shapes bound the growth.**
+  b7/b8 are x33's linear training plus artifact parquet writes (the
+  write IS most of the row, like b1/b4); their search legs are the
+  same cell-keyed ADC joins x33 measures. s14 adds the micro-batch
+  commit floor on top of b8's encode-append (one job per arriving
+  file by construction — maxFilesPerTrigger=1). b9 rewrites the
+  events table through ORC (the write IS the row). x69 is l2's
+  band-bucket pipeline over a fixed planted corpus plus the
+  sf-scaled documents table; x70's anchor df agg + sparse join-back
+  is corpus-linear (anchors per doc are bounded by token count);
+  x71 is one exchange + sorted scan (see above). x72's two legs are
+  the already-measured l3/x65 shapes and its fusion join is top-k ×
+  top-k — corpus-size-independent by construction. x73 is one fact
+  scan + four broadcast joins — the fact side never shuffles, so the
+  row tracks scan cost exactly like the r-family scans.
 """
 
 
