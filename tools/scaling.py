@@ -175,7 +175,11 @@ COMMENTARY = """\
   only each type's latest timestamp (state = the 5-entry alphabet,
   independent of event rate), gated against r26's verbatim oracle.
   A hot key that breaks r26's frame has a green plan to move to.
-- **Round-8 rows (b7/b8/b9/s14, x69-x73): shapes bound the growth.**
+- **Round-8 rows (b7/b8/b9/b10/s14, x69-x73): shapes bound the
+  growth.** b10 is b8's encode-append plus a b6-style bounded
+  rewrite of the codes artifact (the compaction write IS the extra
+  cost; its huge-step ratio sits in the same write-dominated band
+  as b1/b6/b9).
   b7/b8 are x33's linear training plus artifact parquet writes (the
   write IS most of the row, like b1/b4); their search legs are the
   same cell-keyed ADC joins x33 measures. s14 adds the micro-batch
