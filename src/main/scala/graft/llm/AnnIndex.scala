@@ -32,11 +32,15 @@ import org.apache.spark.sql.functions._
   * Doubles round-trip parquet bit-exactly (and these centroids are
   * dyadic rationals by KMeans' fixed-point update), so a search over
   * the LOADED index is bit-identical to x33's in-plan search — which
-  * is precisely what the gated row b7 proves. A production variant
-  * would partition codes by cell for directory pruning at high K
-  * (b4 demonstrates that sink shape); at K = 16 row-group locality
-  * from the sort is the right call — 16 directories of one file each
-  * would just re-create the small-file problem b6 compacts away.
+  * is precisely what the gated row b7 proves. The coarse cell count
+  * is corpus-scaled — KMeans.scaledK(n), K² ≥ n — so cell occupancy
+  * stays ~sqrt(n) and a cell-pruned search stays sublinear as the
+  * corpus grows (round-8 VERDICT task 1). A production variant would
+  * partition codes by cell for directory pruning once K reaches the
+  * thousands (b4 demonstrates that sink shape); below that, per-cell
+  * directories of tiny files would just re-create the small-file
+  * problem b6 compacts away, so row-group locality from the
+  * (cell, vec_id) sort is the right call.
   */
 object AnnIndex {
 
@@ -69,9 +73,18 @@ object AnnIndex {
 
   /** Train the joint coarse+PQ codebooks (KMeans.trainJoint — Iters
     * linear scans total) and code every vector. `vecs` must have
-    * (vec_id, v: array<double>). */
+    * (vec_id, v: array<double>). The COARSE cell count is
+    * KMeans.scaledK(n) — K² ≥ corpus, the flat-IVF capacity rule that
+    * keeps cell occupancy ~sqrt(n) so a cell-pruned search stays
+    * sublinear at 100× (round-8 VERDICT task 1: the previous pinned
+    * K = 16 degraded toward a 1/16-corpus linear scan per query; the
+    * dedup family (x34) adopted scaledK a round earlier and measured
+    * the fix). The per-subspace PQ codebooks stay at 16 codes — that
+    * is the compression width, not a capacity knob (see trainJoint's
+    * scaladoc). The corpus count is one bounded aggregate. */
   def build(vecs: DataFrame): Index = {
-    val (coarse, pq) = KMeans.trainJoint(vecs, M, Sub)
+    val (coarse, pq) =
+      KMeans.trainJoint(vecs, M, Sub, KMeans.scaledK(vecs.count()))
     Index(coarse, pq, encode(vecs, coarse, pq))
   }
 
@@ -86,6 +99,42 @@ object AnnIndex {
     encode(newVecs, idx.coarse, idx.pq)
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("append").parquet(s"$path/codes.parquet")
+
+  /** IDEMPOTENT append for streaming ingestion: foreachBatch may
+    * re-deliver a micro-batch after a failure, and an unconditional
+    * append would double-code it (round-8 VERDICT Wrong #5). The
+    * applied-batch ledger is a marker file per epoch id under
+    * `{path}/_applied/`; a batch whose marker exists is skipped
+    * outright. Marker creation follows the append (an append that
+    * crashed mid-write has no marker and replays — at-least-once
+    * within the batch write, exactly-once across completed batches,
+    * the standard foreachBatch idempotence contract). Returns whether
+    * the batch was applied. */
+  def appendIdempotent(spark: SparkSession, idx: Index, batch: DataFrame,
+      path: String, batchId: Long): Boolean = {
+    val marker = s"$path/_applied/batch-$batchId"
+    if (graft.core.Fs.exists(spark, marker)) false
+    else {
+      append(spark, idx, batch, path)
+      graft.core.Fs.touch(spark, marker)
+      true
+    }
+  }
+
+  /** DELETE vectors from the index (takedowns, dedup-then-reindex —
+    * round-8 VERDICT Missing #2: an index that can only grow). Deletes
+    * are TOMBSTONES — a `{path}/tombstones.parquet` artifact of
+    * vec_ids, appended per delete batch, never touching the codes
+    * files (rewriting a code artifact per takedown would be a full
+    * table write per delete; every lake-format delete — Delta, Iceberg
+    * — is a tombstone/delete-file for the same reason). [[load]]
+    * anti-joins the tombstone set out, so searches never see deleted
+    * vectors; [[compact]] physically drops them and starts the new
+    * generation with an empty tombstone set. `ids` must have a vec_id
+    * column; the write is one bounded batch. */
+  def delete(spark: SparkSession, ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id"))
+      .write.mode("append").parquet(s"$path/tombstones.parquet")
 
   /** Persist the index. Codebooks are written as one tiny parquet
     * (deterministic single file, ordered rows); codes as a normal
@@ -119,20 +168,35 @@ object AnnIndex {
     spark.read.parquet(s"$from/centroids.parquet")
       .coalesce(1).sortWithinPartitions("space", "cid")
       .write.mode("overwrite").parquet(s"$to/centroids.parquet")
-    // bounded driver-side manifest read: total bytes of the layout
-    val bytes = new java.io.File(s"$from/codes.parquet").listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length).sum
-    val target = math.max(1L, (bytes + (4L << 20) - 1) / (4L << 20)).toInt
-    spark.read.parquet(s"$from/codes.parquet")
+    // bounded driver-side manifest read (portable: Hadoop FileSystem,
+    // so the same code measures a local dir and an object-store prefix)
+    val bytes = graft.core.Fs.layoutBytes(spark, s"$from/codes.parquet")
+    val target = graft.core.Fs.packTarget(bytes)
+    // liveCodes: tombstoned rows are DROPPED here — compaction is where
+    // deletes become physical; the new generation has no tombstone
+    // artifact, so its reload sees exactly the surviving rows.
+    liveCodes(spark, from)
       .repartition(target, col("cell"))
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").parquet(s"$to/codes.parquet")
   }
 
+  /** The codes artifact with tombstoned vec_ids filtered out — a
+    * left-anti join against the (bounded, id-only) tombstone set; a
+    * no-op scan when no delete has ever happened. */
+  private def liveCodes(spark: SparkSession, path: String): DataFrame = {
+    val codes = spark.read.parquet(s"$path/codes.parquet")
+    if (graft.core.Fs.exists(spark, s"$path/tombstones.parquet"))
+      codes.join(
+        broadcast(spark.read.parquet(s"$path/tombstones.parquet").distinct()),
+        Seq("vec_id"), "left_anti")
+    else codes
+  }
+
   /** Load a persisted index: one bounded collect of (M+1)·K codebook
     * rows (the KMeans division of labor — driver traffic scales with
-    * the codebook, never the corpus); codes stay a distributed scan. */
+    * the codebook, never the corpus); codes stay a distributed scan,
+    * with any tombstoned vec_ids anti-joined out. */
   def load(spark: SparkSession, path: String): Index = {
     val cent = spark.read.parquet(s"$path/centroids.parquet")
       .orderBy("space", "cid")
@@ -141,8 +205,7 @@ object AnnIndex {
     val bySpace = cent.groupBy(_._1)
     def book(space: Int): IndexedSeq[Array[Double]] =
       bySpace(space).sortBy(_._2).map(_._3).toIndexedSeq
-    Index(book(0), (1 to M).map(book),
-      spark.read.parquet(s"$path/codes.parquet"))
+    Index(book(0), (1 to M).map(book), liveCodes(spark, path))
   }
 
   /** x33's cell-pruned reconstruction-cosine top-5 search, run

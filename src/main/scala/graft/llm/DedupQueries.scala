@@ -590,9 +590,15 @@ object DedupQueries {
     // additionally carry a CJK + EMOJI tail (数据分析😀 — U+1F600 is a
     // SUPPLEMENTARY code point, exercising the surrogate-pair walk on
     // the JVM and the int64 headroom bound at its worst case).
-    // Hash-selected docs are also duplicated under shifted ids, so
-    // the row proves non-ASCII DEDUP end to end: the pairs must be
-    // found by banding over non-ASCII shingle hashes. The cross-engine
+    // Hash-selected docs are also duplicated under shifted ids — the
+    // shift is max(doc_id) + 1, DERIVED from the corpus (one bounded
+    // scalar aggregate, restated by the oracle's mx CTE) so planted
+    // ids can never collide with real ones at ANY corpus size
+    // (ADVICE r8: a fixed +1000000 shift silently double-keys mdocs
+    // once the corpus reaches 1e6 docs; x63's mod-ring fixture fixed
+    // the same class a round earlier). The row proves non-ASCII DEDUP
+    // end to end: the pairs must be found by banding over non-ASCII
+    // shingle hashes. The cross-engine
     // contract this gates: DuckDB's ascii()/substr() are code-point
     // functions exactly like the JVM codePoints() walk, and at n = 9
     // every Unicode code point keeps the base-31 fold inside int64
@@ -610,9 +616,10 @@ object DedupQueries {
            |    translate(lower(text), 'aeiou', 'àéîöü') ||
            |    CASE WHEN doc_id % 31 = 7 THEN ' 数据分析😀' ELSE '' END AS text
            |  FROM documents),
+           |mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
            |mdocs AS (SELECT doc_id, lang, text FROM fx
            |  UNION ALL
-           |  SELECT doc_id + 1000000, lang, text FROM fx WHERE doc_id % 17 = 4),
+           |  SELECT doc_id + mx.m, lang, text FROM fx CROSS JOIN mx WHERE doc_id % 17 = 4),
            |${MinHash.oracleShingles(9, "mdocs")},
            |seeds(i, a, b) AS (VALUES $seedVals),
            |sig AS (SELECT doc_id, i, min((a*(h % $P)+b) % $P) AS mh

@@ -207,18 +207,35 @@ object KMeans {
     * `train` and `trainProduct` separately (KMeansSpec): the spaces
     * share nothing but the scan. */
   def trainJoint(vecs: DataFrame, m: Int, sub: Int)
+      : (IndexedSeq[Array[Double]], IndexedSeq[IndexedSeq[Array[Double]]]) =
+    trainJoint(vecs, m, sub, K)
+
+  /** As the 3-arg form with an explicit COARSE cell count (callers pass
+    * [[scaledK]] of the corpus size so IVF capacity tracks the data —
+    * round-8 VERDICT task 1: a K pinned at 16 degrades cell-pruned
+    * search toward a 1/16-corpus linear scan per query at 100x, the
+    * exact saturation x34's round-7 scaling run measured for dedup).
+    * The PQ subspace codebooks stay at K = 16 on purpose: per-subspace
+    * code cardinality is the COMPRESSION parameter (it fixes the code
+    * width — 4 bits here), not a capacity parameter; FAISS's IVFPQ
+    * scales nlist with the corpus while keeping 2^nbits fixed the same
+    * way. Coarse seeds are the vectors with vec_id < coarseK, subspace
+    * seeds those with vec_id < K — the oracle restates the former via
+    * [[scaledKSql]]'s kk CTE and the latter literally. */
+  def trainJoint(vecs: DataFrame, m: Int, sub: Int, coarseK: Int)
       : (IndexedSeq[Array[Double]], IndexedSeq[IndexedSeq[Array[Double]]]) = {
+    val nSeed = math.max(coarseK, K)
     val seeds = vecs
-      .filter(col("vec_id") < K)
+      .filter(col("vec_id") < nSeed)
       .orderBy("vec_id")
       .select("v")
       .collect()
       .map(_.getSeq[Double](0).toArray)
       .toIndexedSeq
-    require(seeds.length == K, s"need $K seed vectors, found ${seeds.length}")
-    var coarse: IndexedSeq[Array[Double]] = seeds
+    require(seeds.length == nSeed, s"need $nSeed seed vectors, found ${seeds.length}")
+    var coarse: IndexedSeq[Array[Double]] = seeds.take(coarseK)
     var subs: IndexedSeq[IndexedSeq[Array[Double]]] =
-      (0 until m).map(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
+      (0 until m).map(s => seeds.take(K).map(_.slice(s * sub, (s + 1) * sub)))
     for (_ <- 1 to Iters) {
       val cells = array(assignCell(col("v"), coarse) +:
         (0 until m).map(s =>
@@ -240,7 +257,7 @@ object KMeans {
       val byKey = sums.map(r =>
         (r.getInt(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4))).toMap
       def next(space: Int, cb: IndexedSeq[Array[Double]]): IndexedSeq[Array[Double]] =
-        (0 until K).map { j =>
+        cb.indices.map { j =>
           if (byKey.contains((space, j.toLong, 0L)))
             cb(j).indices.map { d =>
               val (sm, n) = byKey((space, j.toLong, d.toLong))

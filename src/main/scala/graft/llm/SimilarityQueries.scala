@@ -72,7 +72,8 @@ object SimilarityQueries {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |hh AS (SELECT count(*) // 2 AS h FROM e),
        |e1 AS (SELECT e.vec_id, e.v FROM e CROSS JOIN hh WHERE e.vec_id < hh.h),
-       |${KMeans.oracleCtes("e1", 64, "")},
+       |${KMeans.scaledKSql("e1")},
+       |${KMeans.oracleCtes("e1", 64, "", "(SELECT k FROM kk)")},
        |${KMeans.oracleAssign("aa", "e", s"c$it")},
        |$sub,
        |rec AS (SELECT a.vec_id, a.cell,
@@ -93,6 +94,48 @@ object SimilarityQueries {
        |SELECT qid, cell, nid, sim, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** b11's oracle: ivfPqAppendSql's half-trained / full-assigned search
+    * restricted to the SURVIVING vector set — vec_id % 10 = 3 is
+    * deleted after build+append, so neither the query side nor the
+    * corpus side of the final search may see those ids (deleted ids
+    * that fall inside the first-20 query range simply stop being
+    * queries). Training is NOT restated: deletes happen after the
+    * codebooks exist and never retrain them — exactly the tombstone
+    * contract (a takedown must stop a vector from being SERVED
+    * immediately; codebook refresh waits for the next rebuild). */
+  private[llm] def ivfPqDeleteSql: String = {
+    val it = KMeans.Iters
+    val sub = (0 until 4).map { m =>
+      s"s${m}e1 AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e1),\n" +
+        KMeans.oracleCtes(s"s${m}e1", 16, s"s$m") + ",\n" +
+        s"s${m}ea AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e),\n" +
+        KMeans.oracleAssign(s"s${m}aa", s"s${m}ea", s"s${m}c$it")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |hh AS (SELECT count(*) // 2 AS h FROM e),
+       |e1 AS (SELECT e.vec_id, e.v FROM e CROSS JOIN hh WHERE e.vec_id < hh.h),
+       |${KMeans.scaledKSql("e1")},
+       |${KMeans.oracleCtes("e1", 64, "", "(SELECT k FROM kk)")},
+       |${KMeans.oracleAssign("aa", "e", s"c$it")},
+       |$sub,
+       |rec AS (SELECT a.vec_id, a.cell,
+       |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
+       |  FROM aa a
+       |  JOIN s0aa a0 ON a0.vec_id = a.vec_id JOIN s0c$it b0 ON b0.cid = a0.cell
+       |  JOIN s1aa a1 ON a1.vec_id = a.vec_id JOIN s1c$it b1 ON b1.cid = a1.cell
+       |  JOIN s2aa a2 ON a2.vec_id = a.vec_id JOIN s2c$it b2 ON b2.cid = a2.cell
+       |  JOIN s3aa a3 ON a3.vec_id = a.vec_id JOIN s3c$it b3 ON b3.cid = a3.cell),
+       |p AS (SELECT q.vec_id AS qid, q.cell AS cell, r.vec_id AS nid,
+       |    round(list_dot_product(qe.v, r.rv)
+       |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(r.rv, r.rv))), 4) AS sim
+       |  FROM rec q JOIN e qe ON qe.vec_id = q.vec_id
+       |  JOIN rec r ON r.cell = q.cell AND r.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20 AND q.vec_id % 10 <> 3 AND r.vec_id % 10 <> 3),
+       |rr AS (SELECT qid, cell, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM p)
+       |SELECT qid, cell, nid, sim, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** The IVF-PQ top-5 search oracle: joint coarse + 4 subspace k-means
     * trainings replayed as CTEs, codes expanded back to reconstructed
     * vectors, cell-pruned cosine top-5 for the first 20 queries.
@@ -105,7 +148,8 @@ object SimilarityQueries {
         KMeans.oracleCtes(s"s${m}e", 16, s"s$m")
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |${KMeans.oracleCtes},
+       |${KMeans.scaledKSql("e")},
+       |${KMeans.oracleCtes("e", 64, "", "(SELECT k FROM kk)")},
        |$sub,
        |rec AS (SELECT a.vec_id, a.cell,
        |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
@@ -235,20 +279,25 @@ object SimilarityQueries {
 
     // X29 — IVF search over a TRAINED codebook: the k-means training
     // job x13's fixture codebook stood in for. KMeans.train runs 3
-    // deterministic fixed-point Lloyd iterations (init = vec_id < 16,
-    // fixed-point means, ties to smaller cid — see KMeans's scaladoc
-    // for why every step is exact and order-independent), then the
-    // query searches nprobe=1 cells exactly like x13. The oracle
-    // replays the identical 3 iterations as unrolled CTEs, so cell
-    // assignments AND the trained centroids are hash-gated, not just
-    // the final neighbors. Training cost: Iters linear scans with
-    // literal-centroid assignment (no join), each reduced map-side to
-    // K*64 groups; the only driver traffic is the K*64-number codebook
-    // per iteration.
+    // deterministic fixed-point Lloyd iterations (init = the vec_id <
+    // K seed vectors, fixed-point means, ties to smaller cid — see
+    // KMeans's scaladoc for why every step is exact and
+    // order-independent), then the query searches nprobe=1 cells
+    // exactly like x13. K is corpus-scaled — KMeans.scaledK, K² >= n —
+    // so cell occupancy stays ~sqrt(n) and the per-query probe cost
+    // sublinear as the corpus grows (the whole trained-IVF family uses
+    // the same rule: x33/x37/x47, AnnIndex, x34). The oracle replays
+    // the K selection (kk CTE) and the identical 3 iterations as
+    // unrolled CTEs, so cell assignments AND the trained centroids are
+    // hash-gated, not just the final neighbors. Training cost: Iters
+    // linear scans with literal-centroid assignment (no join), each
+    // reduced map-side to K*64 groups; the only driver traffic is the
+    // K*64-number codebook per iteration.
     Q(
       "x29_ann_ivf_trained",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |${KMeans.oracleCtes},
+        |${KMeans.scaledKSql("e")},
+        |${KMeans.oracleCtes("e", 64, "", "(SELECT k FROM kk)")},
         |p AS (SELECT q.vec_id AS qid, q.cell, x.vec_id AS nid,
         |    round(list_dot_product(q.v, x.v)
         |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 4) AS sim
@@ -263,7 +312,8 @@ object SimilarityQueries {
       // linear, just slower.
       val e = CacheScope.cacheEager(
         vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
-      val codebook = KMeans.train(e.select(col("vec_id"), col("v"))).last
+      val codebook = KMeans.train(
+        e.select(col("vec_id"), col("v")), KMeans.scaledK(e.count())).last
       // cacheEager: assigned feeds both the broadcast query side and
       // the probe side — the broadcast stage mostly serializes the
       // branches, but an eager materialization removes the lazy-cache
@@ -384,7 +434,11 @@ object SimilarityQueries {
         vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
       // Coarse and PQ codebooks train in the SAME Iters scans
       // (KMeans.trainJoint) — the whole index trains in 3 passes.
-      val (coarse, pq) = KMeans.trainJoint(e.select(col("vec_id"), col("v")), 4, 16)
+      // Coarse capacity tracks the corpus (K² >= n — the count is free,
+      // e was just eagerly materialized); PQ stays at 16 codes/subspace
+      // (compression width). Oracle restates K via the kk CTE.
+      val (coarse, pq) = KMeans.trainJoint(
+        e.select(col("vec_id"), col("v")), 4, 16, KMeans.scaledK(e.count()))
       // Reconstruction: per subspace, the code indexes a LITERAL
       // 16-entry codebook array baked into the plan; concat of the 4
       // looked-up slices rebuilds the 64-dim vector inside the map.
@@ -481,9 +535,10 @@ object SimilarityQueries {
     // merged artifact gates against b8's VERBATIM oracle: however the
     // appends were micro-batched, the final index must equal the batch
     // one — chunking-independence, the s11 upsert contract applied to
-    // index artifacts. (Production note: foreachBatch passes an epoch
-    // id for idempotent re-delivery on failure; a single gated run has
-    // no retries, so the append is unconditional here.)
+    // index artifacts — and the run is REPLAY-BEARING: an injected
+    // post-commit crash forces the engine to re-deliver an epoch,
+    // which the idempotent append must skip (details at the run
+    // body's comment below).
     Q(
       "s14_stream_index_append", ivfPqAppendSql
     ) { (spark, dir) =>
@@ -505,17 +560,45 @@ object SimilarityQueries {
       // gated run really executes MULTIPLE micro-batch appends, so
       // the chunking-independence the oracle checks is exercised,
       // not assumed (2 files → 2 triggers → 2 appends).
-      val stream = ss.readStream.schema(e.schema)
+      def stream = ss.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
-      try {
+      // REPLAY-BEARING (round-8 VERDICT task 4): the append is the
+      // IDEMPOTENT form (AnnIndex.appendIdempotent — a per-epoch
+      // marker ledger under the artifact), and this run PROVES it by
+      // really crashing and replaying through the engine: foreachBatch
+      // throws an injected failure AFTER epoch 1's append+marker
+      // committed but BEFORE returning, so the engine never records
+      // that epoch; the restarted query (SAME checkpoint — epoch ids
+      // are stable because they come from the WAL offset log, which
+      // is also why a fresh-checkpoint "replay" would be unsound to
+      // skip on) re-delivers the SAME micro-batch with the SAME epoch
+      // id, the marker skips it, and the search hash-matches the
+      // batch oracle. An unconditional append would double-code the
+      // replayed batch and fail the gate (duplicate candidates shift
+      // the top-5 ranks). Marker-after-append is the standard
+      // contract: a crash INSIDE the append leaves no marker and the
+      // replay re-runs it — at-least-once within a batch write,
+      // exactly-once across completed batches.
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(injectCrash: Boolean): Unit = {
         val q = stream.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            AnnIndex.append(batch.sparkSession, loaded, batch, path)
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            AnnIndex.appendIdempotent(
+              batch.sparkSession, loaded, batch, path, epochId)
+            if (injectCrash && epochId == 1 && crashed.compareAndSet(false, true))
+              throw new RuntimeException(
+                "injected post-commit crash (s14 replay proof)")
           }
           .option("checkpointLocation", ckpt)
           .outputMode("append").start()
         try q.processAllAvailable()
-        finally q.stop()
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+        } finally if (q.isActive) q.stop()
+      }
+      try {
+        run(injectCrash = true)   // crashes after epoch 1's append
+        run(injectCrash = false)  // engine replays epoch 1; marker skips it
       } finally {
         graft.streaming.TempWork.delete(in)
         graft.streaming.TempWork.delete(ckpt)
@@ -552,6 +635,44 @@ object SimilarityQueries {
       AnnIndex.searchTop5(AnnIndex.load(spark, compacted), e, 20)
     },
 
+    // B11 — INDEX DELETES (round-8 VERDICT task 3: "the persisted
+    // index grows and compacts but cannot forget"). The full artifact
+    // lifecycle in one gated chain: build on the first half, append
+    // the second, then DELETE every vec_id % 10 = 3 (takedowns /
+    // dedup-then-reindex removals) and COMPACT. Deletes are tombstones
+    // (AnnIndex.delete): a bounded id-only artifact appended next to
+    // the codes, never rewriting them — the Delta/Iceberg delete-file
+    // pattern, because a per-takedown rewrite of a 100 TB codes
+    // artifact is a full table write. AnnIndex.load anti-joins the
+    // tombstone set out (a broadcast of bare ids), so a masked search
+    // stops serving deleted vectors the moment the tombstone lands;
+    // compact makes the delete physical and starts the new generation
+    // tombstone-free (AnnIndexSpec pins masked == compacted and the
+    // physical absence of tombstoned rows). The oracle replays the
+    // half-corpus training and searches ONLY the surviving set — on
+    // both the query side (deleted ids in the first-20 range stop
+    // being queries) and the corpus side. Codebooks are deliberately
+    // NOT retrained on the survivors: a takedown must stop a vector
+    // from being SERVED immediately; quantizer refresh waits for the
+    // next rebuild, and the gate prices that in identically on both
+    // engines.
+    Q(
+      "b11_ann_index_delete", ivfPqDeleteSql
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(vectors(spark, dir))
+      val half = e.count() / 2
+      val built = AnnIndex.build(e.filter(col("vec_id") < half))
+      val path = graft.streaming.TempWork.dir("graft_b11_annidx")
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, e.filter(col("vec_id") >= half), path)
+      AnnIndex.delete(spark, e.filter(col("vec_id") % 10 === 3), path)
+      val compacted = graft.streaming.TempWork.dir("graft_b11_compact")
+      AnnIndex.compact(spark, path, compacted)
+      AnnIndex.searchTop5(AnnIndex.load(spark, compacted),
+        e.filter(col("vec_id") % 10 =!= 3), 20)
+    },
+
     // X37 — nprobe as the DECLARED recall/cost dial (VERDICT r6
     // stretch): the same jointly-trained IVF-PQ index as x33, searched
     // at nprobe=1 AND nprobe=4, scored against the exact brute-force
@@ -584,7 +705,8 @@ object SimilarityQueries {
             KMeans.oracleCtes(s"s${m}e", 16, s"s$m")
         }.mkString(",\n")
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |${KMeans.oracleCtes},
+           |${KMeans.scaledKSql("e")},
+           |${KMeans.oracleCtes("e", 64, "", "(SELECT k FROM kk)")},
            |$sub,
            |rec AS (SELECT a.vec_id, a.cell,
            |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
@@ -635,7 +757,11 @@ object SimilarityQueries {
     ) { (spark, dir) =>
       val e = CacheScope.cacheEager(
         vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
-      val (coarse, pq) = KMeans.trainJoint(e.select(col("vec_id"), col("v")), 4, 16)
+      // Coarse capacity tracks the corpus (K² >= n — the count is free,
+      // e was just eagerly materialized); PQ stays at 16 codes/subspace
+      // (compression width). Oracle restates K via the kk CTE.
+      val (coarse, pq) = KMeans.trainJoint(
+        e.select(col("vec_id"), col("v")), 4, 16, KMeans.scaledK(e.count()))
       val rv = concat((0 until 4).map { m =>
         element_at(typedLit(pq(m).map(_.toSeq)),
           (KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), pq(m)) + 1).cast("int"))
@@ -716,7 +842,8 @@ object SimilarityQueries {
             KMeans.oracleCtes(s"s${m}e", 16, s"s$m")
         }.mkString(",\n")
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |${KMeans.oracleCtes},
+           |${KMeans.scaledKSql("e")},
+           |${KMeans.oracleCtes("e", 64, "", "(SELECT k FROM kk)")},
            |$sub,
            |rec AS (SELECT a.vec_id, a.cell,
            |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
@@ -750,7 +877,11 @@ object SimilarityQueries {
     ) { (spark, dir) =>
       val e = CacheScope.cacheEager(
         vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
-      val (coarse, pq) = KMeans.trainJoint(e.select(col("vec_id"), col("v")), 4, 16)
+      // Coarse capacity tracks the corpus (K² >= n — the count is free,
+      // e was just eagerly materialized); PQ stays at 16 codes/subspace
+      // (compression width). Oracle restates K via the kk CTE.
+      val (coarse, pq) = KMeans.trainJoint(
+        e.select(col("vec_id"), col("v")), 4, 16, KMeans.scaledK(e.count()))
       val rv = concat((0 until 4).map { m =>
         element_at(typedLit(pq(m).map(_.toSeq)),
           (KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), pq(m)) + 1).cast("int"))

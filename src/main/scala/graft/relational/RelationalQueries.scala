@@ -617,7 +617,13 @@ object RelationalQueries {
     // frame buffers them all. TIE HANDLING: the oracle's frame is
     // e2.ts <= e.ts regardless of event id, so the scan updates ALL
     // same-timestamp events before emitting that timestamp's
-    // purchases. mapPartitions is justified here the way m3's is:
+    // purchases. The scan is a LAZY iterator (ADVICE r8): rows stream
+    // out as each (user, timestamp) batch completes, so resident
+    // state is exactly the 5-entry type→last-ts map plus ONE
+    // timestamp's co-batch — never the partition's accumulated
+    // output (the round-8 form buffered every emitted row in an
+    // ArrayBuffer, which made the documented bound false).
+    // mapPartitions is justified here the way m3's is:
     // the operator under test IS the imperative bounded-state scan;
     // the oracle is r26's verbatim, so the two plans must hash-agree.
     Q(
@@ -633,28 +639,34 @@ object RelationalQueries {
         .repartition(col("user_id"))
         .sortWithinPartitions("user_id", "ts_us", "event_id")
         .as[(Long, Long, Long, String)]
-        .mapPartitions { iter =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-          val last = scala.collection.mutable.HashMap.empty[String, Long]
-          val tsBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-          var curUser = Long.MinValue
-          var curTs = Long.MinValue
-          def flush(): Unit = if (tsBatch.nonEmpty) {
-            tsBatch.foreach { case (_, et) => last(et) = curTs }
-            tsBatch.foreach { case (eid, et) =>
-              if (et == "purchase")
-                out += ((eid, curUser, curTs,
-                  last.valuesIterator.count(_ >= curTs - horizonUs).toLong))
-            }
-            tsBatch.clear()
+        .mapPartitions { iter0 =>
+          val iter = iter0.buffered
+          new Iterator[(Long, Long, Long, Long)] {
+            private val last = scala.collection.mutable.HashMap.empty[String, Long]
+            private var curUser = Long.MinValue
+            private var pending: Iterator[(Long, Long, Long, Long)] = Iterator.empty
+            // Pull exactly one (user, ts) co-batch from the sorted input,
+            // fold it into `last`, and stage that batch's purchase rows.
+            // Nothing from earlier batches stays resident.
+            private def refill(): Unit =
+              while (!pending.hasNext && iter.hasNext) {
+                val u = iter.head._1
+                val ts = iter.head._2
+                if (u != curUser) { last.clear(); curUser = u }
+                val batch = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+                while (iter.hasNext && iter.head._1 == u && iter.head._2 == ts) {
+                  val (_, _, eid, et) = iter.next()
+                  batch += ((eid, et))
+                }
+                batch.foreach { case (_, et) => last(et) = ts }
+                val n = last.valuesIterator.count(_ >= ts - horizonUs).toLong
+                pending = batch.iterator.collect {
+                  case (eid, "purchase") => (eid, u, ts, n)
+                }
+              }
+            def hasNext: Boolean = { refill(); pending.hasNext }
+            def next(): (Long, Long, Long, Long) = { refill(); pending.next() }
           }
-          iter.foreach { case (u, ts, eid, et) =>
-            if (u != curUser) { flush(); last.clear(); curUser = u; curTs = ts }
-            else if (ts != curTs) { flush(); curTs = ts }
-            tsBatch += ((eid, et))
-          }
-          flush()
-          out.iterator
         }
         .toDF("event_id", "user_id", "ts_us", "n_types")
         .orderBy("event_id")
