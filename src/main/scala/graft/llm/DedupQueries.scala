@@ -69,6 +69,56 @@ object DedupQueries {
       | + ascii(substr(p,3,1)))*31 + ascii(substr(p,4,1)))*31 + ascii(substr(p,5,1)))*31
       | + ascii(substr(p,6,1)))*31 + ascii(substr(p,7,1)))*31 + ascii(substr(p,8,1))) % 4294967296""".stripMargin.replace("\n", "")
 
+  /** x34's oracle, shared VERBATIM by x74 (the same dedup run against
+    * a PERSISTED coarse quantizer — artifact fidelity makes the two
+    * engine paths answer one SQL statement, the b7 gating pattern):
+    * scaledK selection (kk CTE) + fixed-point Lloyd training replayed
+    * as unrolled CTEs, rank-2 multi-probe assignment, cell-keyed
+    * candidate pairs, exact cosine >= 0.4 verify. */
+  private def semanticDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${KMeans.scaledKSql("e")},
+      |${KMeans.oracleCtes("e", 64, "", "(SELECT k FROM kk)")},
+      |pr AS (SELECT vec_id, cid AS cell FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY (list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv)), c.cid) AS rk
+      |    FROM e CROSS JOIN c${KMeans.Iters} c) t
+      |  WHERE rk <= 2),
+      |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |  FROM pr a JOIN pr b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |p AS (SELECT v1, v2,
+      |    round(list_dot_product(x.v, y.v)
+      |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS sim
+      |  FROM cand JOIN e x ON x.vec_id = cand.v1 JOIN e y ON y.vec_id = cand.v2)
+      |SELECT v1, v2, sim FROM p WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin
+
+  /** x34/x74's shared candidate + verify plan over an ALREADY-TRAINED
+    * coarse codebook: rank-2 multi-probe assignment (a pure map — K
+    * literal dot products + one struct sort per row), cell-keyed
+    * candidate equi-join (~n/K-sized cells by construction, never
+    * all-pairs), exact cosine verify at >= 0.4 over id-rejoined raw
+    * vectors. `e` must be the cached (vec_id, v, nrm) corpus. */
+  private def semanticDedupPairs(
+      e: DataFrame, codebook: IndexedSeq[Array[Double]]): DataFrame = {
+    // cacheEager, not cache: probed fans out to BOTH sides of the
+    // candidate self-join (two concurrent shuffle map stages) — the
+    // lazy-cache fan-out race CacheScope documents (ADVICE r6).
+    val probed = CacheScope.cacheEager(e.select(col("vec_id"),
+      KMeans.assignCells(col("v"), codebook, 2).as("cells")))
+    val a = probed.select(col("vec_id").as("v1"), explode(col("cells")).as("pk"))
+    val b = probed.select(col("vec_id").as("v2"), explode(col("cells")).as("pk2"))
+    val cand = a.join(b, col("pk") === col("pk2") && col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    val x = e.toDF("v1", "va", "na")
+    val y = e.toDF("v2", "vb", "nb")
+    cand.join(x, "v1").join(y, "v2")
+      .select(col("v1"), col("v2"),
+        r4(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("v1", "v2")
+  }
+
   val all: Seq[Q] = Seq(
 
     // L1 — exact dedup by sha-256 content hash; one summary row.
@@ -344,23 +394,7 @@ object DedupQueries {
     // same-2-cell pairs and runs over bare (v1, v2) id pairs; verify
     // re-joins the cached vectors by id.
     Q(
-      "x34_semantic_dedup",
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |${KMeans.scaledKSql("e")},
-        |${KMeans.oracleCtes("e", 64, "", "(SELECT k FROM kk)")},
-        |pr AS (SELECT vec_id, cid AS cell FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY (list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv)), c.cid) AS rk
-        |    FROM e CROSS JOIN c${KMeans.Iters} c) t
-        |  WHERE rk <= 2),
-        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-        |  FROM pr a JOIN pr b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-        |p AS (SELECT v1, v2,
-        |    round(list_dot_product(x.v, y.v)
-        |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS sim
-        |  FROM cand JOIN e x ON x.vec_id = cand.v1 JOIN e y ON y.vec_id = cand.v2)
-        |SELECT v1, v2, sim FROM p WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin
+      "x34_semantic_dedup", semanticDedupSql
     ) { (spark, dir) =>
       val e = CacheScope.cacheEager(Tables.fanOut(Tables(spark, dir, "embeddings"))
         .select(col("vec_id"), vecD(col("embedding")).as("v"))
@@ -369,22 +403,37 @@ object DedupQueries {
       // count is free — e was just eagerly materialized.
       val k = KMeans.scaledK(e.count())
       val codebook = KMeans.train(e.select(col("vec_id"), col("v")), k).last
-      // cacheEager, not cache: probed fans out to BOTH sides of the
-      // candidate self-join (two concurrent shuffle map stages) — the
-      // lazy-cache fan-out race CacheScope documents (ADVICE r6).
-      val probed = CacheScope.cacheEager(e.select(col("vec_id"),
-        KMeans.assignCells(col("v"), codebook, 2).as("cells")))
-      val a = probed.select(col("vec_id").as("v1"), explode(col("cells")).as("pk"))
-      val b = probed.select(col("vec_id").as("v2"), explode(col("cells")).as("pk2"))
-      val cand = a.join(b, col("pk") === col("pk2") && col("v1") < col("v2"))
-        .select("v1", "v2").distinct()
-      val x = e.toDF("v1", "va", "na")
-      val y = e.toDF("v2", "vb", "nb")
-      cand.join(x, "v1").join(y, "v2")
-        .select(col("v1"), col("v2"),
-          r4(dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-        .filter(col("sim") >= 0.4)
-        .orderBy("v1", "v2")
+      semanticDedupPairs(e, codebook)
+    },
+
+    // X74 — x34's semantic dedup against a PERSISTED coarse quantizer
+    // (round-8 VERDICT task 6): the codebook comes from AnnIndex
+    // artifacts — build + save + load — instead of an in-plan trainer,
+    // and the result is gated against x34's VERBATIM oracle. This is
+    // the production division of labor the AnnIndex family establishes
+    // for search, applied to dedup: the quantizer is a versioned
+    // artifact trained once (3 linear scans, here inside the gated run
+    // so it is self-contained), and every dedup pass from then on is
+    // load (a bounded (M+1)·K-row codebook read) + the pure candidate
+    // floor — one multi-probe map, one cell-keyed equi-join, one exact
+    // verify. The gate works because artifact fidelity is bit-exact:
+    // trainJoint's coarse codebook is bit-identical to KMeans.train's
+    // (KMeansSpec) and dyadic-rational centroids round-trip parquet
+    // bit-exactly (the b7 argument), so the loaded quantizer assigns
+    // every vector to exactly the cell the oracle's replayed trainer
+    // does.
+    Q(
+      "x74_semantic_dedup_indexed", semanticDedupSql
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(Tables.fanOut(Tables(spark, dir, "embeddings"))
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+        .withColumn("nrm", l2norm(col("v"))))
+      val path = graft.streaming.TempWork.dir("graft_x74_annidx")
+      AnnIndex.save(spark, AnnIndex.build(e.select(col("vec_id"), col("v"))), path)
+      // Everything from here is the deployed shape: bounded codebook
+      // load, then the candidate/verify floor.
+      val coarse = AnnIndex.load(spark, path).coarse
+      semanticDedupPairs(e, coarse)
     },
 
     // X12 — near-dup cluster resolution: the l2 pair set treated as an

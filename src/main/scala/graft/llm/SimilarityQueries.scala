@@ -1016,33 +1016,71 @@ object SimilarityQueries {
         .orderBy("label", "rk")
     },
 
-    // X72 — HYBRID retrieval fusion: the dense cosine top-k (l3's
-    // brute-force scorer over the query set doc_id % 100 = 17) and the
+    // X72 — HYBRID retrieval fusion: a dense embedding top-k and the
     // sparse rare-trigram top-k (x65's inverted probes, same query
-    // set) fused per query with reciprocal-rank fusion. RRF is the
-    // production-standard way to combine a BM25-ish lexical list with
-    // an embedding list (each ranker votes 1/(60+rank)); stated here
-    // in exact integer fixed point — 1000000 DIV (60+rank) — so the
-    // fused score is a BIGINT both engines compute identically (a
-    // double 1/(60+r) sum would be order-sensitive). A doc missing
-    // from one list contributes 0 from that list; in_dense/in_sparse
-    // flags expose which ranker(s) surfaced each hit. Scale shape:
-    // both input lists are per-query top-20 (bounded), so the fusion
-    // join is tiny regardless of corpus size; the expensive parts are
-    // the two retrieval legs, each already bounded (dense: broadcast
-    // query side over a linear scan — swap in the persisted IVF-PQ
-    // index (b7) at real scale; sparse: rare-posting probes with
-    // df <= 20, never a full inverted scan).
+    // set doc_id % 100 = 17) fused per query with reciprocal-rank
+    // fusion. RRF is the production-standard way to combine a
+    // BM25-ish lexical list with an embedding list (each ranker votes
+    // 1/(60+rank)); stated here in exact integer fixed point —
+    // 1000000 DIV (60+rank) — so the fused score is a BIGINT both
+    // engines compute identically (a double 1/(60+r) sum would be
+    // order-sensitive). A doc missing from one list contributes 0
+    // from that list; in_dense/in_sparse flags expose which ranker(s)
+    // surfaced each hit.
+    //
+    // DENSE LEG (round-8 VERDICT task 2 — the round-8 form was the
+    // suite's one genuine scale-killer): x47's two-stage trained-index
+    // retrieval — IVF-PQ trained at scaledK, nprobe=4 ADC candidates,
+    // top-20 shortlist, exact re-rank of the shortlist's raw vectors —
+    // NOT a brute-force scorer. The query set here is 1% OF THE CORPUS
+    // (it grows with n), which is exactly why all-pairs was wrong
+    // (O(n²/100)) and why the probe join below is a plain cell-keyed
+    // shuffle equi-join, not a broadcast: per-query work is probed-
+    // cell occupancy (~4·sqrt(n) codes at scaledK) + a 20-row exact
+    // re-rank, so the leg is O(n^1.5/100) total and nothing driver- or
+    // broadcast-side grows with the corpus. The oracle replays the
+    // same index CTEs as x47's. Scale shape elsewhere: both fused
+    // lists are per-query top-20 (bounded), so the fusion join is tiny
+    // regardless of corpus size; the sparse leg probes rare postings
+    // (df <= 20), never a full inverted scan.
     Q(
-      "x72_hybrid_fusion",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |dp AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+      "x72_hybrid_fusion", {
+        val sub = (0 until 4).map { m =>
+          s"s${m}e AS (SELECT vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v FROM e),\n" +
+            KMeans.oracleCtes(s"s${m}e", 16, s"s$m")
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |${KMeans.scaledKSql("e")},
+        |${KMeans.oracleCtes("e", 64, "", "(SELECT k FROM kk)")},
+        |$sub,
+        |rec AS (SELECT a.vec_id, a.cell,
+        |    flatten([b0.cv, b1.cv, b2.cv, b3.cv]) AS rv
+        |  FROM af a
+        |  JOIN s0af a0 ON a0.vec_id = a.vec_id JOIN s0c${KMeans.Iters} b0 ON b0.cid = a0.cell
+        |  JOIN s1af a1 ON a1.vec_id = a.vec_id JOIN s1c${KMeans.Iters} b1 ON b1.cid = a1.cell
+        |  JOIN s2af a2 ON a2.vec_id = a.vec_id JOIN s2c${KMeans.Iters} b2 ON b2.cid = a2.cell
+        |  JOIN s3af a3 ON a3.vec_id = a.vec_id JOIN s3c${KMeans.Iters} b3 ON b3.cid = a3.cell),
+        |qp AS (SELECT vec_id AS qid, cid AS pcell FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY (list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv)), c.cid) AS rk
+        |    FROM e CROSS JOIN c${KMeans.Iters} c WHERE e.vec_id % 100 = 17) t
+        |  WHERE rk <= 4),
+        |cand AS (SELECT q.qid, r.vec_id AS nid,
+        |    round(list_dot_product(qe.v, r.rv)
+        |      / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(r.rv, r.rv))), 4) AS adc
+        |  FROM qp q JOIN e qe ON qe.vec_id = q.qid
+        |  JOIN rec r ON r.cell = q.pcell AND r.vec_id <> q.qid),
+        |dsl AS (SELECT qid, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+        |  FROM cand) WHERE rn <= 20),
+        |drr AS (SELECT dsl.qid, dsl.nid,
         |    round(list_dot_product(q.v, x.v)
         |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 4) AS sim
-        |  FROM e q JOIN e x ON x.vec_id <> q.vec_id WHERE q.vec_id % 100 = 17),
-        |dr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM dp),
-        |dl AS (SELECT qid, nid AS did, 1000000 // (60 + rn) AS dc FROM dr WHERE rn <= 20),
-        |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+        |  FROM dsl JOIN e q ON q.vec_id = dsl.qid JOIN e x ON x.vec_id = dsl.nid),
+        |dr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM drr),
+        |dl AS (SELECT qid, nid AS did, 1000000 // (60 + rn) AS dc FROM dr),
+        |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
         |g AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tg
         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
         |            FROM t WHERE len(toks) >= 3) u),
@@ -1065,18 +1103,51 @@ object SimilarityQueries {
         |    row_number() OVER (PARTITION BY qid ORDER BY fused DESC, did) AS rn FROM f)
         |SELECT qid, did, fused, in_dense, in_sparse, CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+      }
     ) { (spark, dir) =>
-      // Dense leg — l3's scorer, query set % 100 = 17.
-      val e = vectors(spark, dir).withColumn("nrm", l2norm(col("v")))
-      val dq = e.filter(col("vec_id") % 100 === 17).toDF("qid", "qv", "qn")
-      val dx = e.toDF("nid", "xv", "xn")
+      // Dense leg — x47's trained-index two-stage retrieval (see the
+      // query doc): IVF-PQ at scaledK, nprobe=4 ADC shortlist of 20,
+      // exact re-rank. Query set vec_id % 100 = 17 grows with the
+      // corpus, so nothing here broadcasts the query side.
+      val e = CacheScope.cacheEager(
+        vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
+      val (coarse, pq) = KMeans.trainJoint(
+        e.select(col("vec_id"), col("v")), 4, 16, KMeans.scaledK(e.count()))
+      val rv = concat((0 until 4).map { m =>
+        element_at(typedLit(pq(m).map(_.toSeq)),
+          (KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), pq(m)) + 1).cast("int"))
+      }: _*)
+      // cacheEager: enc fans out to the probe side and the query side.
+      val enc = CacheScope.cacheEager(e.select(col("vec_id"), col("v"), col("nrm"),
+        KMeans.assignCell(col("v"), coarse).as("cell"), rv.as("rv")))
+      val qprobes = enc.filter(col("vec_id") % 100 === 17)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          explode(KMeans.assignCells(col("v"), coarse, 4)).as("pcell"))
+      val x = enc.select(col("vec_id").as("nid"), col("rv").as("xv"),
+        col("cell").as("xcell"))
+      // Plain cell-keyed shuffle equi-join (NOT broadcast — the query
+      // side is 1% of the corpus). Each (qid, nid) meets at most once:
+      // a data vector lives in exactly one cell and a query's 4 probed
+      // cells are distinct.
+      val cand = qprobes
+        .join(x, col("pcell") === col("xcell") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          r4(dot(col("qv"), col("xv")) / (col("qn") * l2norm(col("xv")))).as("adc"))
+      val wa = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("adc").desc, col("nid"))
+      val dsl = cand.withColumn("rn", row_number().over(wa)).filter(col("rn") <= 20)
+        .select("qid", "nid")
+      // Exact re-rank of the 20-row shortlist against the RAW vectors —
+      // an id-keyed join touching 20 vectors per query.
+      val rq = e.select(col("vec_id").as("rqid"), col("v").as("rqv"), col("nrm").as("rqn"))
+      val rx = e.select(col("vec_id").as("rnid"), col("v").as("rxv"), col("nrm").as("rxn"))
       val wd = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-      val dense = broadcast(dq).join(dx, col("qid") =!= col("nid"))
+      val dense = dsl.join(rq, col("qid") === col("rqid"))
+        .join(rx, col("nid") === col("rnid"))
         .select(col("qid"), col("nid"),
-          r4(dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("sim"))
+          r4(dot(col("rqv"), col("rxv")) / (col("rqn") * col("rxn"))).as("sim"))
         .withColumn("rn", row_number().over(wd))
-        .filter(col("rn") <= 20)
         .select(col("qid").as("dqid"), col("nid").as("ddid"),
           expr("1000000L DIV (60 + rn)").as("dc"))
       // Sparse leg — x65's rare-trigram inverted probes, same query set.

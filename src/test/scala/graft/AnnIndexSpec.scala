@@ -134,4 +134,67 @@ class AnnIndexSpec extends AnyFunSuite {
       }
     } finally { rm(path); rm(path2) }
   }
+
+  private def rmDir(p: String): Unit = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(q => java.nio.file.Files.deleteIfExists(q))
+    finally s.close()
+  }
+
+  test("delete: masked load == physical compaction; tombstoned rows are gone") {
+    val all = vecs
+    val built = AnnIndex.build(all)
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_del").toString
+    val path2 = java.nio.file.Files.createTempDirectory("graft_annidx_dlc").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      AnnIndex.delete(spark, all.filter(col("vec_id") % 10 === 3), path)
+      // masked view: the tombstone anti-join serves the surviving set
+      // immediately, no rewrite
+      val masked = AnnIndex.load(spark, path).codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(masked.nonEmpty && masked.forall(_._1 % 10 != 3))
+      assert(masked.length == all.filter(col("vec_id") % 10 =!= 3).count())
+      // compaction makes the delete physical: identical surviving rows,
+      // and the raw (unmasked) compacted artifact holds nothing else
+      AnnIndex.compact(spark, path, path2)
+      val compacted = AnnIndex.load(spark, path2).codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(masked.sameElements(compacted))
+      val raw = spark.read.parquet(s"$path2/codes.parquet")
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(raw.length == masked.length && raw.forall(_ % 10 != 3))
+      // the new generation starts tombstone-free
+      assert(!graft.core.Fs.exists(spark, s"$path2/tombstones.parquet"))
+    } finally { rmDir(path); rmDir(path2) }
+  }
+
+  test("appendIdempotent: a replayed epoch id is skipped, no double-coding") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_idp").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      val batch = all.filter(col("vec_id") >= half)
+      assert(AnnIndex.appendIdempotent(spark, loaded, batch, path, 7L))
+      val once = AnnIndex.load(spark, path).codes.count()
+      // replay of the SAME epoch id: skipped outright
+      assert(!AnnIndex.appendIdempotent(spark, loaded, batch, path, 7L))
+      assert(AnnIndex.load(spark, path).codes.count() == once)
+      assert(once == all.count())
+      // a NEW epoch id still applies (the ledger is per-epoch, not a latch)
+      assert(AnnIndex.appendIdempotent(spark, loaded,
+        batch.limit(0), path, 8L))
+    } finally { rmDir(path) }
+  }
+
+  test("Fs.layoutBytes fails loudly on a missing layout") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.core.Fs.layoutBytes(spark, "/tmp/graft_no_such_layout_dir")
+    }
+    assert(ex.getMessage.contains("does not exist"))
+  }
 }
