@@ -81,10 +81,16 @@ object AnnIndex {
     * dedup family (x34) adopted scaledK a round earlier and measured
     * the fix). The per-subspace PQ codebooks stay at 16 codes — that
     * is the compression width, not a capacity knob (see trainJoint's
-    * scaladoc). The corpus count is one bounded aggregate. */
+    * scaladoc). The corpus count is one bounded aggregate. TRAINING is
+    * bounded too: the trainer sees KMeans.trainingSet — the
+    * deterministic vec_id stride ring capped at 64k vectors (identity
+    * at every tested scale) — because Lloyd cost is O(|train| * K) per
+    * iteration and K grows as sqrt(n); the ENCODE pass still codes
+    * every vector. */
   def build(vecs: DataFrame): Index = {
+    val n = vecs.count()
     val (coarse, pq) =
-      KMeans.trainJoint(vecs, M, Sub, KMeans.scaledK(vecs.count()))
+      KMeans.trainJoint(KMeans.trainingSet(vecs, n), M, Sub, KMeans.scaledK(n))
     Index(coarse, pq, encode(vecs, coarse, pq))
   }
 

@@ -401,8 +401,9 @@ object DedupQueries {
         .withColumn("nrm", l2norm(col("v"))))
       // Capacity tracks the corpus: K^2 >= n (see query doc). The
       // count is free — e was just eagerly materialized.
-      val k = KMeans.scaledK(e.count())
-      val codebook = KMeans.train(e.select(col("vec_id"), col("v")), k).last
+      val n = e.count()
+      val codebook = KMeans.train(KMeans.trainingSet(
+        e.select(col("vec_id"), col("v")), n), KMeans.scaledK(n)).last
       semanticDedupPairs(e, codebook)
     },
 

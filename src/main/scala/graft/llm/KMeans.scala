@@ -98,6 +98,39 @@ object KMeans {
   def scaledK(n: Long): Int =
     Iterator.iterate(1L)(_ * 2).find(p => p * p >= n).get.toInt
 
+  /** Default [[trainingStride]] cap: 65,536 training vectors. Chosen so
+    * cap >= scaledK(n) for every n the stride rule can produce (the
+    * seeds must fit in the sample) with ~2x headroom at the boundary,
+    * while keeping a Lloyd iteration's assign work bounded at
+    * cap * K <= 2^32 dot products no matter the corpus. */
+  val TrainCap = 65536L
+
+  /** Deterministic BOUNDED training set stride. Lloyd training costs
+    * O(Iters * |train| * K) literal dot products, and with K =
+    * [[scaledK]] growing as sqrt(n) a full-corpus training pass is
+    * O(n^1.5) — immaterial at the tested scales (sf1.0 = 20k vectors,
+    * 15M dots) but unacceptable at 1e9 vectors (3e13 dots). Every
+    * production IVF trainer bounds it the same way (FAISS trains on a
+    * capped sample, then encodes the full corpus); the sample here is
+    * the vec_id stride ring — keep ids divisible by the smallest
+    * power-of-two stride with n/stride <= cap. Deterministic, oracle-
+    * restatable as `WHERE vec_id % stride = 0`, and IDENTITY (stride
+    * 1) at every tested scale factor, so every gated oracle replays
+    * unchanged; KMeansSpec exercises stride > 1 directly. Centroid
+    * quality on a >=64k uniform sample is statistically
+    * indistinguishable from full-corpus training — the encode step
+    * still sees every vector. */
+  def trainingStride(n: Long, cap: Long = TrainCap): Long =
+    Iterator.iterate(1L)(_ * 2).find(s => n / s <= cap).get
+
+  /** The bounded training set itself: `vecs` restricted to the
+    * [[trainingStride]] ring — literally `vecs` (not even a filter
+    * node) below the cap, so plans at tested scales are unchanged. */
+  def trainingSet(vecs: DataFrame, n: Long, cap: Long = TrainCap): DataFrame = {
+    val s = trainingStride(n, cap)
+    if (s == 1L) vecs else vecs.filter(col("vec_id") % lit(s) === 0)
+  }
+
   /** DuckDB restatement of [[scaledK]] as a 1-row CTE `kk (k)` over
     * `$eTable` — the same powers-of-two argmin, no floats. */
   def scaledKSql(eTable: String): String =
@@ -110,12 +143,15 @@ object KMeans {
   def train(vecs: DataFrame): Seq[IndexedSeq[Array[Double]]] = train(vecs, K)
 
   /** As [[train]] with an explicit cell count `k` (seeds = the k
-    * vectors with vec_id < k; callers pass [[scaledK]] of the corpus
-    * size to make capacity track the data — x34). */
+    * smallest-vec_id vectors of the TRAINING SET — identical to the
+    * vec_id < k rule on a contiguous-id corpus, and still well-defined
+    * when the caller passes a [[trainingSet]] stride ring; callers
+    * pass [[scaledK]] of the corpus size to make capacity track the
+    * data — x34). */
   def train(vecs: DataFrame, k: Int): Seq[IndexedSeq[Array[Double]]] = {
     val init: IndexedSeq[Array[Double]] = vecs
-      .filter(col("vec_id") < k)
       .orderBy("vec_id")
+      .limit(k)
       .select("v")
       .collect()
       .map(_.getSeq[Double](0).toArray)
@@ -159,8 +195,8 @@ object KMeans {
     * the other subspaces. Returns the FINAL codebook per subspace. */
   def trainProduct(vecs: DataFrame, m: Int, sub: Int): IndexedSeq[IndexedSeq[Array[Double]]] = {
     val seeds = vecs
-      .filter(col("vec_id") < K)
       .orderBy("vec_id")
+      .limit(K)
       .select("v")
       .collect()
       .map(_.getSeq[Double](0).toArray)
@@ -219,15 +255,17 @@ object KMeans {
     * code cardinality is the COMPRESSION parameter (it fixes the code
     * width — 4 bits here), not a capacity parameter; FAISS's IVFPQ
     * scales nlist with the corpus while keeping 2^nbits fixed the same
-    * way. Coarse seeds are the vectors with vec_id < coarseK, subspace
-    * seeds those with vec_id < K — the oracle restates the former via
-    * [[scaledKSql]]'s kk CTE and the latter literally. */
+    * way. Coarse seeds are the max(coarseK, K) smallest-vec_id vectors
+    * of the training set (== vec_id < coarseK on a contiguous-id
+    * corpus, still well-defined on a [[trainingSet]] stride ring),
+    * subspace seeds the first K of those — the oracle restates the
+    * former via [[scaledKSql]]'s kk CTE and the latter literally. */
   def trainJoint(vecs: DataFrame, m: Int, sub: Int, coarseK: Int)
       : (IndexedSeq[Array[Double]], IndexedSeq[IndexedSeq[Array[Double]]]) = {
     val nSeed = math.max(coarseK, K)
     val seeds = vecs
-      .filter(col("vec_id") < nSeed)
       .orderBy("vec_id")
+      .limit(nSeed)
       .select("v")
       .collect()
       .map(_.getSeq[Double](0).toArray)

@@ -312,8 +312,9 @@ object SimilarityQueries {
       // linear, just slower.
       val e = CacheScope.cacheEager(
         vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
-      val codebook = KMeans.train(
-        e.select(col("vec_id"), col("v")), KMeans.scaledK(e.count())).last
+      val n = e.count()
+      val codebook = KMeans.train(KMeans.trainingSet(
+        e.select(col("vec_id"), col("v")), n), KMeans.scaledK(n)).last
       // cacheEager: assigned feeds both the broadcast query side and
       // the probe side — the broadcast stage mostly serializes the
       // branches, but an eager materialization removes the lazy-cache
@@ -437,8 +438,9 @@ object SimilarityQueries {
       // Coarse capacity tracks the corpus (K² >= n — the count is free,
       // e was just eagerly materialized); PQ stays at 16 codes/subspace
       // (compression width). Oracle restates K via the kk CTE.
-      val (coarse, pq) = KMeans.trainJoint(
-        e.select(col("vec_id"), col("v")), 4, 16, KMeans.scaledK(e.count()))
+      val n = e.count()
+      val (coarse, pq) = KMeans.trainJoint(KMeans.trainingSet(
+        e.select(col("vec_id"), col("v")), n), 4, 16, KMeans.scaledK(n))
       // Reconstruction: per subspace, the code indexes a LITERAL
       // 16-entry codebook array baked into the plan; concat of the 4
       // looked-up slices rebuilds the 64-dim vector inside the map.
@@ -760,8 +762,9 @@ object SimilarityQueries {
       // Coarse capacity tracks the corpus (K² >= n — the count is free,
       // e was just eagerly materialized); PQ stays at 16 codes/subspace
       // (compression width). Oracle restates K via the kk CTE.
-      val (coarse, pq) = KMeans.trainJoint(
-        e.select(col("vec_id"), col("v")), 4, 16, KMeans.scaledK(e.count()))
+      val n = e.count()
+      val (coarse, pq) = KMeans.trainJoint(KMeans.trainingSet(
+        e.select(col("vec_id"), col("v")), n), 4, 16, KMeans.scaledK(n))
       val rv = concat((0 until 4).map { m =>
         element_at(typedLit(pq(m).map(_.toSeq)),
           (KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), pq(m)) + 1).cast("int"))
@@ -880,8 +883,9 @@ object SimilarityQueries {
       // Coarse capacity tracks the corpus (K² >= n — the count is free,
       // e was just eagerly materialized); PQ stays at 16 codes/subspace
       // (compression width). Oracle restates K via the kk CTE.
-      val (coarse, pq) = KMeans.trainJoint(
-        e.select(col("vec_id"), col("v")), 4, 16, KMeans.scaledK(e.count()))
+      val n = e.count()
+      val (coarse, pq) = KMeans.trainJoint(KMeans.trainingSet(
+        e.select(col("vec_id"), col("v")), n), 4, 16, KMeans.scaledK(n))
       val rv = concat((0 until 4).map { m =>
         element_at(typedLit(pq(m).map(_.toSeq)),
           (KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), pq(m)) + 1).cast("int"))
@@ -1111,8 +1115,9 @@ object SimilarityQueries {
       // corpus, so nothing here broadcasts the query side.
       val e = CacheScope.cacheEager(
         vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
-      val (coarse, pq) = KMeans.trainJoint(
-        e.select(col("vec_id"), col("v")), 4, 16, KMeans.scaledK(e.count()))
+      val n = e.count()
+      val (coarse, pq) = KMeans.trainJoint(KMeans.trainingSet(
+        e.select(col("vec_id"), col("v")), n), 4, 16, KMeans.scaledK(n))
       val rv = concat((0 until 4).map { m =>
         element_at(typedLit(pq(m).map(_.toSeq)),
           (KMeans.assignCell(slice(col("v"), m * 16 + 1, 16), pq(m)) + 1).cast("int"))

@@ -82,12 +82,20 @@ object PlanDump {
     // batch).
     "x70_substring_dedup", "b7_ann_index_roundtrip",
     "x71_distinct_window_scan",
-    // round 8b: x72's hybrid fusion — the two bounded top-k legs
-    // (broadcast dense scorer; rare-posting sparse probes) meeting in
-    // a tiny full-outer fusion join; x73's bloom pruning — one fact
-    // scan feeding four broadcast joins (three position probes + the
-    // exact side), no fact-side exchange before the 5-group agg.
-    "x72_hybrid_fusion", "x73_bloom_prune")
+    // round 8b: x72's hybrid fusion — since round 9 the dense leg is
+    // x47's trained-index two-stage (cell-keyed ADC shuffle equi-join,
+    // NOT a broadcast scorer — the query set grows with the corpus —
+    // feeding the 20-row exact re-rank), fused with the rare-posting
+    // sparse leg in a tiny full-outer join; x73's bloom pruning — one
+    // fact scan feeding four broadcast joins (three position probes +
+    // the exact side), no fact-side exchange before the 5-group agg.
+    "x72_hybrid_fusion", "x73_bloom_prune",
+    // round 9: b11's delete-bearing search — the build/append/delete/
+    // compact lifecycle runs while building (like b7) and the printed
+    // plan is the post-compaction serve path: parquet code scan →
+    // literal-codebook reconstruction → broadcast cell-keyed join,
+    // with the surviving query set filtered at the scan.
+    "b11_ann_index_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

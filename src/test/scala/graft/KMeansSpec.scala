@@ -233,4 +233,38 @@ class KMeansSpec extends AnyFunSuite {
       assert(k * k >= n && (k == 1 || (k / 2) * (k / 2) < n), s"n=$n k=$k")
     }
   }
+
+  test("trainingStride bounds the sample; identity at tested scales") {
+    import graft.llm.KMeans.{trainingStride, TrainCap}
+    // identity at every scale factor the gates run (sf0.001..sf1.0)
+    for (n <- Seq(20L, 200L, 2000L, 20000L, TrainCap))
+      assert(trainingStride(n) == 1L, s"n=$n")
+    // bound holds and stride is minimal past the cap
+    for (n <- Seq(TrainCap + 1, 1000000L, 1000000000L)) {
+      val s = trainingStride(n)
+      assert(n / s <= TrainCap && n / (s / 2) > TrainCap, s"n=$n s=$s")
+      // the sample still holds at least scaledK(n) seed vectors
+      assert(n / s >= KMeans.scaledK(n), s"n=$n sample=${n / s} k=${KMeans.scaledK(n)}")
+    }
+  }
+
+  test("training on a stride>1 sample seeds from the sample and stays valid") {
+    val data = vecs(sf0001)
+    val n = data.count()
+    // force a tiny cap so the stride ring is exercised for real
+    val sample = KMeans.trainingSet(data, n, cap = 8)
+    val stride = KMeans.trainingStride(n, cap = 8)
+    assert(stride > 1 && sample.count() <= 8)
+    assert(sample.select("vec_id").collect().forall(_.getLong(0) % stride == 0))
+    val k = 4
+    val cent = KMeans.train(sample, k).last
+    assert(cent.length == k && cent.forall(_.length == 64))
+    // seeds are the k smallest vec_ids OF THE SAMPLE (0, s, 2s, 3s);
+    // training stays fixed-point dyadic and assigns every corpus
+    // vector to a valid cell
+    val cells = data.select(KMeans.assignCell(col("v"), cent).as("cell"))
+      .collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < k))
+    cent.foreach(_.foreach(x => assert((x * KMeans.Scale) == math.rint(x * KMeans.Scale))))
+  }
 }
