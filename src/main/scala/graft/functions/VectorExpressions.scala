@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the vector hot path.
   *
@@ -201,6 +201,156 @@ object QuantizeStats {
   }
 }
 
+/** Nearest-centroid assignment against a TRAINED codebook carried as a
+  * plan REFERENCE OBJECT — the cell-assignment hot path of the whole
+  * IVF family (KMeans.assignCell/assignCells delegate here).
+  *
+  * WHY NATIVE (round 9): the former spelling unrolled the K centroids
+  * into one literal expression tree — K structs, each holding a
+  * 64-dim literal-array dot product — and at K = scaledK(2000) = 64
+  * the single generated method blew past janino's 64 KB bytecode
+  * limit ("Code grows beyond 64 KB"), dropping the whole stage to
+  * interpreted eval. The fallback is correct but slow, and the blowup
+  * GROWS with K — the corpus-scaled capacity rule guarantees bigger K
+  * at bigger corpora, so the literal form was structurally wrong at
+  * scale. Here the codebook rides along as `double[][]` via
+  * ctx.addReferenceObj and the argmin is a primitive loop in a static
+  * helper invoked from whole-stage codegen: compact generated code at
+  * ANY K, no fallback, no per-row allocation at nprobe = 1, and the
+  * K self-dots (cc terms) are precomputed once per plan instead of
+  * re-evaluated per row.
+  *
+  * BIT-IDENTICAL to the literal form and the oracle's replay: vc
+  * folds in index order (DotProduct / list_dot_product order), cc is
+  * the same in-order self-dot, score = cc - 2.0*vc in the same op
+  * order, and ties break to the smaller cid (strict-less keeps the
+  * earlier centroid; the insertion sort shifts only on strict-greater,
+  * reproducing sort_array's (score, cid) ascending order). A null
+  * element or a centroid/vector length mismatch yields NULL — the
+  * poisoned-fold rule DotProduct documents.
+  */
+case class NearestCells(child: Expression, cent: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  require(cent.nonEmpty && nprobe >= 1 && nprobe <= cent.length,
+    s"nprobe $nprobe out of range for ${cent.length} centroids")
+
+  private lazy val ccs: Array[Double] = NearestCells.selfDots(cent)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cells requires array<double>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    if (nprobe == 1) LongType else ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+  // keep the codebook out of explain output — K x dims doubles
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"K=${cent.length}", s"nprobe=$nprobe")
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (nprobe == 1) {
+      val r = NearestCells.nearest(v, cent, ccs)
+      if (r < 0) null else java.lang.Long.valueOf(r)
+    } else NearestCells.nearestN(v, cent, ccs, nprobe)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("cent", cent, "double[][]")
+    val ccsRef = ctx.addReferenceObj("ccs", ccs, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("cellRes")
+      if (nprobe == 1)
+        s"""long $r = graft.functions.NearestCells.nearest($c, $centRef, $ccsRef);
+           |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }""".stripMargin
+      else
+        s"""org.apache.spark.sql.catalyst.util.ArrayData $r =
+           |  graft.functions.NearestCells.nearestN($c, $centRef, $ccsRef, $nprobe);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+object NearestCells {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** In-order self-dots — the cc terms, one per centroid, same fold
+    * order as the per-row vc loop. */
+  def selfDots(cent: Array[Array[Double]]): Array[Double] =
+    cent.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+
+  /** argmin_j (ccs(j) - 2*v·cent(j)), ties to smaller j; -1 signals
+    * NULL (null element or length mismatch). */
+  def nearest(v: ArrayData, cent: Array[Array[Double]], ccs: Array[Double]): Long = {
+    val n = v.numElements()
+    var best = -1L
+    var bestS = Double.PositiveInfinity
+    var j = 0
+    while (j < cent.length) {
+      val c = cent(j)
+      if (c.length != n) return -1L
+      var vc = 0.0
+      var d = 0
+      while (d < n) {
+        if (v.isNullAt(d)) return -1L
+        vc += v.getDouble(d) * c(d)
+        d += 1
+      }
+      val s = ccs(j) - 2.0 * vc
+      if (s < bestS) { bestS = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** The np nearest cell ids ascending by (score, cid) — a bounded
+    * insertion sort (np <= 4 in every consumer); null on null element
+    * or length mismatch. */
+  def nearestN(v: ArrayData, cent: Array[Array[Double]], ccs: Array[Double],
+      np: Int): ArrayData = {
+    val n = v.numElements()
+    val ts = new Array[Double](np)
+    val tj = new Array[Long](np)
+    var filled = 0
+    var j = 0
+    while (j < cent.length) {
+      val c = cent(j)
+      if (c.length != n) return null
+      var vc = 0.0
+      var d = 0
+      while (d < n) {
+        if (v.isNullAt(d)) return null
+        vc += v.getDouble(d) * c(d)
+        d += 1
+      }
+      val s = ccs(j) - 2.0 * vc
+      if (filled < np) {
+        var p = filled
+        while (p > 0 && ts(p - 1) > s) { ts(p) = ts(p - 1); tj(p) = tj(p - 1); p -= 1 }
+        ts(p) = s; tj(p) = j
+        filled += 1
+      } else if (s < ts(np - 1)) {
+        var p = np - 1
+        while (p > 0 && ts(p - 1) > s) { ts(p) = ts(p - 1); tj(p) = tj(p - 1); p -= 1 }
+        ts(p) = s; tj(p) = j
+      }
+      j += 1
+    }
+    new GenericArrayData(tj)
+  }
+}
+
 object VectorExpressions {
   /** Codegen'd in-order dot product of two array<double> columns. */
   def dotNative(a: Column, b: Column): Column =
@@ -209,4 +359,13 @@ object VectorExpressions {
   /** Codegen'd struct(mn, mx, qsum, max_err) quantization stats. */
   def quantizeStats(v: Column): Column =
     Bridge.column(QuantizeStats(Bridge.expression(v)))
+
+  /** Codegen'd nearest-cell assignment against a reference-object
+    * codebook (see [[NearestCells]]). */
+  def nearestCell(v: Column, cent: Seq[Array[Double]]): Column =
+    Bridge.column(NearestCells(Bridge.expression(v), cent.toArray, 1))
+
+  /** The nprobe nearest cells, ascending (score, cid). */
+  def nearestCells(v: Column, cent: Seq[Array[Double]], nprobe: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(v), cent.toArray, nprobe))
 }

@@ -50,35 +50,26 @@ object KMeans {
     s
   }
 
-  /** Nearest-centroid cell id for a vector column, against LITERAL
-    * centroids: K codegen'd in-order dot products + a struct argmin,
-    * all inside whole-stage codegen — a pure map, no join. */
-  def assignCell(v: Column, cent: IndexedSeq[Array[Double]]): Column = {
-    val entries = cent.zipWithIndex.map { case (c, j) =>
-      struct(
-        (lit(dotRef(c, c)) - lit(2.0) * Cols.dot(v, typedLit(c.toSeq))).as("score"),
-        lit(j.toLong).as("cid"))
-    }
-    array_min(array(entries: _*)).getField("cid")
-  }
+  /** Nearest-centroid cell id for a vector column — the native
+    * NearestCells expression: the codebook rides the plan as a
+    * REFERENCE ARRAY and the argmin is a primitive loop inside
+    * whole-stage codegen. A pure map, no join, compact generated code
+    * at ANY K. (The pre-round-9 form unrolled K literal centroids
+    * into one expression tree; at K = 64 — scaledK of the sf0.1
+    * corpus — the generated method crossed janino's 64 KB limit and
+    * the stage fell back to interpreted eval. Bit-identical scoring
+    * and tie rule; see NearestCells' scaladoc.) */
+  def assignCell(v: Column, cent: IndexedSeq[Array[Double]]): Column =
+    graft.functions.VectorExpressions.nearestCell(v, cent)
 
   /** The `nprobe` nearest cell ids, ascending by (score, cid) — the
-    * multi-probe assignment (x34's semantic dedup). sort_array on the
-    * struct array orders lexicographically by score then cid, so ties
-    * break to the smaller centroid id exactly like `assignCell` and
-    * like `row_number() OVER (ORDER BY score, cid)` in the oracle.
-    * Still a pure map: K codegen'd dot products + one 16-element sort
-    * per row, no join. */
-  def assignCells(v: Column, cent: IndexedSeq[Array[Double]], nprobe: Int): Column = {
-    val entries = cent.zipWithIndex.map { case (c, j) =>
-      struct(
-        (lit(dotRef(c, c)) - lit(2.0) * Cols.dot(v, typedLit(c.toSeq))).as("score"),
-        lit(j.toLong).as("cid"))
-    }
-    val sorted = sort_array(array(entries: _*))
-    array((0 until nprobe).map(i =>
-      element_at(sorted, i + 1).getField("cid")): _*)
-  }
+    * multi-probe assignment (x34's semantic dedup). Ties break to the
+    * smaller centroid id exactly like `assignCell` and like
+    * `row_number() OVER (ORDER BY score, cid)` in the oracle. Still a
+    * pure map: one codebook loop + a bounded insertion sort per row,
+    * no join. */
+  def assignCells(v: Column, cent: IndexedSeq[Array[Double]], nprobe: Int): Column =
+    graft.functions.VectorExpressions.nearestCells(v, cent, nprobe)
 
   /** Runs Iters Lloyd iterations; returns the centroid history
     * (element 0 = init, element Iters = final codebook). Each element

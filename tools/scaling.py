@@ -109,11 +109,16 @@ COMMENTARY = """\
   bands, which saturate far more slowly); candidate verification is
   per-pair array work, so the growth shows as a mild super-linearity
   at the step where per-query fixed overhead stops dominating.
-- **x32/x33 (~2.8x / 3.4x)** — k-means training is a fixed number of
-  fused full scans (linear in data); x33 adds ADC search whose probed
-  IVF cells hold 10x the codes, so per-query candidate work grows
-  with corpus size while the query side stays fixed at 20. Both are
-  scans + keyed joins end-to-end; no pairwise blow-up exists.
+- **x32/x33** — k-means training is a fixed number of fused scans;
+  since round 9 the trainer input is KMeans.trainingSet (the 64k-cap
+  vec_id stride ring — identity at these scales), so the training
+  term is bounded at any corpus size and assign cost per row is
+  K = scaledK(n) literal dots. x33's ADC search probes cells holding
+  ~sqrt(n) codes (corpus-scaled K since round 9 — previously the
+  fixed K=16 made cells hold n/16 and per-query work track the
+  corpus), so per-query candidate work grows ~sqrt(10) ≈ 3.2x per
+  decade while the query side stays fixed at 20. Both are scans +
+  keyed joins end-to-end; no pairwise blow-up exists.
 - **x12/x36/x38 (~9-12x, oscillating around the flag line run to
   run)** — the connected-components family:
   candidate pairs from the shingle bands grow ~5-6x (see l2), the
@@ -125,18 +130,18 @@ COMMENTARY = """\
   plan defect: every join stays band/label-keyed, and the loop count
   grows with log(diameter), so the family tracks candidate volume —
   the same bound l2/x2 obey — rather than any pairwise blow-up.
-- **x37 (~1.9x)** — training is x33's 3 fused scans (linear); the
-  nprobe=4 probe side scans 4 cells per query whose size grows with
-  the corpus, and the brute-force ground-truth audit is a broadcast
-  linear scan. No pairwise term anywhere: the row stays
-  overhead-plus-linear.
-- **x47 (~4.6x)** — x33's linear 3-scan training plus ADC
-  shortlisting whose candidate count per query grows with the probed
-  cells' occupancy (4 cells x ~10x codes at sf1.0); the exact re-rank
-  stays fixed at 20 raw vectors per query, so the growth is entirely
-  the stage-1 scan — the design's point: approximation error only has
-  to keep the true top-5 inside a shortlist whose cost scales with
-  cell size, never with the corpus pairwise.
+- **x37** — training is x33's 3 fused scans over the bounded
+  training set; the nprobe=4 probe side scans 4 cells per query of
+  ~sqrt(n) codes each (scaledK), and the brute-force ground-truth
+  audit is a broadcast linear scan of 20 fixed queries. No pairwise
+  term anywhere: the row stays overhead-plus-linear.
+- **x47** — x33's bounded training plus ADC shortlisting whose
+  candidate count per query is probed-cell occupancy (4 cells x
+  ~sqrt(n) codes at scaledK — sub-linear per decade); the exact
+  re-rank stays fixed at 20 raw vectors per query, so the growth is
+  entirely the stage-1 scan — the design's point: approximation
+  error only has to keep the true top-5 inside a shortlist whose
+  cost scales with cell size, never with the corpus pairwise.
 - **x49/x51/x48 (~2-2.2x)** — edge extraction / delta derivation /
   outer merge are single keyed joins over the 10x fact data; the
   downstream work is bounded (nations^2 graph, aggregate-keyed merge,
@@ -189,11 +194,33 @@ COMMENTARY = """\
   band-bucket pipeline over a fixed planted corpus plus the
   sf-scaled documents table; x70's anchor df agg + sparse join-back
   is corpus-linear (anchors per doc are bounded by token count);
-  x71 is one exchange + sorted scan (see above). x72's two legs are
-  the already-measured l3/x65 shapes and its fusion join is top-k ×
-  top-k — corpus-size-independent by construction. x73 is one fact
+  x71 is one exchange + sorted scan (see above). x73 is one fact
   scan + four broadcast joins — the fact side never shuffles, so the
   row tracks scan cost exactly like the r-family scans.
+- **Round-9 rows and re-bases (b11, x74, x72, s14, and the
+  scaledK'd search family).** x72's dense leg is RE-BASED onto
+  x47's trained-index two-stage (round-8 VERDICT's one scale-killer
+  discharged): the former broadcast all-pairs scorer was O(n²/100)
+  with a corpus-growing broadcast side; the new leg trains the same
+  bounded IVF-PQ index and probes it through a cell-keyed SHUFFLE
+  equi-join (the query set is 1% of the corpus, so nothing
+  broadcasts), then exact-re-ranks a 20-row shortlist — O(n^1.5/100)
+  total, and the row's absolute cost is now dominated by the
+  training scans, not the scoring. b11 is b10's lifecycle plus a
+  tombstone write (bounded id-only artifact) and the anti-join mask
+  — the delete itself is corpus-size-independent; compaction's
+  rewrite IS the cost, as in b10. x74 is x34's candidate/verify
+  floor plus the one-time artifact build/save/load — the load is a
+  bounded (M+1)·K-row codebook read, so the deployed per-pass shape
+  is strictly cheaper than x34's in-plan form. s14 now runs TWO
+  stream lifecycles (an injected post-commit crash plus the replay
+  restart), adding one fixed micro-batch commit floor — replay
+  proof, not a data term. The whole trained-IVF family
+  (x29/x33/x37/x47/b7/b8/b10/s14) trains at K = scaledK(n) over the
+  64k-capped training set: assignment pays sqrt(n) literal dots per
+  row (visible as the one-time jump in this round's sf0.1 numbers
+  for x29/x33/b7) to buy per-query probe work that no longer tracks
+  n/16 — the x34 trade, now uniform across the family.
 """
 
 
