@@ -675,6 +675,35 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 10 =!= 3), 20)
     },
 
+    // B12 — the MASKED serve path: b11's lifecycle up to the delete,
+    // searched WITHOUT compacting — the state a production index is
+    // in between a takedown and the next OPTIMIZE pass, when deleted
+    // vectors must already be unservable but the codes artifact still
+    // physically holds them. AnnIndex.load anti-joins the (bounded,
+    // id-only, broadcast) tombstone set out of the codes scan, so the
+    // search sees exactly the surviving set. The gate is b11's
+    // VERBATIM oracle: masked-before-compact and physical-after-
+    // compact must be the same answer — the two halves of the
+    // tombstone contract, each hash-gated on its own row (AnnIndexSpec
+    // additionally pins their row-identity and the compacted
+    // artifact's physical exclusion). Scale shape: identical to b7's
+    // serve path plus one broadcast anti-join whose build side is the
+    // tombstone id set — bounded by deletes, not by the corpus.
+    Q(
+      "b12_ann_index_masked_search", ivfPqDeleteSql
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(vectors(spark, dir))
+      val half = e.count() / 2
+      val built = AnnIndex.build(e.filter(col("vec_id") < half))
+      val path = graft.streaming.TempWork.dir("graft_b12_annidx")
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, e.filter(col("vec_id") >= half), path)
+      AnnIndex.delete(spark, e.filter(col("vec_id") % 10 === 3), path)
+      AnnIndex.searchTop5(AnnIndex.load(spark, path),
+        e.filter(col("vec_id") % 10 =!= 3), 20)
+    },
+
     // X37 — nprobe as the DECLARED recall/cost dial (VERDICT r6
     // stretch): the same jointly-trained IVF-PQ index as x33, searched
     // at nprobe=1 AND nprobe=4, scored against the exact brute-force
