@@ -26,6 +26,23 @@ object CurationQueries {
   private[llm] val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
+  /** x24's oracle — and, VERBATIM, the gate for b13/b14: the persisted
+    * dedup index (DedupIndex) must give the batch-vs-base answer the
+    * in-plan computation gives, whether the artifact was written in one
+    * shot (b13) or grown by append (b14). Full-corpus signatures +
+    * crossing-pair agreement + exact sha-256 semi-join, per language. */
+  private[llm] def snapshotDedupSql: String =
+    s"""${MinHash.oracleSig(5)},
+       |${DedupQueries.agreeSql},
+       |near AS (SELECT DISTINCT CASE WHEN d1 % 4 = 3 THEN d1 ELSE d2 END AS doc_id
+       |         FROM agree WHERE matches >= 14 AND ((d1 % 4 = 3) <> (d2 % 4 = 3))),
+       |b AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 <> 3),
+       |nw AS (SELECT doc_id, lang, sha256(text) AS h FROM documents WHERE doc_id % 4 = 3)
+       |SELECT lang, count(*) AS n_new,
+       |  CAST(SUM(CASE WHEN h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
+       |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** (doc_id, lang, toks) over documents, scan fanned out ahead of the
     * row-expanding transforms. */
   private def toks(spark: SparkSession, dir: String): DataFrame =
@@ -134,17 +151,7 @@ object CurationQueries {
     // index, not a text store, and cost scales with the incoming
     // batch, not the corpus.
     Q(
-      "x24_snapshot_dedup",
-      s"""${MinHash.oracleSig(5)},
-         |${DedupQueries.agreeSql},
-         |near AS (SELECT DISTINCT CASE WHEN d1 % 4 = 3 THEN d1 ELSE d2 END AS doc_id
-         |         FROM agree WHERE matches >= 14 AND ((d1 % 4 = 3) <> (d2 % 4 = 3))),
-         |b AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 <> 3),
-         |nw AS (SELECT doc_id, lang, sha256(text) AS h FROM documents WHERE doc_id % 4 = 3)
-         |SELECT lang, count(*) AS n_new,
-         |  CAST(SUM(CASE WHEN h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
-         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
-         |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin
+      "x24_snapshot_dedup", snapshotDedupSql
     ) { (spark, dir) =>
       val isBatch = col("doc_id") % 4 === 3
       val hashed = Tables.fanOut(Tables(spark, dir, "documents"))
@@ -183,6 +190,53 @@ object CurationQueries {
           sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
           sum(coalesce(col("is_near"), lit(0L))).as("n_neardup"))
         .orderBy("lang")
+    },
+
+    // B13 — the PERSISTED dedup index, round-tripped: x24's base side
+    // ("at 100 TB a signature/hash index, not a text store") written
+    // once as a real artifact (DedupIndex: doc_id, sha-256, 16 minhash
+    // lanes — ~150 bytes/doc at any text size) and the incoming batch
+    // deduplicated entirely against the LOADED files: batch signatures
+    // are computed from batch text only; not one corpus signature is
+    // recomputed. The gate is x24's VERBATIM oracle — the artifact
+    // path must be bit-identical to the in-plan computation (BIGINT
+    // lanes and hex digests round-trip parquet exactly). This is the
+    // daily-ingest production shape: index cost is paid once at build,
+    // per-batch cost scales with the batch (its one text scan + the
+    // asymmetric band-key join + two pruned columnar scans of the
+    // compact artifact). DedupIndexSpec pins the artifact layout and
+    // load parity.
+    Q(
+      "b13_dedup_index_roundtrip", snapshotDedupSql
+    ) { (spark, dir) =>
+      val docs = Tables.fanOut(Tables(spark, dir, "documents"))
+      val isBatch = col("doc_id") % 4 === 3
+      val path = graft.streaming.TempWork.dir("graft_b13_dedupidx")
+      DedupIndex.save(spark, DedupIndex.index(docs.filter(!isBatch)), path)
+      DedupIndex.dedupBatch(docs.filter(isBatch), DedupIndex.load(spark, path))
+    },
+
+    // B14 — the dedup index GROWN by append: base built on half the
+    // corpus (doc_id % 4 in {0, 1}), yesterday's batch (% 4 = 2)
+    // appended as new index rows — one linear scan of the slice, no
+    // existing file rewritten, no retraining possible by construction
+    // (MinHash seeds are literals, so old signatures never go stale —
+    // the property that lets this index grow forever where the ANN
+    // index needs periodic codebook rebuilds) — and today's batch
+    // (% 4 = 3) deduplicated against the loaded union. Same verbatim
+    // x24 oracle: append must be invisible to the answer, exactly
+    // b8's contract transplanted to the dedup artifact.
+    Q(
+      "b14_dedup_index_grow", snapshotDedupSql
+    ) { (spark, dir) =>
+      val docs = Tables.fanOut(Tables(spark, dir, "documents"))
+      val path = graft.streaming.TempWork.dir("graft_b14_dedupidx")
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 < 2)), path)
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 2)), path)
+      DedupIndex.dedupBatch(docs.filter(col("doc_id") % 4 === 3),
+        DedupIndex.load(spark, path))
     },
 
     // X28 — boilerplate n-gram mining: the 10-token spans shared by the

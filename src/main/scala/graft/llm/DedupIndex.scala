@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup index — the signature/hash artifact x24's comment
+  * promises ("the base side at 100 TB is a signature/hash index, not a
+  * text store") made real, the AnnIndex build-once/consume-many split
+  * applied to dedup: the corpus's exact-dup and near-dup EVIDENCE is
+  * persisted once, and every future ingest batch checks against the
+  * LOADED artifact without recomputing a single corpus signature.
+  *
+  * One parquet artifact, `{path}/rows.parquet`, one row per indexed
+  * document:
+  *   doc_id   BIGINT   — the indexed document
+  *   h        STRING   — sha-256 of the text (exact-dup key)
+  *   mh0..mh15 BIGINT  — the 16 MinHash lanes (near-dup evidence;
+  *                       NULL for docs too short to shingle, which by
+  *                       construction cannot be near-duplicated)
+  *
+  * That is ~150 bytes per document regardless of text size — a 100 TB
+  * corpus's index is ~100 GB, the difference between re-scanning the
+  * lake per ingest batch and a join against a compact artifact. The
+  * band-pair keys (6 rows/doc) are NOT persisted: they derive from the
+  * mh columns by a row-local projection at load time, and materializing
+  * them would sextuple the artifact for work the scan does for free.
+  * Signatures round-trip parquet bit-exactly (BIGINT lanes), so a
+  * batch dedup against the loaded index is bit-identical to the
+  * in-plan x24 computation — exactly what the b13/b14 gates prove
+  * against x24's verbatim oracle.
+  *
+  * Growth follows AnnIndex.append's contract: new batches' index rows
+  * append as new parquet files; no existing row is ever rewritten
+  * (MinHash seeds are fixed literals, so there is no "retraining" to
+  * invalidate old signatures — unlike the ANN index's codebooks, this
+  * index never needs a rebuild, only compaction of append fragments).
+  */
+object DedupIndex {
+
+  /** Compute index rows for a corpus slice: (doc_id, h, mh0..mh15).
+    * One linear text scan: sha-256 per row plus the native
+    * ShingleHashSet → MinHashSigs pipeline (no explode, no shuffle
+    * before the signature join-back; the join is doc_id-keyed and
+    * 1:0..1). Docs with no 5-gram shingles keep NULL lanes. */
+  def index(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val sig = MinHash.signaturesFromSets(
+      MinHash.shingleSets(docs, 5).filter(col("c") > 0))
+    hashed.join(sig, Seq("doc_id"), "left")
+  }
+
+  def save(spark: SparkSession, rows: DataFrame, path: String): Unit =
+    rows.sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$path/rows.parquet")
+
+  /** Append a new slice's index rows — the incremental form: cost is
+    * one linear scan of the new slice plus its append write; existing
+    * artifact files are untouched and a reload sees the union. */
+  def append(spark: SparkSession, rows: DataFrame, path: String): Unit =
+    rows.sortWithinPartitions("doc_id")
+      .write.mode("append").parquet(s"$path/rows.parquet")
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/rows.parquet")
+
+  /** Dedup an incoming batch (doc_id, lang, text) against a LOADED
+    * index: per language, how many incoming docs are exact duplicates
+    * of an indexed doc (sha-256 semi-join — never the text) and how
+    * many are near-duplicates (>= 14/16 minhash agreement, l2's gate).
+    * Same result shape and bits as x24's in-plan form.
+    *
+    * Scale shape: batch signatures are one linear scan of the BATCH
+    * (cached — they fan out to band keys and verify); the index side
+    * is scanned from the artifact twice (band-key projection and the
+    * verify join), both scans pruned to doc_id + the mh lanes, and
+    * deliberately NOT cached — at production scale the index is far
+    * bigger than executor storage, and two pruned columnar scans of a
+    * compact artifact are the right price. Candidate generation is
+    * ASYMMETRIC banding (batch keys x index keys), so within-index
+    * pairs are never formed and candidate volume scales with the
+    * batch, not the corpus. */
+  def dedupBatch(batch: DataFrame, idx: DataFrame): DataFrame = {
+    val bh = batch.select(col("doc_id"), col("lang"),
+      sha2(col("text"), 256).as("h"))
+    val exact = bh.join(idx.select("h").distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1L))
+    val bSig = graft.core.CacheScope.cacheEager(
+      MinHash.signaturesFromSets(
+        MinHash.shingleSets(batch, 5).filter(col("c") > 0)))
+    val iSig = idx.filter(col("mh0").isNotNull)
+      .select(col("doc_id") +: (0 until 16).map(i => col(s"mh$i")): _*)
+    val cand = MinHash.bandPairKeys(bSig).toDF("d_new", "bp", "k")
+      .join(MinHash.bandPairKeys(iSig).toDF("d_base", "bp2", "k2"),
+        col("bp") === col("bp2") && col("k") === col("k2"))
+      .select("d_new", "d_base").distinct()
+    val s1 = bSig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
+    val s2 = iSig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
+    val matches = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val nearIds = cand
+      .join(s1, col("d_new") === col("s1_doc"))
+      .join(s2, col("d_base") === col("s2_doc"))
+      .select(col("d_new"), matches.as("matches"))
+      .filter(col("matches") >= 14)
+      .select(col("d_new").as("doc_id"))
+      .distinct().withColumn("is_near", lit(1L))
+    bh.select("doc_id", "lang")
+      .join(exact, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_new"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_neardup"))
+      .orderBy("lang")
+  }
+}

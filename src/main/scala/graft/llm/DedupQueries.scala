@@ -695,10 +695,15 @@ object DedupQueries {
           concat(translate(lower(col("text")), "aeiou", "àéîöü"),
             when(col("doc_id") % 31 === 7, lit(" 数据分析😀")).otherwise(lit("")))
             .as("text"))
-      // corpus fans out to the stats branch AND the signature branch
+      // corpus fans out to the stats branch AND the signature branch.
+      // The planted-copy id shift is max(doc_id)+1 — one scalar
+      // aggregate broadcast into the select, the exact shape of the
+      // oracle's mx CTE — so planted ids can never collide with real
+      // ones at ANY corpus size.
+      val mx = MinHash.docs(spark, dir).agg((max(col("doc_id")) + 1L).as("m"))
       val corpus = CacheScope.cacheEager(fx.union(
-        fx.filter(col("doc_id") % 17 === 4)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))))
+        fx.filter(col("doc_id") % 17 === 4).crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("m")).as("doc_id"), col("lang"), col("text"))))
       val sets = CacheScope.cacheEager(MinHash.shingleSets(corpus, 9))
       val ckCol = expr(
         s"CAST(aggregate(hs, CAST(0 AS BIGINT), (acc, x) -> acc + x % $P) % $P AS BIGINT)")

@@ -1,0 +1,88 @@
+package graft
+
+import graft.core.Tables
+import graft.llm.DedupIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the persisted dedup index beyond the b13/b14 oracle
+  * gates: artifact fidelity (save→load preserves every row and lane),
+  * append equivalence (grown artifact == one-shot artifact), and path
+  * equivalence (dedup against the loaded artifact == x24's in-plan
+  * computation, row for row).
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = Tables(spark, sf0001, "documents")
+
+  private def rmrf(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    val s = java.nio.file.Files.walk(root)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
+  }
+
+  test("save/load round-trips every index row bit-exactly") {
+    val rows = DedupIndex.index(docs)
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_spec").toString
+    try {
+      DedupIndex.save(spark, rows, path)
+      val a = rows.orderBy("doc_id").collect()
+      val b = DedupIndex.load(spark, path).orderBy("doc_id").collect()
+      assert(a.length == b.length && a.length > 0)
+      a.zip(b).foreach { case (x, y) => assert(x == y) }
+      // schema contract: doc_id, h, then the 16 lanes in order
+      assert(DedupIndex.load(spark, path).columns.toSeq ==
+        "doc_id" +: "h" +: (0 until 16).map(i => s"mh$i"))
+    } finally rmrf(path)
+  }
+
+  test("append-grown artifact equals the one-shot artifact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_app").toString
+    try {
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 1)), path)
+      val grown = DedupIndex.load(spark, path).orderBy("doc_id").collect()
+      val oneShot = DedupIndex.index(docs).orderBy("doc_id").collect()
+      assert(grown.length == oneShot.length && grown.length > 0)
+      grown.zip(oneShot).foreach { case (x, y) => assert(x == y) }
+    } finally rmrf(path)
+  }
+
+  test("docs too short to shingle keep NULL lanes, never near-dup") {
+    import spark.implicits._
+    val tiny = Seq((1L, "en", "abc"), (2L, "en", "abc"),
+      (3L, "en", "a much longer document body for shingling purposes"))
+      .toDF("doc_id", "lang", "text")
+    val rows = DedupIndex.index(tiny).orderBy("doc_id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2) && !rows(2).isNullAt(2))
+    // the two 3-char docs ARE exact dups of each other (same sha), but
+    // can never surface as near-dups: no lanes, no band keys
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_tiny").toString
+    try {
+      DedupIndex.save(spark, DedupIndex.index(tiny.filter($"doc_id" === 1L)), path)
+      val out = DedupIndex.dedupBatch(tiny.filter($"doc_id" =!= 1L),
+        DedupIndex.load(spark, path)).collect()
+      assert(out.length == 1)
+      assert(out(0).getLong(1) == 2L)  // n_new
+      assert(out(0).getLong(2) == 1L)  // n_exact_dup: doc 2 matches doc 1's sha
+      assert(out(0).getLong(3) == 0L)  // n_neardup: no lanes on either side
+    } finally rmrf(path)
+  }
+
+  test("b13/b14 artifact paths and in-plan x24 agree row for row") {
+    val x24 = SparkEntry.queries("x24_snapshot_dedup")(spark, sf0001)
+      .collect().toSeq
+    val b13 = SparkEntry.queries("b13_dedup_index_roundtrip")(spark, sf0001)
+      .collect().toSeq
+    val b14 = SparkEntry.queries("b14_dedup_index_grow")(spark, sf0001)
+      .collect().toSeq
+    assert(x24.nonEmpty)
+    assert(b13 == x24)
+    assert(b14 == x24)
+  }
+}
