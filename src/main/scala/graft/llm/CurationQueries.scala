@@ -31,16 +31,23 @@ object CurationQueries {
     * in-plan computation gives, whether the artifact was written in one
     * shot (b13) or grown by append (b14). Full-corpus signatures +
     * crossing-pair agreement + exact sha-256 semi-join, per language. */
-  private[llm] def snapshotDedupSql: String =
+  private[llm] def snapshotDedupSql: String = snapshotDedupSql("", "")
+
+  /** Parameterized form: s15 appends an index-cardinality CTE + scalar
+    * column so its replay-idempotence proof is HASH-GATED (a doubled
+    * micro-batch append is invisible to the x24-shaped counts — near
+    * ids are DISTINCT and n_new counts the batch — but doubles the
+    * artifact's row count). */
+  private[llm] def snapshotDedupSql(extraCte: String, extraSelect: String): String =
     s"""${MinHash.oracleSig(5)},
        |${DedupQueries.agreeSql},
        |near AS (SELECT DISTINCT CASE WHEN d1 % 4 = 3 THEN d1 ELSE d2 END AS doc_id
        |         FROM agree WHERE matches >= 14 AND ((d1 % 4 = 3) <> (d2 % 4 = 3))),
        |b AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 <> 3),
-       |nw AS (SELECT doc_id, lang, sha256(text) AS h FROM documents WHERE doc_id % 4 = 3)
+       |nw AS (SELECT doc_id, lang, sha256(text) AS h FROM documents WHERE doc_id % 4 = 3)$extraCte
        |SELECT lang, count(*) AS n_new,
        |  CAST(SUM(CASE WHEN h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
-       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup$extraSelect
        |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** (doc_id, lang, toks) over documents, scan fanned out ahead of the
@@ -237,6 +244,75 @@ object CurationQueries {
         DedupIndex.index(docs.filter(col("doc_id") % 4 === 2)), path)
       DedupIndex.dedupBatch(docs.filter(col("doc_id") % 4 === 3),
         DedupIndex.load(spark, path))
+    },
+
+    // S15 — STREAMING dedup-index ingestion: b14's append arriving
+    // through Structured Streaming — the continuously-growing dedup
+    // index a crawl pipeline runs (yesterday's accepted docs stream in
+    // as index rows; today's batch dedups against the union). The
+    // % 4 = 2 slice lands as parquet files consumed by a file-source
+    // stream whose foreachBatch indexes each micro-batch (one linear
+    // text scan of the BATCH) and appends idempotently; with
+    // maxFilesPerTrigger=1 the run really executes multiple micro-batch
+    // appends, and it is REPLAY-BEARING exactly like s14: an injected
+    // post-commit crash after epoch 1's append+marker forces the
+    // restarted query (same checkpoint, so the WAL re-issues the same
+    // epoch id) to re-deliver that micro-batch, which the marker
+    // ledger must skip. A doubled append would be INVISIBLE to the
+    // x24-shaped counts (near ids are DISTINCT, n_new counts the
+    // batch), so this row's oracle extends x24's with the artifact's
+    // ROW COUNT (n_indexed, restated as the % 4 <> 3 corpus count) —
+    // the column a replayed append actually corrupts, making the
+    // idempotence claim hash-gated rather than asserted. The dedup
+    // columns still gate the loaded-union answer verbatim.
+    Q(
+      "s15_stream_dedup_index", snapshotDedupSql(
+        ",\nix AS (SELECT CAST(count(*) AS BIGINT) AS n_indexed " +
+          "FROM documents WHERE doc_id % 4 <> 3)",
+        ",\n  (SELECT n_indexed FROM ix) AS n_indexed")
+    ) { (spark, dir) =>
+      val docs = Tables.fanOut(Tables(spark, dir, "documents"))
+      val path = graft.streaming.TempWork.dir("graft_s15_dedupidx")
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 < 2)), path)
+      val in = graft.streaming.TempWork.dir("graft_s15_in")
+      val ckpt = graft.streaming.TempWork.dir("graft_s15_ck")
+      docs.filter(col("doc_id") % 4 === 2)
+        .select("doc_id", "lang", "text")
+        .repartition(2).write.mode("append").parquet(in)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = ss.read.parquet(in).schema
+      def stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(injectCrash: Boolean): Unit = {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            DedupIndex.appendIdempotent(batch.sparkSession,
+              DedupIndex.index(batch), path, epochId)
+            if (injectCrash && epochId == 1 && crashed.compareAndSet(false, true))
+              throw new RuntimeException(
+                "injected post-commit crash (s15 replay proof)")
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+        } finally if (q.isActive) q.stop()
+      }
+      try {
+        run(injectCrash = true)   // crashes after epoch 1's append
+        run(injectCrash = false)  // engine replays epoch 1; marker skips it
+      } finally {
+        graft.streaming.TempWork.delete(in)
+        graft.streaming.TempWork.delete(ckpt)
+      }
+      val idx = DedupIndex.load(spark, path)
+      DedupIndex.dedupBatch(docs.filter(col("doc_id") % 4 === 3), idx)
+        .crossJoin(broadcast(idx.agg(count(lit(1)).as("n_indexed"))))
+        .orderBy("lang")
     },
 
     // X28 — boilerplate n-gram mining: the 10-token spans shared by the

@@ -60,6 +60,27 @@ object DedupIndex {
     rows.sortWithinPartitions("doc_id")
       .write.mode("append").parquet(s"$path/rows.parquet")
 
+  /** IDEMPOTENT append for streaming ingestion — AnnIndex's contract
+    * transplanted: foreachBatch may re-deliver a micro-batch after a
+    * failure, and an unconditional append would double-index it
+    * (duplicate index rows would double-count band-key candidates and,
+    * worse, make the artifact's doc_id set a multiset). The
+    * applied-batch ledger is a marker file per epoch id under
+    * `{path}/_applied/`; marker creation FOLLOWS the append, so a
+    * crash inside the write leaves no marker and the replay re-runs it
+    * — at-least-once within a batch write, exactly-once across
+    * completed batches. Returns whether the batch was applied. */
+  def appendIdempotent(spark: SparkSession, rows: DataFrame, path: String,
+      batchId: Long): Boolean = {
+    val marker = s"$path/_applied/batch-$batchId"
+    if (graft.core.Fs.exists(spark, marker)) false
+    else {
+      append(spark, rows, path)
+      graft.core.Fs.touch(spark, marker)
+      true
+    }
+  }
+
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/rows.parquet")
 

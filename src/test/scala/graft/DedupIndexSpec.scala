@@ -74,6 +74,23 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally rmrf(path)
   }
 
+  test("appendIdempotent skips a re-delivered batch id") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_idem").toString
+    try {
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
+      val batch = DedupIndex.index(docs.filter(col("doc_id") % 2 === 1))
+      assert(DedupIndex.appendIdempotent(spark, batch, path, 7L))
+      val n = DedupIndex.load(spark, path).count()
+      // replayed delivery of the same epoch: marker skips, count holds
+      assert(!DedupIndex.appendIdempotent(spark, batch, path, 7L))
+      assert(DedupIndex.load(spark, path).count() == n)
+      // a NEW epoch still applies
+      assert(DedupIndex.appendIdempotent(spark, batch.limit(1), path, 8L))
+      assert(DedupIndex.load(spark, path).count() == n + 1)
+    } finally rmrf(path)
+  }
+
   test("b13/b14 artifact paths and in-plan x24 agree row for row") {
     val x24 = SparkEntry.queries("x24_snapshot_dedup")(spark, sf0001)
       .collect().toSeq
