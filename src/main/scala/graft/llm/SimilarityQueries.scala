@@ -1224,6 +1224,109 @@ object SimilarityQueries {
         .withColumn("rn", row_number().over(wf).cast("long"))
         .filter(col("rn") <= 5)
         .orderBy("qid", "rn")
+    },
+
+    // X75 — MMR DIVERSITY RERANK (maximal marginal relevance): the
+    // post-retrieval stage every RAG/dedup-aware serving stack runs —
+    // the raw top-k of a similarity search is often near-duplicates of
+    // one answer, so the served set is re-picked GREEDILY: first the
+    // most relevant candidate, then 4 more each maximizing
+    // λ·relevance − (1−λ)·max-similarity-to-already-picked (λ = 0.7,
+    // carried as the exact integer form 7·rel4 − 3·ms4 over
+    // ten-thousandth-scaled cosines, so every comparison is BIGINT
+    // arithmetic — no float ordering can diverge across engines; ties
+    // break by nid, and the one rounding per cosine is the same
+    // measure-zero-risk r4 class the whole family gates on). The
+    // candidate pool is l3's audit shape: the exact top-20 per query
+    // from the broadcast-20-query linear scan. SCALE SHAPE: in
+    // production the pool comes from the trained-index shortlist
+    // (x47) instead — MMR itself never touches the corpus: 20
+    // candidates per query → 380 pairwise sims per query, and the 4
+    // greedy steps are (qid)-keyed joins + windows over those bounded
+    // relations, so rerank cost scales with QUERY COUNT only, at any
+    // corpus size. The 5 picks and every intermediate are hash-gated
+    // (qid, rk, nid, rel4 — all integers).
+    Q(
+      "x75_mmr_diversify", {
+        val steps = (2 to 5).map { k =>
+          s"""m$k AS (SELECT r.qid, r.nid, r.rel4, max(p.sim4) AS ms
+             |  FROM cand r JOIN ps p ON p.qid = r.qid AND p.a = r.nid
+             |  JOIN sel${k - 1} s ON s.qid = p.qid AND s.nid = p.b
+             |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} z
+             |                    WHERE z.qid = r.qid AND z.nid = r.nid)
+             |  GROUP BY 1, 2, 3),
+             |s$k AS (SELECT qid, nid, rel4, CAST($k AS BIGINT) AS rk FROM (
+             |    SELECT qid, nid, rel4, row_number() OVER (PARTITION BY qid
+             |      ORDER BY 7 * rel4 - 3 * ms DESC, nid) AS rn FROM m$k) WHERE rn = 1),
+             |sel$k AS (SELECT qid, nid, rel4, rk FROM sel${k - 1}
+             |          UNION ALL SELECT qid, nid, rel4, rk FROM s$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |p0 AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+           |    CAST(round(list_dot_product(q.v, x.v)
+           |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v)))
+           |      * 10000) AS BIGINT) AS rel4
+           |  FROM e q JOIN e x ON x.vec_id <> q.vec_id WHERE q.vec_id < 20),
+           |cand AS (SELECT qid, nid, rel4 FROM (
+           |    SELECT qid, nid, rel4, row_number() OVER (PARTITION BY qid
+           |      ORDER BY rel4 DESC, nid) AS rn FROM p0) WHERE rn <= 20),
+           |cv AS (SELECT c.qid, c.nid, e.v FROM cand c JOIN e ON e.vec_id = c.nid),
+           |ps AS (SELECT a.qid, a.nid AS a, b.nid AS b,
+           |    CAST(round(list_dot_product(a.v, b.v)
+           |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           |      * 10000) AS BIGINT) AS sim4
+           |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.nid <> b.nid),
+           |sel1 AS (SELECT qid, nid, rel4, CAST(1 AS BIGINT) AS rk FROM (
+           |    SELECT qid, nid, rel4, row_number() OVER (PARTITION BY qid
+           |      ORDER BY rel4 DESC, nid) AS rn FROM cand) WHERE rn = 1),
+           |$steps
+           |SELECT qid, rk, nid, rel4 FROM sel5 ORDER BY qid, rk""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(
+        vectors(spark, dir).withColumn("nrm", l2norm(col("v"))))
+      val q = e.filter(col("vec_id") < 20).toDF("qid", "qv", "qn")
+      val x = e.toDF("nid", "xv", "xn")
+      def c4(num: Column, den: Column): Column =
+        round(num / den * 10000).cast("long")
+      val scored = broadcast(q).join(x, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          c4(dot(col("qv"), col("xv")), col("qn") * col("xn")).as("rel4"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("rel4").desc, col("nid"))
+      val cand = CacheScope.cacheEager(
+        scored.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 20).drop("rn"))
+      // pairwise candidate sims: a per-qid 20x20 self-join — bounded by
+      // the shortlist width, never by the corpus
+      val cvx = cand.join(x, "nid")
+      val a = cvx.select(col("qid"), col("nid").as("a"),
+        col("xv").as("av"), col("xn").as("an"))
+      val b = cvx.select(col("qid"), col("nid").as("b"),
+        col("xv").as("bv"), col("xn").as("bn"))
+      val ps = CacheScope.cacheEager(
+        a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+          .select(col("qid"), col("a"), col("b"),
+            c4(dot(col("av"), col("bv")), col("an") * col("bn")).as("sim4")))
+      val first = cand.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1).drop("rn").withColumn("rk", lit(1L))
+      val picks = (2 to 5).foldLeft(first) { (sel, k) =>
+        val remaining = cand.join(sel.select("qid", "nid"),
+          Seq("qid", "nid"), "left_anti")
+        val ms = ps.join(sel.select(col("qid"), col("nid").as("b")),
+            Seq("qid", "b"))
+          .groupBy(col("qid"), col("a").as("nid"))
+          .agg(max("sim4").as("ms"))
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid")
+          .orderBy((lit(7L) * col("rel4") - lit(3L) * col("ms")).desc, col("nid"))
+        val next = remaining.join(ms, Seq("qid", "nid"))
+          .withColumn("rn", row_number().over(wk))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("nid"), col("rel4"), lit(k.toLong).as("rk"))
+        sel.unionByName(next)
+      }
+      picks.select("qid", "rk", "nid", "rel4").orderBy("qid", "rk")
     }
   )
 }

@@ -11,6 +11,44 @@ import org.scalatest.funsuite.AnyFunSuite
 class MergeRerankSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("x75: greedy MMR picks recomputed independently from raw vectors") {
+    val out = SparkEntry.queries("x75_mmr_diversify")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out.nonEmpty)
+    val vecs = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), graft.core.Cols.vecD(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos4(a: Array[Double], b: Array[Double]): Long = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      // same rounding class as the query: BigDecimal HALF_UP on the
+      // shortest decimal form, the JVM round() Spark applies
+      java.math.BigDecimal.valueOf(dp / (math.sqrt(na) * math.sqrt(nb)) * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    }
+    val expected = vecs.keys.filter(_ < 20).toSeq.sorted.flatMap { qid =>
+      val rel = vecs.keys.filter(_ != qid).toSeq
+        .map(nid => nid -> cos4(vecs(qid), vecs(nid)))
+      val cand = rel.sortBy { case (nid, r) => (-r, nid) }.take(20)
+      val first = cand.head
+      val picks = (2 to 5).foldLeft(Vector(first)) { (sel, _) =>
+        val selSet = sel.map(_._1).toSet
+        val next = cand.filterNot { case (nid, _) => selSet(nid) }
+          .map { case (nid, r) =>
+            val ms = sel.map(s => cos4(vecs(nid), vecs(s._1))).max
+            (nid, r, 7L * r - 3L * ms)
+          }
+          .sortBy { case (nid, _, sc) => (-sc, nid) }.head
+        sel :+ ((next._1, next._2))
+      }
+      picks.zipWithIndex.map { case ((nid, r), i) => (qid, (i + 1).toLong, nid, r) }
+    }
+    assert(out == expected)
+  }
+
   test("x46: every multi-token doc is scored, fluency is a bounded integer mean") {
     val rows = SparkEntry.queries("x46_lm_fluency")(spark, sf0001).collect()
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
