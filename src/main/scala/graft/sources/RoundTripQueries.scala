@@ -27,6 +27,12 @@ object RoundTripQueries {
 
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
+  /** Spark 4 bundles the Avro FileFormat in spark-sql, but this
+    * distribution's DataSourceRegister service file omits the "avro"
+    * short name — the format is addressed by class (same engine path,
+    * explicit binding; see b15's comment). */
+  private val AvroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -212,6 +218,50 @@ object RoundTripQueries {
         .write.mode("overwrite").orc(out)
       spark.read.schema(eventsSchema).orc(out)
         .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          sum(fixed(col("value"), 10000L)).as("val_10k"),
+          min(epochUs(col("ts"))).as("ts_min"),
+          max(epochUs(col("ts"))).as("ts_max"),
+          min("event_id").as("first_ev"),
+          max("event_id").as("last_ev"))
+        .orderBy("event_type")
+    },
+
+    // B15 — Avro round trip on events: the mainstream ROW-oriented
+    // lake format (Kafka payloads, schema-registry pipelines, and
+    // every ingest tier that streams records before a columnar
+    // compaction lands them as parquet — b6's job, one format
+    // earlier). Spark 4 ships the Avro reader/writer inside spark-sql
+    // (AvroFileFormat), but this distribution's service registry does
+    // not map the short name "avro" to it, so the format is addressed
+    // by its class name — same engine path, explicit binding. The
+    // fidelity contract differs from b9's columnar case:
+    // Avro carries timestamps as the timestamp-micros LOGICAL TYPE
+    // (exact micros, no format string) and doubles as IEEE bits, and
+    // the reader must resolve the writer-embedded schema against the
+    // DECLARED read schema. The read-side filter exercises Avro's
+    // row-level filter pushdown (no stripe/row-group stats exist in a
+    // row format — pruning happens at deserialization, which is
+    // precisely why the ingest tier compacts to columnar; the audit
+    // restricts to view/purchase so a pushdown bug that drops or
+    // double-reads records lands in the counts).
+    Q(
+      "b15_avro_roundtrip",
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS users,
+        |  CAST(SUM(CAST(round(value*10000) AS BIGINT)) AS BIGINT) AS val_10k,
+        |  min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max,
+        |  min(event_id) AS first_ev, max(event_id) AS last_ev
+        |FROM events WHERE event_type IN ('view', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      val out = TempWork.dir("graft_b15_avro")
+      Tables(spark, dir, "events")
+        .write.mode("overwrite").format(AvroFmt).save(out)
+      spark.read.schema(eventsSchema).format(AvroFmt).load(out)
+        .filter(col("event_type").isin("view", "purchase"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("users"),
