@@ -1308,25 +1308,63 @@ object SimilarityQueries {
         a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
           .select(col("qid"), col("a"), col("b"),
             c4(dot(col("av"), col("bv")), col("an") * col("bn")).as("sim4")))
-      val first = cand.withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") === 1).drop("rn").withColumn("rk", lit(1L))
-      val picks = (2 to 5).foldLeft(first) { (sel, k) =>
-        val remaining = cand.join(sel.select("qid", "nid"),
-          Seq("qid", "nid"), "left_anti")
-        val ms = ps.join(sel.select(col("qid"), col("nid").as("b")),
-            Seq("qid", "b"))
-          .groupBy(col("qid"), col("a").as("nid"))
-          .agg(max("sim4").as("ms"))
-        val wk = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid")
-          .orderBy((lit(7L) * col("rel4") - lit(3L) * col("ms")).desc, col("nid"))
-        val next = remaining.join(ms, Seq("qid", "nid"))
-          .withColumn("rn", row_number().over(wk))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("nid"), col("rel4"), lit(k.toLong).as("rk"))
-        sel.unionByName(next)
-      }
-      picks.select("qid", "rk", "nid", "rel4").orderBy("qid", "rk")
+      // The greedy selection runs per query group in a typed
+      // flatMapGroups — the m3/x71 justification: a sequential
+      // data-dependent argmax chain has no Catalyst builtin, and the
+      // declarative alternative (k chained anti-join + max-agg +
+      // window stages, each referencing the selection-so-far twice)
+      // was MEASURED paying superlinear Catalyst analysis on the
+      // growing lineage — 17-22 s at sf0.1, all planning overhead,
+      // even with each step's 100-row result cached eagerly. Here the
+      // group is one query's shortlist: ≤ 20 candidates + their ≤ 380
+      // pairwise sims — bounded state by construction, one (qid)
+      // exchange, one pass, at any corpus size.
+      import spark.implicits._
+      // LEFT join so a 1-candidate pool (no pairs) still carries its
+      // rank-1 pick; -1 marks the no-pair sentinel (vec_ids are >= 0)
+      val picks = cand.select(col("qid"), col("nid").as("a"), col("rel4"))
+        .join(ps.select(col("qid"), col("a"), col("b"), col("sim4")),
+          Seq("qid", "a"), "left")
+        .select(col("qid"), col("a"), col("rel4"),
+          coalesce(col("b"), lit(-1L)).as("b"),
+          coalesce(col("sim4"), lit(0L)).as("sim4"))
+        .as[(Long, Long, Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
+          val rel = scala.collection.mutable.LongMap.empty[Long]
+          val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+          it.foreach { case (_, a, r, b, s) =>
+            rel(a) = r; if (b >= 0L) sim((a, b)) = s
+          }
+          // (rel4 desc, nid asc) — the same total order as the oracle
+          val cands = rel.toSeq.sortBy { case (id, r) => (-r, id) }
+          val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          if (cands.nonEmpty) sel += ((cands.head._1, cands.head._2))
+          var k = 2
+          while (k <= 5 && sel.length == k - 1) {
+            val chosen = sel.map(_._1).toSet
+            var bSc = Long.MinValue; var bId = Long.MaxValue; var bRel = 0L
+            cands.foreach { case (id, r) =>
+              if (!chosen(id)) {
+                var ms = Long.MinValue
+                sel.foreach { s =>
+                  val v = sim((id, s._1)); if (v > ms) ms = v
+                }
+                val sc = 7L * r - 3L * ms
+                if (sc > bSc || (sc == bSc && id < bId)) {
+                  bSc = sc; bId = id; bRel = r
+                }
+              }
+            }
+            if (bSc != Long.MinValue) sel += ((bId, bRel))
+            k += 1
+          }
+          sel.iterator.zipWithIndex.map { case ((nid, r), i) =>
+            (qid, (i + 1).toLong, nid, r)
+          }
+        }
+        .toDF("qid", "rk", "nid", "rel4")
+      picks.orderBy("qid", "rk")
     }
   )
 }

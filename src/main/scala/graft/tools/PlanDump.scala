@@ -95,7 +95,15 @@ object PlanDump {
     // plan is the post-compaction serve path: parquet code scan →
     // literal-codebook reconstruction → broadcast cell-keyed join,
     // with the surviving query set filtered at the scan.
-    "b11_ann_index_delete")
+    "b11_ann_index_delete",
+    // round 9b: b13's dedup-from-artifact serve path — the index
+    // build/save runs while building and the printed plan is the
+    // per-ingest-batch work: one batch text scan (native shingle →
+    // minhash projection), asymmetric band-key join against the
+    // loaded artifact's PRUNED columnar scans (doc_id + mh lanes
+    // only; the sha column read only by the exact semi-join), no
+    // corpus signature recomputation anywhere.
+    "b13_dedup_index_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

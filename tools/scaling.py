@@ -221,6 +221,23 @@ COMMENTARY = """\
   row (visible as the one-time jump in this round's sf0.1 numbers
   for x29/x33/b7) to buy per-query probe work that no longer tracks
   n/16 — the x34 trade, now uniform across the family.
+- **Round-9b rows (b12, b13/b14/s15, x75, b15).** b12 is b7's serve
+  path plus one broadcast anti-join whose build side is the
+  tombstone id set — bounded by deletes, not the corpus. The dedup
+  index family is corpus-linear at build (one text scan per indexed
+  slice: sha-256 + the native shingle→minhash projection) and
+  BATCH-scaled at serve: b13/b14's dedup joins batch-side band keys
+  against the loaded artifact's pruned columnar scans, so per-ingest
+  cost tracks the batch while the artifact scan is ~150 bytes/doc —
+  the whole point of persisting signatures instead of re-scanning
+  text. s15 adds two stream lifecycles on top of b14 (crash +
+  replay restart), a fixed micro-batch commit floor like s14's.
+  x75's candidate stage is l3's broadcast-20-query linear scan (the
+  audit shape; a deployment feeds it from x47's shortlist instead)
+  and the greedy MMR stages are bounded top-k × top-k joins —
+  corpus-independent by construction. b15 writes and reads the full
+  events table through Avro — the row IS the format round trip, so
+  it tracks table volume like b9.
 """
 
 
