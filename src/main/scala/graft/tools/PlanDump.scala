@@ -103,7 +103,16 @@ object PlanDump {
     // loaded artifact's PRUNED columnar scans (doc_id + mh lanes
     // only; the sha column read only by the exact semi-join), no
     // corpus signature recomputation anywhere.
-    "b13_dedup_index_roundtrip")
+    "b13_dedup_index_roundtrip",
+    // round 9c: x75's MMR rerank — the candidate×candidate sim matrix
+    // is built per query INSIDE the top-20 pool (a qid-keyed self-join
+    // of two 20-row sides, never corpus×corpus), and the 5-step
+    // greedy runs as ONE typed flatMapGroups pass per qid group: the
+    // printed plan shows the pool pipeline feeding a single exchange
+    // + sort + MapGroups (the k-step declarative chain it replaced
+    // made Catalyst re-plan the growing tree k times — 21.7 s of
+    // planner time at sf0.1 vs 1.2 s for the group pass).
+    "x75_mmr_diversify")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -60,7 +60,7 @@ def bench(sf):
 # The causes below are structural (measured once, stable across runs);
 # re-verify the numbers if a named query's plan changes.
 COMMENTARY = """\
-## Ratio commentary (sf0.1 -> sf1.0 step, measured 2026-08-13)
+## Ratio commentary (sf0.1 -> sf1.0 step, measured 2026-08-15)
 
 - **x34_semantic_dedup — the fixed-capacity trap, measured, then
   REMOVED.** The first round-7 scaling run caught x34 at 80.9 s /
@@ -233,9 +233,13 @@ COMMENTARY = """\
   text. s15 adds two stream lifecycles on top of b14 (crash +
   replay restart), a fixed micro-batch commit floor like s14's.
   x75's candidate stage is l3's broadcast-20-query linear scan (the
-  audit shape; a deployment feeds it from x47's shortlist instead)
-  and the greedy MMR stages are bounded top-k × top-k joins —
-  corpus-independent by construction. b15 writes and reads the full
+  audit shape; a deployment feeds it from x47's shortlist instead);
+  the pairwise sim matrix is a qid-keyed self-join INSIDE each
+  20-row pool (190 pairs per query) and the 5-step greedy runs as
+  one typed flatMapGroups pass per query group — corpus-independent
+  by construction (the k-step declarative chain it replaced paid
+  Catalyst re-planning, not data cost: 21.7 s of planner time at
+  sf0.1 vs 1.2 s for the group pass). b15 writes and reads the full
   events table through Avro — the row IS the format round trip, so
   it tracks table volume like b9.
 """
