@@ -42,6 +42,23 @@ private[graft] object Fs {
   def packTarget(bytes: Long, targetBytes: Long = 4L << 20): Int =
     math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 
+  /** The data files directly under `dir` (one bounded listStatus, no
+    * recursion), hidden/marker entries (`_…`, `.…`) excluded, sorted
+    * for determinism. This is the listing a snapshot manifest records:
+    * parquet mutations only ever ADD files (append) or write NEW
+    * directories (save/compact generations), so a recorded file list
+    * stays readable for as long as nothing overwrites the artifact in
+    * place — the append-only invariant every lake-format manifest
+    * (Delta/Iceberg) rests on. */
+  def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val (f, p) = fs(spark, dir)
+    require(f.exists(p), s"artifact path does not exist: $dir")
+    f.listStatus(p)
+      .filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
   def exists(spark: SparkSession, path: String): Boolean = {
     val (f, p) = fs(spark, path)
     f.exists(p)

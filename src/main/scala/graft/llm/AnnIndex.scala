@@ -199,19 +199,93 @@ object AnnIndex {
     else codes
   }
 
-  /** Load a persisted index: one bounded collect of (M+1)·K codebook
-    * rows (the KMeans division of labor — driver traffic scales with
-    * the codebook, never the corpus); codes stay a distributed scan,
-    * with any tombstoned vec_ids anti-joined out. */
-  def load(spark: SparkSession, path: String): Index = {
-    val cent = spark.read.parquet(s"$path/centroids.parquet")
+  /** Parse the (M+1) codebooks out of a centroids scan — one bounded
+    * collect of (M+1)·K rows (the KMeans division of labor — driver
+    * traffic scales with the codebook, never the corpus). */
+  private def codebooks(centroids: DataFrame)
+      : (IndexedSeq[Array[Double]], IndexedSeq[IndexedSeq[Array[Double]]]) = {
+    val cent = centroids
       .orderBy("space", "cid")
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val bySpace = cent.groupBy(_._1)
     def book(space: Int): IndexedSeq[Array[Double]] =
       bySpace(space).sortBy(_._2).map(_._3).toIndexedSeq
-    Index(book(0), (1 to M).map(book), liveCodes(spark, path))
+    (book(0), (1 to M).map(book))
+  }
+
+  /** Load a persisted index at its CURRENT state: codes stay a
+    * distributed scan, with any tombstoned vec_ids anti-joined out. */
+  def load(spark: SparkSession, path: String): Index = {
+    val (coarse, pq) = codebooks(spark.read.parquet(s"$path/centroids.parquet"))
+    Index(coarse, pq, liveCodes(spark, path))
+  }
+
+  private def manifestPath(path: String, version: Int): String =
+    f"$path/manifest/v$version%05d.parquet"
+
+  /** Record the artifact's CURRENT file sets as snapshot `version` — a
+    * manifest parquet of (kind, file) rows under `{path}/manifest/`,
+    * the Delta/Iceberg commit pattern applied to the index: every
+    * mutation here is append-only (append adds code files, delete adds
+    * tombstone files; save/compact write NEW directories), so a
+    * version's recorded files remain on disk untouched as later
+    * versions accumulate, and [[loadAt]] can serve any pinned snapshot
+    * — takedown audits ("what did the index serve last Tuesday"),
+    * reproducible retrieval runs, and safe rollback after a bad batch,
+    * none of which a directory-state read can answer once the
+    * directory has moved on. The manifest is bounded by FILE COUNT
+    * (one row per data file — the same driver-side manifest scale
+    * every real table format accepts); reference anchor: the
+    * produce-once/consume-downstream trace-artifact contract
+    * (main.rs:17-25), here versioned. */
+  def snapshot(spark: SparkSession, path: String, version: Int): Unit = {
+    import spark.implicits._
+    def files(kind: String, dir: String): Seq[(String, String)] =
+      if (graft.core.Fs.exists(spark, dir))
+        graft.core.Fs.listDataFiles(spark, dir).map((kind, _))
+      else Seq.empty
+    (files("centroids", s"$path/centroids.parquet") ++
+      files("codes", s"$path/codes.parquet") ++
+      files("tombstones", s"$path/tombstones.parquet"))
+      .toDF("kind", "file")
+      .coalesce(1).sortWithinPartitions("kind", "file")
+      .write.mode("overwrite").parquet(manifestPath(path, version))
+  }
+
+  /** The committed snapshot versions, ascending — one bounded
+    * listStatus of the manifest directory. */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(dir)) Seq.empty
+    else hfs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".parquet") =>
+        n.stripPrefix("v").stripSuffix(".parquet").toInt }
+      .sorted.toSeq
+  }
+
+  /** Load the index AS OF snapshot `version` — time travel. Every file
+    * set comes from the manifest, NOT the directory: codes added after
+    * the snapshot are invisible, and tombstones written after it do
+    * not mask (a v2 read serves a vector that v3 deleted — that is the
+    * point; b16 gates it). One bounded manifest collect (file names),
+    * then the same distributed scans as [[load]] over the pinned
+    * files. */
+  def loadAt(spark: SparkSession, path: String, version: Int): Index = {
+    val man = spark.read.parquet(manifestPath(path, version))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def files(kind: String): Seq[String] =
+      man.collect { case (k, file) if k == kind => file }.toSeq
+    val (coarse, pq) = codebooks(spark.read.parquet(files("centroids"): _*))
+    val codes = spark.read.parquet(files("codes"): _*)
+    val tombs = files("tombstones")
+    val live =
+      if (tombs.isEmpty) codes
+      else codes.join(
+        broadcast(spark.read.parquet(tombs: _*).distinct()),
+        Seq("vec_id"), "left_anti")
+    Index(coarse, pq, live)
   }
 
   /** x33's cell-pruned reconstruction-cosine top-5 search, run

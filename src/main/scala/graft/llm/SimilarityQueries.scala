@@ -704,6 +704,50 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 10 =!= 3), 20)
     },
 
+    // B16 — SNAPSHOT-PINNED READS (time travel): the b-family's
+    // lifecycle mutations (append/delete/compact) are all append-only
+    // at the FILE level — new code files, new tombstone files, new
+    // generation directories; nothing rewrites in place — which is
+    // exactly the invariant that makes versioned manifests free
+    // (Delta/Iceberg's core move). AnnIndex.snapshot commits the
+    // artifact's current file sets as a numbered manifest after each
+    // mutation; AnnIndex.loadAt reads the index AS OF a version —
+    // code files added later are invisible, tombstones written later
+    // do not mask. The chain here: build+save on the first half
+    // (v1), append the second half (v2), tombstone every
+    // vec_id % 10 = 3 (v3) — and then the gated search reads the
+    // index PINNED AT v2. The oracle is b8's VERBATIM append oracle:
+    // the v2 read must serve the full pre-delete corpus, deleted ids
+    // and all, even though the artifact's CURRENT state (b12's gated
+    // masked serve) no longer would. That is the capability a
+    // directory read structurally cannot provide: takedown audits
+    // ("what did retrieval serve before the delete batch?"),
+    // bit-reproducible evaluation runs against a pinned index, and
+    // rollback after a bad append — each just a loadAt at the right
+    // version. SCALE SHAPE: a snapshot commit is one bounded
+    // listStatus + a file-count-sized manifest write; loadAt adds one
+    // bounded manifest collect (file NAMES, never data) before the
+    // same distributed pinned-file scans b7's serve path runs — cost
+    // tracks manifest length, not the corpus, at any scale.
+    Q(
+      "b16_index_time_travel", ivfPqAppendSql
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(vectors(spark, dir))
+      val half = e.count() / 2
+      val built = AnnIndex.build(e.filter(col("vec_id") < half))
+      val path = graft.streaming.TempWork.dir("graft_b16_annidx")
+      AnnIndex.save(spark, built, path)
+      AnnIndex.snapshot(spark, path, 1)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, e.filter(col("vec_id") >= half), path)
+      AnnIndex.snapshot(spark, path, 2)
+      AnnIndex.delete(spark, e.filter(col("vec_id") % 10 === 3), path)
+      AnnIndex.snapshot(spark, path, 3)
+      // pinned read at v2: pre-delete corpus, post-append — must
+      // hash-match b8's oracle although the artifact has moved on
+      AnnIndex.searchTop5(AnnIndex.loadAt(spark, path, 2), e, 20)
+    },
+
     // X37 — nprobe as the DECLARED recall/cost dial (VERDICT r6
     // stretch): the same jointly-trained IVF-PQ index as x33, searched
     // at nprobe=1 AND nprobe=4, scored against the exact brute-force

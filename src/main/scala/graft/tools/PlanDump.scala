@@ -112,7 +112,13 @@ object PlanDump {
     // + sort + MapGroups (the k-step declarative chain it replaced
     // made Catalyst re-plan the growing tree k times — 21.7 s of
     // planner time at sf0.1 vs 1.2 s for the group pass).
-    "x75_mmr_diversify")
+    "x75_mmr_diversify",
+    // round 9d: b16's pinned-snapshot serve — the dumped plan's scan
+    // nodes read the MANIFEST-listed code files (a bounded file-name
+    // collect resolved before planning), not the directory: the
+    // post-snapshot tombstone artifact appears nowhere in the plan,
+    // which is the whole time-travel claim in physical-plan form.
+    "b16_index_time_travel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

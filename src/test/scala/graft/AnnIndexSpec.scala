@@ -191,6 +191,45 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally { rmDir(path) }
   }
 
+  test("snapshot/loadAt: pinned versions see exactly their commit-time state") {
+    val all = vecs
+    val n = all.count()
+    val half = n / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_tt").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      AnnIndex.snapshot(spark, path, 1)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, all.filter(col("vec_id") >= half), path)
+      AnnIndex.snapshot(spark, path, 2)
+      AnnIndex.delete(spark, all.filter(col("vec_id") % 10 === 3), path)
+      AnnIndex.snapshot(spark, path, 3)
+      assert(AnnIndex.versions(spark, path) == Seq(1, 2, 3))
+      // v1: the half-corpus build — later appends invisible
+      val v1 = AnnIndex.loadAt(spark, path, 1).codes
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(v1.length == half && v1.forall(_ < half))
+      // v2: post-append, PRE-delete — later tombstones must not mask
+      val v2 = AnnIndex.loadAt(spark, path, 2).codes
+        .select("vec_id").collect().map(_.getLong(0)).sorted
+      assert(v2.length == n && v2.exists(_ % 10 == 3))
+      // v3 == the current (masked) directory read, row for row
+      val v3 = AnnIndex.loadAt(spark, path, 3).codes
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      val cur = AnnIndex.load(spark, path).codes
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(v3.nonEmpty && v3.sameElements(cur) && v3.forall(_._1 % 10 != 3))
+      // pinned codebooks are the saved ones, bit for bit
+      val at = AnnIndex.loadAt(spark, path, 2)
+      built.coarse.zip(at.coarse).foreach { case (b, l) =>
+        assert(java.util.Arrays.equals(b, l))
+      }
+    } finally { rmDir(path) }
+  }
+
   test("Fs.layoutBytes fails loudly on a missing layout") {
     val ex = intercept[IllegalArgumentException] {
       graft.core.Fs.layoutBytes(spark, "/tmp/graft_no_such_layout_dir")

@@ -241,7 +241,12 @@ COMMENTARY = """\
   Catalyst re-planning, not data cost: 21.7 s of planner time at
   sf0.1 vs 1.2 s for the group pass). b15 writes and reads the full
   events table through Avro — the row IS the format round trip, so
-  it tracks table volume like b9.
+  it tracks table volume like b9. b16 is b8's append lifecycle plus
+  three snapshot commits (each one bounded listStatus + a
+  file-count-sized manifest write) and a delete batch; the pinned
+  loadAt search is b7's serve shape with one bounded manifest
+  collect in front — the snapshot layer's cost tracks FILE COUNT,
+  never data volume, so the row rides the b8 curve.
 """
 
 
