@@ -144,7 +144,13 @@ object AnnIndex {
 
   /** Persist the index. Codebooks are written as one tiny parquet
     * (deterministic single file, ordered rows); codes as a normal
-    * distributed write sorted by (cell, vec_id). */
+    * distributed write sorted by (cell, vec_id). NOTE: mode is
+    * overwrite — save REPLACES the artifact at `path`, so snapshot
+    * manifests committed against the old files do not survive it. A
+    * rebuild that must preserve history lands in a NEW generation
+    * directory instead (compact's pointer-swap pattern); within one
+    * generation, every mutation (append/delete) is file-append-only,
+    * which is what keeps [[snapshot]]/[[loadAt]] sound. */
   def save(spark: SparkSession, idx: Index, path: String): Unit = {
     import spark.implicits._
     val cent =
