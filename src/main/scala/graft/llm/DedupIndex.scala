@@ -84,6 +84,29 @@ object DedupIndex {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/rows.parquet")
 
+  /** Compact an index whose rows artifact has accumulated append
+    * fragments (b14/s15 leave the base write plus one file set per
+    * appended batch — a crawl pipeline appending daily accumulates
+    * exactly the small-file fragmentation b6 compacts on tables).
+    * Rewrites the rows into ceil(bytes/4MiB) files (the b6/AnnIndex
+    * measured-bytes bin-packing, shared via Fs.packTarget) sorted by
+    * doc_id within each file, landing in a NEW directory (parquet
+    * cannot overwrite a source mid-read; pointer-swap deployment,
+    * AnnIndex.compact's pattern). A pure layout change: same rows,
+    * same signatures — DedupIndexSpec pins file count, ordering, and
+    * row identity. No gated bench row: the answer-invisibility of a
+    * layout rewrite is already hash-gated twice (b6 on tables, b10 on
+    * the ANN index); this is the same contract on a third artifact,
+    * spec-gated. */
+  def compact(spark: SparkSession, from: String, to: String): Unit = {
+    val bytes = graft.core.Fs.layoutBytes(spark, s"$from/rows.parquet")
+    val target = graft.core.Fs.packTarget(bytes)
+    load(spark, from)
+      .repartition(target)
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$to/rows.parquet")
+  }
+
   /** Dedup an incoming batch (doc_id, lang, text) against a LOADED
     * index: per language, how many incoming docs are exact duplicates
     * of an indexed doc (sha-256 semi-join — never the text) and how

@@ -53,6 +53,38 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally rmrf(path)
   }
 
+  test("compact: bin-packed file count, doc_id ordering, row-identical index") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_cpa").toString
+    val path2 = java.nio.file.Files.createTempDirectory("graft_dedupidx_cpb").toString
+    def parquetFiles(p: String) = new java.io.File(s"$p/rows.parquet")
+      .listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    try {
+      // fragment: base write + three appended batches
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 0)), path)
+      (1 to 3).foreach(i => DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === i)), path))
+      val fragFiles = parquetFiles(path).length
+      DedupIndex.compact(spark, path, path2)
+      // layout contract: measured-bytes bin-packing (tiny artifact at
+      // spec scale -> exactly 1 file), strictly fewer than base+appends
+      val bytes = parquetFiles(path).map(_.length).sum
+      val target = math.max(1L, (bytes + (4L << 20) - 1) / (4L << 20)).toInt
+      assert(parquetFiles(path2).length == target && target < fragFiles)
+      // pure layout change: same rows, same signatures
+      val a = DedupIndex.load(spark, path).orderBy("doc_id").collect()
+      val b = DedupIndex.load(spark, path2).orderBy("doc_id").collect()
+      assert(a.length == b.length && a.length > 0)
+      a.zip(b).foreach { case (x, y) => assert(x == y) }
+      // clustering contract: within every compacted file, rows sort by doc_id
+      parquetFiles(path2).foreach { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("doc_id").collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted))
+      }
+    } finally { rmrf(path); rmrf(path2) }
+  }
+
   test("docs too short to shingle keep NULL lanes, never near-dup") {
     import spark.implicits._
     val tiny = Seq((1L, "en", "abc"), (2L, "en", "abc"),
