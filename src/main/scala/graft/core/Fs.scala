@@ -25,15 +25,35 @@ private[graft] object Fs {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Total bytes of the data files directly under `dir` (one bounded
-    * listStatus — no recursion; Spark writes data files flat under the
-    * table/artifact directory). Fails loudly if the layout is absent. */
+  /** True when any path component below the listing root is a hidden
+    * entry (`_…`, `.…`) — Spark's own PathFilter rule, applied at every
+    * depth so files inside an in-flight `_temporary` directory or a
+    * `.staging` area never count as data. */
+  private def hiddenBelowRoot(rootQualified: String, file: Path): Boolean =
+    file.toString.stripPrefix(rootQualified).stripPrefix("/")
+      .split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+
+  /** Total bytes of the data files under `dir` (one bounded RECURSIVE
+    * listing — a manifest-scale walk, never a data read). Recursion
+    * matters because artifacts are no longer always flat: streaming
+    * idempotent appends commit whole batch DIRECTORIES by atomic
+    * rename ([[rename]]), and the cell-partitioned serve layout nests
+    * files under partition dirs — a flat listStatus would measure both
+    * as zero bytes and compaction would bin-pack to one file. Hidden
+    * entries are excluded at every depth. Fails loudly if the layout
+    * is absent. */
   def layoutBytes(spark: SparkSession, dir: String, suffix: String = ".parquet"): Long = {
     val (f, p) = fs(spark, dir)
     require(f.exists(p), s"layout path does not exist: $dir")
-    f.listStatus(p)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
-      .map(_.getLen).sum
+    val rootQ = f.makeQualified(p).toString
+    val it = f.listFiles(p, true)
+    var sum = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(suffix) &&
+        !hiddenBelowRoot(rootQ, s.getPath)) sum += s.getLen
+    }
+    sum
   }
 
   /** Bin-packing target file count for a measured layout: ceil(bytes /
@@ -42,21 +62,102 @@ private[graft] object Fs {
   def packTarget(bytes: Long, targetBytes: Long = 4L << 20): Int =
     math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 
-  /** The data files directly under `dir` (one bounded listStatus, no
-    * recursion), hidden/marker entries (`_…`, `.…`) excluded, sorted
-    * for determinism. This is the listing a snapshot manifest records:
-    * parquet mutations only ever ADD files (append) or write NEW
-    * directories (save/compact generations), so a recorded file list
-    * stays readable for as long as nothing overwrites the artifact in
-    * place — the append-only invariant every lake-format manifest
-    * (Delta/Iceberg) rests on. */
+  /** The data files under `dir` (one bounded RECURSIVE listing),
+    * hidden/marker entries (`_…`, `.…`) excluded at every depth,
+    * sorted for determinism. This is the listing a snapshot manifest
+    * records: parquet mutations only ever ADD files (append), COMMIT
+    * whole batch directories by atomic rename (idempotent streaming
+    * appends), or write NEW directories (save/compact generations), so
+    * a recorded file list stays readable for as long as nothing
+    * overwrites the artifact in place — the append-only invariant
+    * every lake-format manifest (Delta/Iceberg) rests on. Recursion is
+    * what lets a snapshot taken after a streamed batch commit record
+    * that batch's files. */
   def listDataFiles(spark: SparkSession, dir: String): Seq[String] = {
     val (f, p) = fs(spark, dir)
     require(f.exists(p), s"artifact path does not exist: $dir")
-    f.listStatus(p)
-      .filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      .map(_.getPath.toString).sorted.toSeq
+    val rootQ = f.makeQualified(p).toString
+    val it = f.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && !hiddenBelowRoot(rootQ, s.getPath))
+        buf += s.getPath.toString
+    }
+    buf.sorted.toSeq
+  }
+
+  /** Relativize a (qualified) file path against an artifact root — the
+    * form a snapshot manifest STORES, so a pinned version survives the
+    * artifact directory being relocated (the compact pointer-swap
+    * pattern moves generations; an absolute manifest breaks on the
+    * first move — ADVICE r9). Fails loudly if the file is not under
+    * the root. */
+  def relativize(spark: SparkSession, root: String, file: String): String = {
+    val (f, p) = fs(spark, root)
+    val rootQ = f.makeQualified(p).toString
+    val fileQ = f.makeQualified(new Path(file)).toString
+    require(fileQ.startsWith(rootQ + "/"),
+      s"file is not under the artifact root: $file vs $root")
+    fileQ.stripPrefix(rootQ + "/")
+  }
+
+  /** ATOMIC directory/file rename — the commit primitive of the
+    * idempotent streaming appends: a batch is staged under a hidden
+    * directory and made visible by ONE rename, so a reader (or a
+    * replay) either sees the whole committed batch or none of it —
+    * never a torn append. HDFS and local-FS renames are atomic; on an
+    * object store the staged-rename pattern degrades to copy+delete,
+    * which is why real lake formats commit through a manifest — the
+    * snapshot layer here is that manifest when object-store atomicity
+    * matters. Succeeds if the destination already exists (a concurrent
+    * or replayed commit won the race — same outcome). */
+  def rename(spark: SparkSession, from: String, to: String): Unit = {
+    val (f, src) = fs(spark, from)
+    val dst = new Path(to)
+    if (dst.getParent != null) f.mkdirs(dst.getParent)
+    val ok = f.rename(src, dst)
+    require(ok || f.exists(dst), s"rename failed: $from -> $to")
+  }
+
+  /** Marker file names directly under `dir` (empty when the ledger
+    * directory is absent) — the applied-batch ledger a compaction
+    * carries into the new generation. */
+  def listMarkers(spark: SparkSession, dir: String): Seq[String] = {
+    val (f, p) = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).filter(_.isFile).map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Names of the committed batch DIRECTORIES (`batch-{id}`) directly
+    * under an artifact data dir (empty when absent) — the other half
+    * of the applied-batch evidence: a batch that committed its data
+    * (atomic rename) but crashed before its marker is still visible
+    * here, so ledger carries can heal it. */
+  def listBatchDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val (f, p) = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Carry the applied-batch ledger of artifact generation `from` into
+    * generation `to` (ADVICE r9: compaction rewrites the committed
+    * batch DIRECTORIES away, so without the carried markers a
+    * streaming restart from a retained checkpoint could replay an old
+    * epoch into the new generation and double-apply it). The carried
+    * set is the `_applied/` markers ∪ the committed `batch-{id}`
+    * directory names under `{from}/{dataDir}` — the union also heals
+    * any batch that committed data but crashed before its marker.
+    * Bounded: one listing of each, one empty-file create per applied
+    * epoch. */
+  def copyAppliedLedger(spark: SparkSession, from: String, to: String,
+      dataDir: String): Unit = {
+    val markers = listMarkers(spark, s"$from/_applied")
+    val committed = listBatchDirs(spark, s"$from/$dataDir")
+    (markers ++ committed).distinct.sorted
+      .foreach(m => touch(spark, s"$to/_applied/$m"))
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {

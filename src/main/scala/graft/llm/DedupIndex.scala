@@ -60,29 +60,64 @@ object DedupIndex {
     rows.sortWithinPartitions("doc_id")
       .write.mode("append").parquet(s"$path/rows.parquet")
 
+  /** ATOMICALLY commit one batch's index rows as a whole batch
+    * DIRECTORY: stage under `{path}/_staging/batch-{id}` (overwrite —
+    * a crashed partial stage is invisible to readers and fully
+    * rewritten on replay), then ONE atomic rename into
+    * `{path}/rows.parquet/batch-{id}`. The rename IS the commit: a
+    * reader never sees a torn append, and the committed directory's
+    * existence is durable evidence the batch applied — which is what
+    * makes [[appendIdempotent]] safe against a crash BETWEEN the data
+    * commit and the marker write (ADVICE r9: the old flat
+    * mode-append + marker-after left exactly that window, where a
+    * replay double-indexed a completed-but-unmarked batch). */
+  def commitBatch(spark: SparkSession, rows: DataFrame, path: String,
+      batchId: Long): Unit = {
+    val staging = s"$path/_staging/batch-$batchId"
+    rows.sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(staging)
+    graft.core.Fs.rename(spark, staging, s"$path/rows.parquet/batch-$batchId")
+  }
+
   /** IDEMPOTENT append for streaming ingestion — AnnIndex's contract
     * transplanted: foreachBatch may re-deliver a micro-batch after a
     * failure, and an unconditional append would double-index it
     * (duplicate index rows would double-count band-key candidates and,
-    * worse, make the artifact's doc_id set a multiset). The
-    * applied-batch ledger is a marker file per epoch id under
-    * `{path}/_applied/`; marker creation FOLLOWS the append, so a
-    * crash inside the write leaves no marker and the replay re-runs it
-    * — at-least-once within a batch write, exactly-once across
-    * completed batches. Returns whether the batch was applied. */
+    * worse, make the artifact's doc_id set a multiset). Two layers:
+    *   - the data commit is [[commitBatch]]'s staged ATOMIC rename, so
+    *     a replay checks the committed directory itself — there is no
+    *     window where the data is applied but undetectable;
+    *   - the `{path}/_applied/batch-{id}` marker is the LEDGER a
+    *     compaction carries into the new generation (where the batch
+    *     directories themselves are rewritten away). A batch whose
+    *     marker OR committed directory exists is skipped — and a
+    *     found-committed-but-unmarked batch (crash in the old window)
+    *     heals its missing marker instead of re-appending.
+    * Exactly-once across committed batches, at-least-once only INSIDE
+    * the invisible staging write. Returns whether the batch was
+    * applied by this call. */
   def appendIdempotent(spark: SparkSession, rows: DataFrame, path: String,
       batchId: Long): Boolean = {
     val marker = s"$path/_applied/batch-$batchId"
+    val committed = s"$path/rows.parquet/batch-$batchId"
     if (graft.core.Fs.exists(spark, marker)) false
-    else {
-      append(spark, rows, path)
+    else if (graft.core.Fs.exists(spark, committed)) {
+      graft.core.Fs.touch(spark, marker) // heal the ledger
+      false
+    } else {
+      commitBatch(spark, rows, path, batchId)
       graft.core.Fs.touch(spark, marker)
       true
     }
   }
 
+  /** Load the full index — a RECURSIVE file lookup, so flat base/append
+    * files and atomically-committed batch directories read as one
+    * union (no partition inference: batch directories are commit
+    * units, not partition keys). */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/rows.parquet")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$path/rows.parquet")
 
   /** Compact an index whose rows artifact has accumulated append
     * fragments (b14/s15 leave the base write plus one file set per
@@ -105,7 +140,13 @@ object DedupIndex {
       .repartition(target)
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$to/rows.parquet")
+    // ADVICE r9: without the carried ledger, a streaming restart from a
+    // retained checkpoint could replay an old epoch into the compacted
+    // generation (whose batch directories were rewritten away) and
+    // double-index it.
+    graft.core.Fs.copyAppliedLedger(spark, from, to, "rows.parquet")
   }
+
 
   /** Dedup an incoming batch (doc_id, lang, text) against a LOADED
     * index: per language, how many incoming docs are exact duplicates

@@ -230,6 +230,139 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally { rmDir(path) }
   }
 
+  test("a batch committed without its marker is skipped on replay (ADVICE r9)") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_cw").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      val batch = all.filter(col("vec_id") >= half)
+      // simulate the crash window: data commit lands, marker never does
+      AnnIndex.commitBatch(spark, loaded, batch, path, 3L)
+      assert(!graft.core.Fs.exists(spark, s"$path/_applied/batch-3"))
+      val once = AnnIndex.load(spark, path).codes.count()
+      assert(once == all.count())
+      // engine replays epoch 3: the committed directory is the evidence;
+      // the replay is skipped and the missing marker heals
+      assert(!AnnIndex.appendIdempotent(spark, loaded, batch, path, 3L))
+      assert(AnnIndex.load(spark, path).codes.count() == once)
+      assert(graft.core.Fs.exists(spark, s"$path/_applied/batch-3"))
+    } finally rmDir(path)
+  }
+
+  test("compact carries the applied-epoch ledger into the new generation") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_lg").toString
+    val path2 = java.nio.file.Files.createTempDirectory("graft_annidx_lg2").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      val batch = all.filter(col("vec_id") >= half)
+      assert(AnnIndex.appendIdempotent(spark, loaded, batch, path, 5L))
+      AnnIndex.compact(spark, path, path2)
+      // the new generation remembers epoch 5 although its batch dir is
+      // rewritten away — a checkpoint-replayed epoch must not re-append
+      assert(graft.core.Fs.exists(spark, s"$path2/_applied/batch-5"))
+      val n = AnnIndex.load(spark, path2).codes.count()
+      assert(!AnnIndex.appendIdempotent(spark, loaded, batch, path2, 5L))
+      assert(AnnIndex.load(spark, path2).codes.count() == n)
+    } finally { rmDir(path); rmDir(path2) }
+  }
+
+  test("manifests are root-relative; a relocated artifact serves pinned history") {
+    val all = vecs
+    val n = all.count()
+    val half = n / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_mv").toString
+    val path = s"$root/gen0"
+    try {
+      AnnIndex.save(spark, built, path)
+      AnnIndex.snapshot(spark, path, 1)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, all.filter(col("vec_id") >= half), path)
+      AnnIndex.snapshot(spark, path, 2)
+      // stored paths are artifact-root-relative, never absolute URIs
+      val stored = spark.read.parquet(s"$path/manifest/v00002.parquet")
+        .select("file").collect().map(_.getString(0))
+      assert(stored.nonEmpty)
+      assert(stored.forall(f => !f.startsWith("/") && !f.contains(":/")))
+      val before = AnnIndex.loadAt(spark, path, 2).codes
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      // relocate the WHOLE artifact directory (pointer-swap move) —
+      // the old path is gone, so an absolute manifest would fail here
+      val moved = s"$root/gen1"
+      graft.core.Fs.rename(spark, path, moved)
+      assert(!graft.core.Fs.exists(spark, path))
+      val after = AnnIndex.loadAt(spark, moved, 2).codes
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(after.length == n && before.sameElements(after))
+    } finally rmDir(root)
+  }
+
+  test("versions(): stray names ignored, in-flight snapshots not listed") {
+    val built = AnnIndex.build(vecs)
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_vr").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      AnnIndex.snapshot(spark, path, 1)
+      AnnIndex.snapshot(spark, path, 2)
+      // a stray non-numeric name must not throw (old code: toInt NFE)
+      java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(s"$path/manifest/vNOTES.parquet"))
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(s"$path/manifest/README.txt"))
+      // an in-flight snapshot (still carrying _temporary) is not committed
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$path/manifest/v00009.parquet/_temporary"))
+      assert(AnnIndex.versions(spark, path) == Seq(1, 2))
+    } finally rmDir(path)
+  }
+
+  test("cell-partitioned generation: layout change only, search-identical") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_cp1").toString
+    val path2 = java.nio.file.Files.createTempDirectory("graft_annidx_cp2").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, all.filter(col("vec_id") >= half), path)
+      AnnIndex.compactPartitioned(spark, path, path2)
+      // physical layout: one cell=N directory per occupied coarse cell
+      val dirs = new java.io.File(s"$path2/codes.parquet").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+      val occupied = AnnIndex.load(spark, path).codes
+        .select("cell").distinct().count()
+      assert(dirs.length == occupied)
+      // loadPartitioned restores the standard (vec_id, cell: long, codes)
+      // shape, row for row
+      val part = AnnIndex.loadPartitioned(spark, path2)
+      assert(part.codes.columns.toSeq == Seq("vec_id", "cell", "codes"))
+      assert(part.codes.schema("cell").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val a = AnnIndex.load(spark, path).codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      val b = part.codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(a.length == b.length && a.nonEmpty)
+      a.zip(b).foreach { case (x, y) => assert(x == y) }
+      // and the search is bit-identical across layouts
+      val s1 = AnnIndex.searchTop5(AnnIndex.load(spark, path), all, 20)
+        .collect().map(_.toSeq)
+      val s2 = AnnIndex.searchTop5(part, all, 20).collect().map(_.toSeq)
+      assert(s1.length == s2.length && s1.nonEmpty)
+      s1.zip(s2).foreach { case (x, y) => assert(x == y) }
+    } finally { rmDir(path); rmDir(path2) }
+  }
+
   test("Fs.layoutBytes fails loudly on a missing layout") {
     val ex = intercept[IllegalArgumentException] {
       graft.core.Fs.layoutBytes(spark, "/tmp/graft_no_such_layout_dir")

@@ -123,6 +123,48 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally rmrf(path)
   }
 
+  test("a batch committed without its marker is skipped on replay (ADVICE r9)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_cw").toString
+    try {
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
+      val batch = DedupIndex.index(docs.filter(col("doc_id") % 2 === 1))
+      // simulate the crash window: the atomic data commit lands, the
+      // marker never does
+      DedupIndex.commitBatch(spark, batch, path, 3L)
+      assert(!graft.core.Fs.exists(spark, s"$path/_applied/batch-3"))
+      val once = DedupIndex.load(spark, path).count()
+      assert(once == docs.count())
+      // the committed batch is VISIBLE to load (atomic rename, not torn)
+      // and the replay is skipped off the committed directory itself
+      assert(!DedupIndex.appendIdempotent(spark, batch, path, 3L))
+      assert(DedupIndex.load(spark, path).count() == once)
+      assert(graft.core.Fs.exists(spark, s"$path/_applied/batch-3"))
+      // no doc_id became a multiset entry
+      val ids = DedupIndex.load(spark, path).select("doc_id").collect()
+        .map(_.getLong(0))
+      assert(ids.length == ids.distinct.length)
+    } finally rmrf(path)
+  }
+
+  test("compact carries the applied-epoch ledger into the new generation") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_lg").toString
+    val path2 = java.nio.file.Files.createTempDirectory("graft_dedupidx_lg2").toString
+    try {
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
+      val batch = DedupIndex.index(docs.filter(col("doc_id") % 2 === 1))
+      assert(DedupIndex.appendIdempotent(spark, batch, path, 5L))
+      DedupIndex.compact(spark, path, path2)
+      // the generation rewrite dropped the batch directory, but the
+      // carried ledger still refuses a checkpoint-replayed epoch 5
+      assert(graft.core.Fs.exists(spark, s"$path2/_applied/batch-5"))
+      val n = DedupIndex.load(spark, path2).count()
+      assert(!DedupIndex.appendIdempotent(spark, batch, path2, 5L))
+      assert(DedupIndex.load(spark, path2).count() == n)
+    } finally { rmrf(path); rmrf(path2) }
+  }
+
   test("b13/b14 artifact paths and in-plan x24 agree row for row") {
     val x24 = SparkEntry.queries("x24_snapshot_dedup")(spark, sf0001)
       .collect().toSeq

@@ -235,7 +235,7 @@ COMMENTARY = """\
   x75's candidate stage is l3's broadcast-20-query linear scan (the
   audit shape; a deployment feeds it from x47's shortlist instead);
   the pairwise sim matrix is a qid-keyed self-join INSIDE each
-  20-row pool (190 pairs per query) and the 5-step greedy runs as
+  20-row pool (380 ordered pairs per query - a != b, both directions) and the 5-step greedy runs as
   one typed flatMapGroups pass per query group — corpus-independent
   by construction (the k-step declarative chain it replaced paid
   Catalyst re-planning, not data cost: 21.7 s of planner time at
