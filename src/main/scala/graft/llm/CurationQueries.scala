@@ -315,6 +315,84 @@ object CurationQueries {
         .orderBy("lang")
     },
 
+    // S16 — the OTHER crash window, gated: s15 proves a replay is
+    // skipped when the crash lands AFTER append+marker both committed;
+    // this row proves the window ADVICE r9 flagged — a crash BETWEEN
+    // the batch's data commit and its marker write. Epoch 1's
+    // foreachBatch performs ONLY the atomic data commit
+    // (DedupIndex.commitBatch: staged write + one directory rename)
+    // and then dies, so the artifact holds a committed-but-UNMARKED
+    // batch; the restarted query (same checkpoint — the WAL re-issues
+    // the same epoch id) re-delivers that micro-batch, and
+    // appendIdempotent must skip it off the committed directory's own
+    // existence (healing the missing marker), because no marker exists
+    // to skip on. Under the old flat-append design this replay
+    // DOUBLE-INDEXED the batch — n_indexed would count the % 4 = 2
+    // slice twice and fail the hash gate; under staged-rename commits
+    // the directory IS the evidence and the gate holds. Same extended
+    // x24 oracle as s15 (dedup columns + the artifact row count) —
+    // the two rows differ only in where the injected crash lands,
+    // which is exactly the point. SCALE SHAPE: s15's (batch-linear
+    // indexing + micro-batch commit floor); the atomic rename adds a
+    // metadata-only operation per batch.
+    Q(
+      "s16_stream_commit_replay", snapshotDedupSql(
+        ",\nix AS (SELECT CAST(count(*) AS BIGINT) AS n_indexed " +
+          "FROM documents WHERE doc_id % 4 <> 3)",
+        ",\n  (SELECT n_indexed FROM ix) AS n_indexed")
+    ) { (spark, dir) =>
+      val docs = Tables.fanOut(Tables(spark, dir, "documents"))
+      val path = graft.streaming.TempWork.dir("graft_s16_dedupidx")
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 < 2)), path)
+      val in = graft.streaming.TempWork.dir("graft_s16_in")
+      val ckpt = graft.streaming.TempWork.dir("graft_s16_ck")
+      docs.filter(col("doc_id") % 4 === 2)
+        .select("doc_id", "lang", "text")
+        .repartition(2).write.mode("append").parquet(in)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = ss.read.parquet(in).schema
+      def stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(injectCrash: Boolean): Unit = {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            if (injectCrash && epochId == 1 &&
+              crashed.compareAndSet(false, true)) {
+              // data commits atomically; the marker never lands — the
+              // exact ADVICE-r9 crash window
+              DedupIndex.commitBatch(batch.sparkSession,
+                DedupIndex.index(batch), path, epochId)
+              throw new RuntimeException(
+                "injected crash between data commit and marker (s16)")
+            } else {
+              DedupIndex.appendIdempotent(batch.sparkSession,
+                DedupIndex.index(batch), path, epochId)
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+        } finally if (q.isActive) q.stop()
+      }
+      try {
+        run(injectCrash = true)   // epoch 1: data committed, marker lost
+        run(injectCrash = false)  // replay: skipped off the committed dir
+      } finally {
+        graft.streaming.TempWork.delete(in)
+        graft.streaming.TempWork.delete(ckpt)
+      }
+      val idx = DedupIndex.load(spark, path)
+      DedupIndex.dedupBatch(docs.filter(col("doc_id") % 4 === 3), idx)
+        .crossJoin(broadcast(idx.agg(count(lit(1)).as("n_indexed"))))
+        .orderBy("lang")
+    },
+
     // X28 — boilerplate n-gram mining: the 10-token spans shared by the
     // most documents (document frequency >= 2) — how a pipeline finds
     // template/boilerplate contamination that survives exact dedup

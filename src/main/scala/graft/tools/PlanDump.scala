@@ -118,7 +118,13 @@ object PlanDump {
     // collect resolved before planning), not the directory: the
     // post-snapshot tombstone artifact appears nowhere in the plan,
     // which is the whole time-travel claim in physical-plan form.
-    "b16_index_time_travel")
+    "b16_index_time_travel",
+    // round 10: b18's cell-partitioned serve — the codes scan's
+    // PartitionFilters carries a dynamicpruningexpression(cell IN
+    // dynamicpruning#N) fed by a SubqueryAdaptiveBroadcast of the
+    // query side's cell set: only the probed cells' DIRECTORIES are
+    // read, the physical-plan form of the layout's whole point.
+    "b18_cell_partitioned_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
