@@ -165,6 +165,16 @@ private[graft] object Fs {
     f.exists(p)
   }
 
+  /** Recursively delete a file or directory (no-op when absent) — the
+    * reclamation primitive of rollback/vacuum maintenance: everything
+    * it removes is either derivable (staged work, replayable batches)
+    * or explicitly rolled back, never the only copy of committed
+    * state. */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val (f, p) = fs(spark, path)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+
   /** Create an empty marker file (parents included) — the applied-batch
     * ledger entry idempotent streaming appends use. Returns false if
     * the marker already existed (create is atomic per-path on HDFS and

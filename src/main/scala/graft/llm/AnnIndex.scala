@@ -400,6 +400,66 @@ object AnnIndex {
     Index(coarse, pq, live)
   }
 
+  /** ROLL BACK the artifact to snapshot `toVersion` — the restore
+    * side of the snapshot layer (loadAt READS history; rollback makes
+    * a pinned version the directory's CURRENT state again — the
+    * recovery move after a bad batch: a mis-encoded append, an
+    * over-broad takedown). Physically: every data file not referenced
+    * by a manifest ≤ `toVersion` is deleted (files are compared by
+    * their root-relative names, the manifest's own coordinate
+    * system), newer manifests are dropped, emptied artifact dirs and
+    * committed-batch dirs disappear with their `_applied` markers
+    * (the rolled-back epochs SHOULD re-apply if a restarted stream
+    * re-delivers them — their data was deliberately removed), and any
+    * `_staging` leftovers are reclaimed (staged-but-uncommitted work
+    * is replayable by definition). Append-only mutation is what makes
+    * this safe: a file referenced by v≤N was never rewritten
+    * afterward, so keeping exactly the referenced set restores the
+    * bit-exact v≤N state — b19 gates the restored directory read
+    * against the same oracle that gated the pinned read. Cost: one
+    * bounded manifest collect per retained version + one recursive
+    * listing + per-file deletes — tracks FILE COUNT, never data
+    * volume. */
+  def rollback(spark: SparkSession, path: String, toVersion: Int): Unit = {
+    val vs = versions(spark, path)
+    require(vs.contains(toVersion), s"no committed snapshot v$toVersion at $path")
+    // the keep-set, in root-relative coordinates (legacy absolute
+    // manifest entries are relativized; they must be under this root)
+    val keep: Set[String] = vs.filter(_ <= toVersion).flatMap { v =>
+      spark.read.parquet(manifestPath(path, v)).collect().map { r =>
+        val f = r.getString(1)
+        if (f.startsWith("/") || f.contains(":/"))
+          graft.core.Fs.relativize(spark, path, f)
+        else f
+      }
+    }.toSet
+    Seq("centroids.parquet", "codes.parquet", "tombstones.parquet")
+      .foreach { dirName =>
+        val dir = s"$path/$dirName"
+        if (graft.core.Fs.exists(spark, dir)) {
+          graft.core.Fs.listDataFiles(spark, dir).foreach { f =>
+            if (!keep(graft.core.Fs.relativize(spark, path, f)))
+              graft.core.Fs.delete(spark, f)
+          }
+          // a batch dir emptied of data files is gone — and its epoch
+          // marker with it, so the epoch can legitimately re-apply
+          graft.core.Fs.listBatchDirs(spark, dir).foreach { b =>
+            if (graft.core.Fs.listDataFiles(spark, s"$dir/$b").isEmpty) {
+              graft.core.Fs.delete(spark, s"$dir/$b")
+              graft.core.Fs.delete(spark, s"$path/_applied/$b")
+            }
+          }
+          // an artifact dir emptied of data files is gone outright
+          // (an empty parquet dir would fail schema inference on load)
+          if (graft.core.Fs.listDataFiles(spark, dir).isEmpty)
+            graft.core.Fs.delete(spark, dir)
+        }
+      }
+    vs.filter(_ > toVersion)
+      .foreach(v => graft.core.Fs.delete(spark, manifestPath(path, v)))
+    graft.core.Fs.delete(spark, s"$path/_staging")
+  }
+
   /** x33's cell-pruned reconstruction-cosine top-5 search, run
     * entirely from index artifacts: the database side is the CODED
     * corpus (codes expand to reconstructed vectors through literal

@@ -826,6 +826,49 @@ object SimilarityQueries {
       AnnIndex.searchTop5(AnnIndex.loadPartitioned(spark, served), e, 20)
     },
 
+    // B19 — ROLLBACK: the restore side of the snapshot layer. b16/b17
+    // prove a pinned READ of history; this row proves history can be
+    // made CURRENT again — the recovery move after a bad batch. The
+    // chain: build+save v1, append the second half v2, then the
+    // incident — a mis-encoded junk batch (the whole corpus re-coded
+    // under shifted vec_ids; its duplicate codes land in the same
+    // cells and visibly corrupt every top-5 through sim ties) AND an
+    // over-broad tombstone delete — snapshotted as v3. rollback(2)
+    // physically deletes every data file no manifest ≤ v2 references
+    // (files compared in the manifest's own root-relative
+    // coordinates), drops the v3 manifest, and removes the emptied
+    // tombstone artifact — after which a plain DIRECTORY load (NOT
+    // loadAt) serves exactly the v2 state, gated against b8's
+    // VERBATIM oracle. Append-only mutation is why file-set
+    // subtraction restores bit-exact state: nothing v2 referenced was
+    // ever rewritten. SCALE SHAPE: one bounded manifest collect per
+    // retained version + one recursive listing + per-file deletes —
+    // tracks file count, never data volume; the junk batch's cost in
+    // this row is the encode+append itself (corpus-linear, same as
+    // b8), and the rollback undoes it in metadata time.
+    Q(
+      "b19_index_rollback", ivfPqAppendSql
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(vectors(spark, dir))
+      val half = e.count() / 2
+      val built = AnnIndex.build(e.filter(col("vec_id") < half))
+      val path = graft.streaming.TempWork.dir("graft_b19_annidx")
+      AnnIndex.save(spark, built, path)
+      AnnIndex.snapshot(spark, path, 1)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, e.filter(col("vec_id") >= half), path)
+      AnnIndex.snapshot(spark, path, 2)
+      // the incident: a junk append (shifted ids → duplicate codes in
+      // every cell) and an over-broad delete, committed as v3
+      AnnIndex.append(spark, loaded,
+        e.withColumn("vec_id", col("vec_id") + lit(1048576L)), path)
+      AnnIndex.delete(spark, e.filter(col("vec_id") % 10 === 3), path)
+      AnnIndex.snapshot(spark, path, 3)
+      AnnIndex.rollback(spark, path, 2)
+      // a plain directory read must now BE the v2 state
+      AnnIndex.searchTop5(AnnIndex.load(spark, path), e, 20)
+    },
+
     // X37 — nprobe as the DECLARED recall/cost dial (VERDICT r6
     // stretch): the same jointly-trained IVF-PQ index as x33, searched
     // at nprobe=1 AND nprobe=4, scored against the exact brute-force

@@ -363,6 +363,71 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally { rmDir(path); rmDir(path2) }
   }
 
+  test("rollback physically restores a pinned version as the current state") {
+    val all = vecs
+    val n = all.count()
+    val half = n / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_rb").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      AnnIndex.snapshot(spark, path, 1)
+      val loaded = AnnIndex.load(spark, path)
+      // v2 arrives as a STREAM-STYLE committed batch dir with its marker
+      assert(AnnIndex.appendIdempotent(spark, loaded,
+        all.filter(col("vec_id") >= half), path, 11L))
+      AnnIndex.snapshot(spark, path, 2)
+      val v2 = AnnIndex.loadAt(spark, path, 2).codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      // the incident: a junk batch (flat append), an over-broad delete,
+      // a staged-but-never-committed batch — all post-v2
+      AnnIndex.append(spark, loaded,
+        all.withColumn("vec_id", col("vec_id") + lit(1048576L)), path)
+      AnnIndex.delete(spark, all.filter(col("vec_id") % 10 === 3), path)
+      AnnIndex.snapshot(spark, path, 3)
+      new java.io.File(s"$path/_staging/batch-99").mkdirs()
+      AnnIndex.rollback(spark, path, 2)
+      // the directory state IS v2 again, row for row
+      val cur = AnnIndex.load(spark, path).codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(cur.length == n && cur.sameElements(v2))
+      // physical assertions: junk ids gone from the raw artifact,
+      // tombstone artifact gone, v3 manifest gone, staging reclaimed,
+      // the v2 committed batch dir and its marker retained
+      val raw = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$path/codes.parquet").select("vec_id").collect()
+        .map(_.getLong(0))
+      assert(raw.length == n && raw.forall(_ < 1048576L))
+      assert(!graft.core.Fs.exists(spark, s"$path/tombstones.parquet"))
+      assert(AnnIndex.versions(spark, path) == Seq(1, 2))
+      assert(!graft.core.Fs.exists(spark, s"$path/_staging"))
+      assert(graft.core.Fs.exists(spark, s"$path/codes.parquet/batch-11"))
+      assert(graft.core.Fs.exists(spark, s"$path/_applied/batch-11"))
+    } finally rmDir(path)
+  }
+
+  test("rollback past a committed batch dir removes it AND its epoch marker") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_rb2").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      AnnIndex.snapshot(spark, path, 1)
+      val loaded = AnnIndex.load(spark, path)
+      val batch = all.filter(col("vec_id") >= half)
+      // the bad batch arrives as a committed epoch AFTER v1
+      assert(AnnIndex.appendIdempotent(spark, loaded, batch, path, 4L))
+      AnnIndex.rollback(spark, path, 1)
+      assert(!graft.core.Fs.exists(spark, s"$path/codes.parquet/batch-4"))
+      assert(!graft.core.Fs.exists(spark, s"$path/_applied/batch-4"))
+      assert(AnnIndex.load(spark, path).codes.count() == half)
+      // the epoch can legitimately RE-APPLY: its data was rolled away
+      assert(AnnIndex.appendIdempotent(spark, loaded, batch, path, 4L))
+      assert(AnnIndex.load(spark, path).codes.count() == all.count())
+    } finally rmDir(path)
+  }
+
   test("Fs.layoutBytes fails loudly on a missing layout") {
     val ex = intercept[IllegalArgumentException] {
       graft.core.Fs.layoutBytes(spark, "/tmp/graft_no_such_layout_dir")

@@ -247,6 +247,28 @@ COMMENTARY = """\
   loadAt search is b7's serve shape with one bounded manifest
   collect in front — the snapshot layer's cost tracks FILE COUNT,
   never data volume, so the row rides the b8 curve.
+- **Round-10 rows (b17, b18, b19, s16).** b17 is b16's snapshot chain
+  plus ONE directory rename (metadata-only at any artifact size) and
+  the same pinned-at-v2 serve — the row rides b16's curve; what it
+  buys is structural, not temporal: manifests are now
+  root-relative, so the pinned read survives the relocation the row
+  performs. b18 is b10's compaction cost (the rewrite IS the cost,
+  one shuffle by cell) with a partitioned sink, then b7's serve
+  shape where the codes scan's PartitionFilters carries a
+  dynamic-partition-pruning subquery from the broadcast query side —
+  at gate scales the directory count is scaledK(n) ≈ sqrt(n) (tens),
+  so DPP saves little HERE; the layout's payoff is the K ≈ 10^4
+  regime where a 20-query nprobe=1 probe opens ≤ 20 of 10^4
+  directories instead of every footer. s16 is s15's shape exactly
+  (two stream lifecycles, micro-batch commit floor); the staged
+  atomic rename it proves adds one metadata rename per batch — the
+  row differs from s15 only in WHERE the injected crash lands
+  (between data commit and marker), which is the contract under
+  test, not a cost term. b19 is b8's lifecycle plus a junk append (a
+  second corpus-linear encode term — the row's data cost) and the
+  rollback itself, which is pure metadata: one manifest collect per
+  retained version, one recursive listing, per-file deletes — tracks
+  file count at any data volume.
 """
 
 
