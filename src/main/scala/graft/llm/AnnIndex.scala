@@ -35,12 +35,14 @@ import org.apache.spark.sql.functions._
   * is precisely what the gated row b7 proves. The coarse cell count
   * is corpus-scaled — KMeans.scaledK(n), K² ≥ n — so cell occupancy
   * stays ~sqrt(n) and a cell-pruned search stays sublinear as the
-  * corpus grows (round-8 VERDICT task 1). A production variant would
-  * partition codes by cell for directory pruning once K reaches the
-  * thousands (b4 demonstrates that sink shape); below that, per-cell
-  * directories of tiny files would just re-create the small-file
-  * problem b6 compacts away, so row-group locality from the
-  * (cell, vec_id) sort is the right call.
+  * corpus grows (round-8 VERDICT task 1). For directory-level pruning
+  * once K reaches the thousands, [[compactPartitioned]] rewrites a
+  * generation into one `cell=N/` partition dir per coarse cell and
+  * [[loadPartitioned]] serves it through a dynamic-partition-pruned
+  * scan (gated as b18); below that scale, per-cell directories of
+  * tiny files would just re-create the small-file problem b6 compacts
+  * away, so the flat layout's row-group locality from the
+  * (cell, vec_id) sort stays the default.
   */
 object AnnIndex {
 

@@ -252,13 +252,14 @@ object CurationQueries {
     // as index rows; today's batch dedups against the union). The
     // % 4 = 2 slice lands as parquet files consumed by a file-source
     // stream whose foreachBatch indexes each micro-batch (one linear
-    // text scan of the BATCH) and appends idempotently; with
+    // text scan of the BATCH) and appends idempotently (a staged
+    // atomic directory commit since round 10); with
     // maxFilesPerTrigger=1 the run really executes multiple micro-batch
     // appends, and it is REPLAY-BEARING exactly like s14: an injected
-    // post-commit crash after epoch 1's append+marker forces the
+    // post-commit crash after epoch 1's commit+marker forces the
     // restarted query (same checkpoint, so the WAL re-issues the same
-    // epoch id) to re-deliver that micro-batch, which the marker
-    // ledger must skip. A doubled append would be INVISIBLE to the
+    // epoch id) to re-deliver that micro-batch, which the skip (marker
+    // or committed directory) must refuse. A doubled append would be INVISIBLE to the
     // x24-shaped counts (near ids are DISTINCT, n_new counts the
     // batch), so this row's oracle extends x24's with the artifact's
     // ROW COUNT (n_indexed, restated as the % 4 <> 3 corpus count) —

@@ -565,22 +565,25 @@ object SimilarityQueries {
       def stream = ss.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
       // REPLAY-BEARING (round-8 VERDICT task 4): the append is the
-      // IDEMPOTENT form (AnnIndex.appendIdempotent — a per-epoch
-      // marker ledger under the artifact), and this run PROVES it by
+      // IDEMPOTENT form (AnnIndex.appendIdempotent — since round 10 a
+      // STAGED ATOMIC COMMIT: the batch lands as one renamed
+      // `batch-{id}` directory, with the per-epoch marker as the
+      // compaction-surviving ledger), and this run PROVES it by
       // really crashing and replaying through the engine: foreachBatch
-      // throws an injected failure AFTER epoch 1's append+marker
-      // committed but BEFORE returning, so the engine never records
+      // throws an injected failure AFTER epoch 1's commit+marker
+      // completed but BEFORE returning, so the engine never records
       // that epoch; the restarted query (SAME checkpoint — epoch ids
       // are stable because they come from the WAL offset log, which
       // is also why a fresh-checkpoint "replay" would be unsound to
       // skip on) re-delivers the SAME micro-batch with the SAME epoch
-      // id, the marker skips it, and the search hash-matches the
-      // batch oracle. An unconditional append would double-code the
+      // id, the skip fires (marker or committed directory — either is
+      // durable evidence), and the search hash-matches the batch
+      // oracle. An unconditional append would double-code the
       // replayed batch and fail the gate (duplicate candidates shift
-      // the top-5 ranks). Marker-after-append is the standard
-      // contract: a crash INSIDE the append leaves no marker and the
-      // replay re-runs it — at-least-once within a batch write,
-      // exactly-once across completed batches.
+      // the top-5 ranks). A crash INSIDE the staging write leaves an
+      // invisible partial stage the replay overwrites — at-least-once
+      // within staging, exactly-once across committed batches; the
+      // crash BETWEEN commit and marker is s16's gated scenario.
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def run(injectCrash: Boolean): Unit = {
         val q = stream.writeStream
