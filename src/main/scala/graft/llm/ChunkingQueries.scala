@@ -411,6 +411,56 @@ object ChunkingQueries {
           sum(col("bucket") - col("n_tok")).cast("long").as("pad_tokens"),
           (sum((col("rk") * col("doc_id")) % 2147483647L) % 2147483647L).as("ord_fp"))
         .orderBy("bucket")
+    },
+
+    // X77 — WEIGHTED SAMPLING WITHOUT REPLACEMENT via priority
+    // sampling (Duffield, Lund & Thorup, JACM 2007): per language
+    // stratum, keep the k=10 documents with the SMALLEST priority key
+    // u/w — a weighted-without-replacement draw where a doc's
+    // selection probability scales with its weight (here n_chars;
+    // a deployment plugs in x57's DSIR importance weights — any
+    // positive per-row score works). WHY THIS FORM AT 100 TB: naive
+    // weighted sampling without replacement is k SEQUENTIAL passes
+    // (each draw renormalizes), and the usual exp(ln(u)/w) key is
+    // float-ordered (cross-engine tie chaos). Priority sampling makes
+    // it ONE pass — every row gets an independent key, the sample is
+    // a pure per-stratum top-k — and the key is restated integer-
+    // exact: u is the portable doc_id hash (fresh multiplier,
+    // mod-first), the key is (u * 10^12) DIV w, monotone in u/w, with
+    // doc_id as the total-order tiebreak. The top-k itself runs on
+    // the custom TopKPerKey operator (plans/TopKPerKey.scala), NOT a
+    // window: a window row_number would shuffle and fully sort every
+    // stratum's corpus-sized partition, where TopKPerKey's map-side
+    // partial heaps bound shuffle traffic at k rows per stratum per
+    // input partition — the same "rank <= k of 10^9 rows" argument
+    // x39's posting lists ride. No RNG anywhere: the same corpus
+    // yields the same sample on a laptop or a 1000-executor cluster,
+    // which is what makes a training-data draw auditable.
+    Q(
+      "x77_priority_sample",
+      """WITH b AS (SELECT lang, doc_id, greatest(n_chars, 1) AS wt,
+        |    ((doc_id % 1000003) * 2971215073) % 1000003 AS u FROM documents),
+        |p AS (SELECT lang, doc_id, wt, (u * 1000000000000) // wt AS pkey FROM b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pkey, doc_id) AS rn FROM p)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, CAST(wt AS BIGINT) AS wt,
+        |  CAST(pkey AS BIGINT) AS pkey
+        |FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin
+    ) { (spark, dir) =>
+      val base = Tables(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          greatest(col("n_chars").cast("long"), lit(1L)).as("wt"),
+          (col("doc_id") % 1000003L * 2971215073L % 1000003L).as("u"))
+        .withColumn("pkey", expr("(u * 1000000000000L) DIV wt"))
+        .select("lang", "doc_id", "wt", "pkey")
+      val top = graft.plans.TopKPerKey(base,
+        Seq("lang"), Seq(("pkey", true), ("doc_id", true)), 10)
+      // rank the <= 10 survivors per stratum (bounded input — this
+      // window sorts at most k rows per lang, not the corpus).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("pkey", "doc_id")
+      top.withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("lang"), col("rn"), col("doc_id"), col("wt"), col("pkey"))
+        .orderBy("lang", "rn")
     }
   )
 }

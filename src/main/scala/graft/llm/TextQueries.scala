@@ -2,7 +2,7 @@ package graft.llm
 
 import graft.core.Cols._
 import graft.core.{CacheScope, Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface: corpus stats, language-ID heuristic, quality
@@ -520,6 +520,166 @@ object TextQueries {
         .filter(col("rn") <= 5)
         .select(col("qid"), col("did"), col("score"), col("rn"))
         .orderBy("qid", "rn")
+    },
+
+    // X76 — COUNT-MIN SKETCH frequency estimation (Cormode &
+    // Muthukrishnan 2005): estimate token frequencies from a FIXED
+    // 4 x 1024 counter array instead of the vocabulary-sized exact
+    // table. This is the other half of the sketch family: x60's
+    // Misra-Gries answers "which items are heavy" (identities, with
+    // an exact recount); CMS answers "how often does THIS item occur"
+    // for any queried item, from memory that never grows with the
+    // vocabulary. SHAPE AT 100 TB: the build is one token scan where
+    // each occurrence increments d=4 counters — as a groupBy(i,bucket)
+    // its partial agg state is capped at 4,096 counters PER TASK and
+    // the exchange carries <= 4,096 rows per input partition, so the
+    // corpus-sized vocabulary shuffle (x60's recount, l4's type-token
+    // pass) never happens; estimates are then a broadcast-sized join
+    // of the probe set against the 4,096-row sketch. The audit emits
+    // est vs true side by side (the exact leg is map-side pre-filtered
+    // by the broadcast probe set, so it is probe-bounded, not
+    // vocabulary-bounded) — est >= true ALWAYS (counters only ever
+    // overcount: every occurrence of t lands in all 4 of t's cells),
+    // with E[est - true] <= (e/1024) * N per the CMS bound; the gate
+    // pins both columns exactly because every hash is the portable
+    // integer family (char fold mod 1000003 — x7's spelling — then 4
+    // decorrelated affine rows) that DuckDB replays verbatim. Width
+    // is the accuracy knob a deployment sizes to epsilon = e/w of
+    // total mass; 1024 keeps the fixture's collisions visible while
+    // the probe slice (docs with doc_id % 97 = 17) stays bounded at
+    // any sf (the one-sided bound itself is pinned in
+    // SketchSampleSpec: est >= true on every probe, hash-independent).
+    Q(
+      "x76_cms_frequency", cmsSql("documents")
+    ) { (spark, dir) =>
+      cmsEstimates(Tables.fanOut(Tables(spark, dir, "documents")))
+    },
+
+    // S17 — STREAMING sketch maintenance: the count-min sketch is a
+    // LINEAR sketch (CMS(A ∪ B) = CMS(A) + CMS(B) cell-wise), and this
+    // row makes that property a gated fact rather than a comment. The
+    // base corpus slice's sketch lands as a parquet counters artifact;
+    // a file-source stream delivers the growth slice in real
+    // micro-batches (maxFilesPerTrigger=1) whose foreachBatch APPENDS
+    // each batch's partial counters — no read-modify-write, no
+    // coordination: merging is addition, so ingest is write-only and
+    // the serve-time load just SUMs per (i, bucket). The estimates
+    // served from the streamed artifact must equal the oracle's
+    // one-pass sketch over the whole indexed slice — that equality IS
+    // sketch linearity, the property that lets 1000 executors (or a
+    // week of micro-batches) each sketch their shard independently
+    // and a reader combine them without ever seeing raw tokens.
+    // SCALE SHAPE: per batch one token scan + a <= 4,096-row counters
+    // append; the artifact grows by one tiny file per batch (b6-style
+    // compaction = the same groupBy-sum, written back) and the serve
+    // read is bounded by batches x 4,096 regardless of corpus size.
+    Q(
+      "s17_stream_cms_merge", cmsSql("(SELECT * FROM documents WHERE doc_id % 4 <> 3)")
+    ) { (spark, dir) =>
+      val docs = Tables.fanOut(Tables(spark, dir, "documents"))
+      val path = graft.streaming.TempWork.dir("graft_s17_cms")
+      cmsSketch(tokenHashes(docs.filter(col("doc_id") % 4 < 2)))
+        .write.mode("overwrite").parquet(path)
+      val in = graft.streaming.TempWork.dir("graft_s17_in")
+      val ckpt = graft.streaming.TempWork.dir("graft_s17_ck")
+      docs.filter(col("doc_id") % 4 === 2)
+        .select("doc_id", "lang", "text")
+        .repartition(2).write.mode("append").parquet(in)
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = ss.read.parquet(in).schema
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          // additive partial counters: append-only ingest (linearity
+          // makes the merge commutative+associative, so file order
+          // and batch boundaries cannot matter)
+          cmsSketch(tokenHashes(batch)).write.mode("append").parquet(path)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally if (q.isActive) q.stop()
+      graft.streaming.TempWork.delete(in)
+      graft.streaming.TempWork.delete(ckpt)
+      val sketch = spark.read.parquet(path)
+        .groupBy("i", "bucket").agg(sum("c").as("c"))
+      cmsServe(sketch, CacheScope.cacheEager(
+        tokenHashes(docs.filter(col("doc_id") % 4 =!= 3))))
     }
   )
+
+  /** The portable token hash: x7's char fold mod 1000003, folded once
+    * per token occurrence (corpus-linear in characters). */
+  private[graft] def tokenHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(wsTokens(col("text"))).as("t"))
+      .withColumn("h", expr(
+        """aggregate(transform(split(t, ''),
+          |    (c, i) -> ascii(c) * ((CAST(i + 1 AS BIGINT) * 2654435761) % 1000003)),
+          |  0L, (s, x) -> s + x) % 1000003""".stripMargin))
+
+  /** The d=4 decorrelated affine bucket rows over column `h`. */
+  private[graft] def cmsBuckets: Column = {
+    def bkt(a: Long, b: Long) = (col("h") * a + b) % 1000003L % 1024L
+    array(
+      bkt(2654435761L, 17L), bkt(2246822519L, 97L),
+      bkt(3266489917L, 401L), bkt(1540483477L, 733L))
+  }
+
+  /** Counter array of a token+hash table: (i, bucket, c) — at most
+    * d x w = 4,096 rows; the groupBy's partial-agg state is capped at
+    * that many counters per task. */
+  private[graft] def cmsSketch(tokh: DataFrame): DataFrame =
+    tokh.select(posexplode(cmsBuckets).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("c"))
+
+  /** Estimate-vs-true audit over the doc_id % 97 = 17 probe slice of
+    * `tokh`, served from `sketch`. `tokh` feeds the probe-set
+    * derivation and the exact leg — callers pass it cacheEager'd. */
+  private[graft] def cmsServe(
+      sketch: DataFrame,
+      tokh: DataFrame): DataFrame = {
+    val probes = tokh.filter(col("doc_id") % 97 === 17)
+      .select(col("t"), col("h")).distinct()
+    val est = probes.select(col("t"), posexplode(cmsBuckets).as(Seq("i", "bucket")))
+      .join(sketch, Seq("i", "bucket"))
+      .groupBy("t").agg(min("c").as("est_freq"))
+    val exact = tokh.join(broadcast(probes.select("t")), "t")
+      .groupBy("t").agg(count(lit(1)).as("true_freq"))
+    est.join(exact, "t")
+      .select(col("t").as("token"), col("est_freq"), col("true_freq"))
+      .orderBy("token")
+  }
+
+  /** In-plan build + serve over one table expression (x76's form). */
+  private[graft] def cmsEstimates(docs: DataFrame): DataFrame = {
+    val tokh = CacheScope.cacheEager(tokenHashes(docs))
+    cmsServe(cmsSketch(tokh), tokh)
+  }
+
+  /** The CMS oracle over `rel` (a table name or parenthesized
+    * subquery): the identical char-fold + affine-row hash family,
+    * restated as CTEs DuckDB replays verbatim. */
+  private[graft] def cmsSql(rel: String): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+       |  FROM $rel),
+       |v AS (SELECT DISTINCT t FROM tok),
+       |hv AS (SELECT t,
+       |    SUM(ascii(substr(t, pos, 1)) * ((pos * 2654435761) % 1000003)) % 1000003 AS h
+       |  FROM v, unnest(generate_series(1, length(t))) s(pos) GROUP BY t),
+       |hb AS (SELECT t, i,
+       |    ((h * CASE i WHEN 0 THEN 2654435761 WHEN 1 THEN 2246822519
+       |                 WHEN 2 THEN 3266489917 ELSE 1540483477 END
+       |      + CASE i WHEN 0 THEN 17 WHEN 1 THEN 97 WHEN 2 THEN 401 ELSE 733 END)
+       |     % 1000003) % 1024 AS bucket
+       |  FROM hv, unnest([0, 1, 2, 3]) s(i)),
+       |tf AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+       |sk AS (SELECT i, bucket, SUM(f) AS c FROM tf JOIN hb USING (t) GROUP BY i, bucket),
+       |probe AS (SELECT DISTINCT t FROM tok WHERE doc_id % 97 = 17),
+       |est AS (SELECT t, MIN(c) AS est_freq
+       |  FROM probe JOIN hb USING (t) JOIN sk USING (i, bucket) GROUP BY t)
+       |SELECT t AS token, CAST(est_freq AS BIGINT) AS est_freq,
+       |  CAST(f AS BIGINT) AS true_freq
+       |FROM est JOIN tf USING (t) ORDER BY token""".stripMargin
 }

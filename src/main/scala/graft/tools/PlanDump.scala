@@ -124,7 +124,17 @@ object PlanDump {
     // dynamicpruning#N) fed by a SubqueryAdaptiveBroadcast of the
     // query side's cell set: only the probed cells' DIRECTORIES are
     // read, the physical-plan form of the layout's whole point.
-    "b18_cell_partitioned_search")
+    "b18_cell_partitioned_search",
+    // round 10b: x76's CMS — the sketch's partial+final HashAggregate
+    // pair closes over a key space capped at d x w = 4,096, so its
+    // exchange is tiny at any corpus size, and the probe-side
+    // estimate join broadcasts; x77's priority sample — scan →
+    // TopKPerKeyExec(partial) → exchange clustered by lang →
+    // TopKPerKeyExec(final): shuffle bounded at k rows per stratum
+    // per input partition, no corpus-sized sort anywhere. (s17 is
+    // absent like s14/s15: its builder runs real stream lifecycles
+    // eagerly; the serve plan it ends in is x76's.)
+    "x76_cms_frequency", "x77_priority_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -6,15 +6,30 @@ claims. For each query it reports the measured wall-clock at sf0.001 /
 is still overhead-dominated at that size, near 10 means it already
 scales linearly in data volume, well above 10 flags superlinear risk.
 
-Usage: python3 tools/scaling.py [runs_per_query]
+Usage: python3 tools/scaling.py [runs_per_query] [--only q1,q2]
 (dev tool, driver-side python; the measured artifact is SCALING.md)
+
+--only runs the four legs for ONLY the named queries (via
+SPARK_GRAFT_BENCH_FILTER) and merges their rows into the
+/tmp/bench_sf*.json left by the last full regeneration, then rewrites
+SCALING.md from the merged set — the incremental path for adding a few
+new rows without re-paying the ~2 h full curve. Per-row medians are
+unaffected by suite composition (each query is warmed and timed
+independently); the merged totals add the new rows' medians onto the
+full-run totals.
 """
 import json
 import os
 import subprocess
 import sys
 
-RUNS = sys.argv[1] if len(sys.argv) > 1 else "3"
+args = [a for a in sys.argv[1:]]
+ONLY = None
+if "--only" in args:
+    i = args.index("--only")
+    ONLY = args[i + 1]
+    del args[i:i + 2]
+RUNS = args[0] if args else "3"
 SFS = ["0.001", "0.01", "0.1", "1.0"]
 
 # sf1.0 is builder-derived (10x sf0.1, tools/make_sf1.py) and lives in
@@ -44,16 +59,32 @@ def bench(sf):
             "graft.Bench"]
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=SF_DIR[sf],
-               SPARK_GRAFT_BENCH_OUT=out,
+               SPARK_GRAFT_BENCH_OUT=out if ONLY is None else f"/tmp/bench_only_sf{sf}.json",
                SPARK_GRAFT_BENCH_RUNS=RUNS)
+    if ONLY is not None:
+        env["SPARK_GRAFT_BENCH_FILTER"] = ONLY
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        cwd="/root/repo")
     if r.returncode != 0:
         print(f"bench sf{sf} FAILED rc={r.returncode}")
         print(r.stderr[-3000:])
         sys.exit(1)
+    if ONLY is None:
+        with open(out) as f:
+            return json.load(f)
+    # merge the filtered rows into the last full run's artifact
+    with open(f"/tmp/bench_only_sf{sf}.json") as f:
+        part = json.load(f)
     with open(out) as f:
-        return json.load(f)
+        full = json.load(f)
+    for q, v in part["queries"].items():
+        if q in full["queries"]:
+            full["value"] -= full["queries"][q]
+        full["queries"][q] = v
+        full["value"] += v
+    with open(out, "w") as f:
+        json.dump(full, f)
+    return full
 
 
 # Maintained alongside the harness so regeneration keeps the analysis.
@@ -269,6 +300,21 @@ COMMENTARY = """\
   rollback itself, which is pure metadata: one manifest collect per
   retained version, one recursive listing, per-file deletes — tracks
   file count at any data volume.
+- **Round-10b rows (x76, x77, s17).** x76's sketch build is one token
+  scan where the groupBy(i, bucket) partial-agg state is CAPPED at
+  4,096 counters per task and the exchange carries <= 4,096 rows per
+  input partition at ANY corpus size — the sketch is sf-invariant by
+  construction, so the row tracks the token-scan + char-fold hash
+  cost (the same per-char term x7 measures) plus a probe join whose
+  build side is the 1/97 doc slice's vocabulary (broadcast-sized at
+  every gate sf). x77 is one scan + the TopKPerKey operator (map-side
+  partial heaps bound shuffle at k=10 rows per stratum per input
+  partition) + a window over the <= 10-rows-per-lang survivors — the
+  row tracks scan cost exactly; there is no sort of the corpus at any
+  size. s17 is x76's token-scan term over the indexed slice plus the
+  micro-batch commit floor (two real epochs) and one <= 4,096-row
+  counters append per batch — the artifact and its serve read are
+  sf-invariant in size, so the row rides the scan + commit floor.
 """
 
 
@@ -291,7 +337,10 @@ def main():
         "20 / 200 / 2,000 / 20,000). sf1.0 is builder-derived — ten",
         "key-shifted sf0.1 replicas with per-copy decorrelation of the",
         "dedup/ANN inputs (tools/make_sf1.py documents why verbatim",
-        "duplication would distort those workloads).",
+        "duplication would distort those workloads). Rows added after a",
+        "full regeneration may be measured by the --only incremental mode",
+        "(filtered legs merged in; per-row medians are suite-independent",
+        "since every query is warmed and timed on its own).",
         "",
         "Reading the ratios: each step is 10x the data. A ratio near 1 means",
         "the query is still dominated by fixed per-query overhead (job",
