@@ -576,43 +576,59 @@ object CurationQueries {
     // high-quality reference corpus.
     Q(
       "x57_dsir_weights",
-      s"""WITH t AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
-         |bgr AS (SELECT doc_id, lang, (doc_id * 2654435789) % 1000003 % 100 < 5 AS is_tgt,
-         |    rpad(substr(toks[i], 1, 8), 8, ' ') AS pa, rpad(substr(toks[i+1], 1, 8), 8, ' ') AS pb
-         |  FROM (SELECT doc_id, lang, toks, unnest(generate_series(1, len(toks) - 1)) AS i
-         |        FROM t WHERE len(toks) >= 2) u),
-         |h AS (SELECT doc_id, lang, is_tgt,
-         |    ((${tokHashSql("pa")}) * 31 + (${tokHashSql("pb")})) % 1009 % 256 AS bkt FROM bgr),
-         |rc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr FROM h GROUP BY bkt),
-         |tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct FROM h WHERE is_tgt GROUP BY bkt),
-         |w AS (SELECT rc.bkt, ((coalesce(tc.ct, 0) + 1) * 1000000) // (rc.cr + 1) AS wt
-         |      FROM rc LEFT JOIN tc USING (bkt))
-         |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  CAST(SUM(wt) AS BIGINT) AS score
-         |FROM h JOIN w USING (bkt)
-         |GROUP BY doc_id, lang ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+      dsirCtesSql +
+        """
+          |SELECT doc_id, lang, n_bigrams, score
+          |FROM d ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
     ) { (spark, dir) =>
-      // cacheEager: bg fans out to raw counts, target counts, AND the
-      // scoring join (three concurrent consumers of one explode).
-      val bg = CacheScope.cacheEager(
-        Tables.fanOut(Tables(spark, dir, "documents"))
-          .select(col("doc_id"), col("lang"),
-            ((col("doc_id") * 2654435789L) % 1000003L % 100 < 5).as("is_tgt"),
-            explode(graft.functions.ShingleExpressions
-              .tokenNgrams(wsTokens(col("text")), 2)).as("bg"))
-          .withColumn("bkt",
-            (tokHash32(substring_index(col("bg"), " ", 1)) * 31L
-              + tokHash32(substring_index(col("bg"), " ", -1))) % 1009L % 256L))
-      val raw = bg.groupBy("bkt").agg(count(lit(1)).as("cr"))
-      val tgt = bg.filter(col("is_tgt")).groupBy("bkt").agg(count(lit(1)).as("ct"))
-      val w = raw.join(tgt, Seq("bkt"), "left")
-        .select(col("bkt"),
-          expr("((coalesce(ct, 0) + 1) * 1000000) DIV (cr + 1)").as("wt"))
-      bg.join(broadcast(w), "bkt")
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_bigrams"), sum("wt").as("score"))
+      dsirScores(spark, dir)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // X78 — DSIR importance RESAMPLING: the second half of the DSIR
+    // recipe (Xie et al. 2023 — compute importance weights, then
+    // importance-resample the corpus by them), composed from two
+    // gated pieces: the per-doc score is x57's hashed-bigram
+    // importance weight VERBATIM (same CTEs in the oracle, same
+    // cached plan in the engine), and the draw is x77's
+    // integer-exact priority sampler with weight = that score — so a
+    // doc's selection probability tracks how target-like its bigram
+    // distribution is. This is the row a pretraining pipeline
+    // actually runs: x57 ranks (a report), x78 DRAWS the training
+    // subset (an artifact), without replacement, per language
+    // stratum, byte-reproducibly (fresh u multiplier, decorrelated
+    // from x57's target-slice salt and x77's sampler). SCALE SHAPE:
+    // x57's bounded 256-bucket weight machinery (nothing scales with
+    // the vocabulary) + TopKPerKey's k-rows-per-stratum-per-partition
+    // shuffle — the corpus never sorts. Docs with < 2 tokens have no
+    // bigrams, hence no score, and sit outside the draw — the same
+    // membership rule x57's report applies.
+    Q(
+      "x78_dsir_sample",
+      dsirCtesSql +
+        """,
+          |p AS (SELECT lang, doc_id, greatest(score, 1) AS wt,
+          |    ((doc_id % 1000003) * 1640531527) % 1000003 AS u FROM d),
+          |k AS (SELECT lang, doc_id, wt, (u * 1000000000000) // wt AS pkey FROM p),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pkey, doc_id) AS rn FROM k)
+          |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, CAST(wt AS BIGINT) AS wt,
+          |  CAST(pkey AS BIGINT) AS pkey
+          |FROM r WHERE rn <= 10 ORDER BY lang, rn""".stripMargin
+    ) { (spark, dir) =>
+      val base = dsirScores(spark, dir)
+        .select(col("lang"), col("doc_id"),
+          greatest(col("score"), lit(1L)).as("wt"),
+          (col("doc_id") % 1000003L * 1640531527L % 1000003L).as("u"))
+        .withColumn("pkey", expr("(u * 1000000000000L) DIV wt"))
+        .select("lang", "doc_id", "wt", "pkey")
+      val top = graft.plans.TopKPerKey(base,
+        Seq("lang"), Seq(("pkey", true), ("doc_id", true)), 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("pkey", "doc_id")
+      top.withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("lang"), col("rn"), col("doc_id"), col("wt"), col("pkey"))
+        .orderBy("lang", "rn")
     },
 
     // X58 — PII detection + redaction: scrub emails, IPv4 addresses,
@@ -708,4 +724,49 @@ object CurationQueries {
     (2 to 8).foldLeft(s"CAST(ascii(substr($c,1,1)) AS BIGINT)") {
       (acc, i) => s"($acc*31 + ascii(substr($c,$i,1)))"
     } + " % 4294967296"
+
+  /** x57's per-doc DSIR importance scores (doc_id, lang, n_bigrams,
+    * score) — shared with x78's importance resampler so both rows
+    * state the SAME weight pipeline (docs with < 2 tokens have no
+    * bigrams and are absent). */
+  private[graft] def dsirScores(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // cacheEager: bg fans out to raw counts, target counts, AND the
+    // scoring join (three concurrent consumers of one explode).
+    val bg = CacheScope.cacheEager(
+      Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          ((col("doc_id") * 2654435789L) % 1000003L % 100 < 5).as("is_tgt"),
+          explode(graft.functions.ShingleExpressions
+            .tokenNgrams(wsTokens(col("text")), 2)).as("bg"))
+        .withColumn("bkt",
+          (tokHash32(substring_index(col("bg"), " ", 1)) * 31L
+            + tokHash32(substring_index(col("bg"), " ", -1))) % 1009L % 256L))
+    val raw = bg.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val tgt = bg.filter(col("is_tgt")).groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val w = raw.join(tgt, Seq("bkt"), "left")
+      .select(col("bkt"),
+        expr("((coalesce(ct, 0) + 1) * 1000000) DIV (cr + 1)").as("wt"))
+    bg.join(broadcast(w), "bkt")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("wt").as("score"))
+  }
+
+  /** The DSIR weight CTEs through the per-doc score table `d` —
+    * interpolated by BOTH x57's report and x78's resampler oracle. */
+  private[graft] def dsirCtesSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents),
+       |bgr AS (SELECT doc_id, lang, (doc_id * 2654435789) % 1000003 % 100 < 5 AS is_tgt,
+       |    rpad(substr(toks[i], 1, 8), 8, ' ') AS pa, rpad(substr(toks[i+1], 1, 8), 8, ' ') AS pb
+       |  FROM (SELECT doc_id, lang, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM t WHERE len(toks) >= 2) u),
+       |h AS (SELECT doc_id, lang, is_tgt,
+       |    ((${tokHashSql("pa")}) * 31 + (${tokHashSql("pb")})) % 1009 % 256 AS bkt FROM bgr),
+       |rc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr FROM h GROUP BY bkt),
+       |tc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct FROM h WHERE is_tgt GROUP BY bkt),
+       |w AS (SELECT rc.bkt, ((coalesce(tc.ct, 0) + 1) * 1000000) // (rc.cr + 1) AS wt
+       |      FROM rc LEFT JOIN tc USING (bkt)),
+       |d AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(wt) AS BIGINT) AS score
+       |  FROM h JOIN w USING (bkt) GROUP BY doc_id, lang)""".stripMargin
 }

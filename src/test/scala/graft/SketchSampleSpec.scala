@@ -82,4 +82,30 @@ class SketchSampleSpec extends AnyFunSuite {
       assert(rs.map(_._2).sorted.sameElements(1L to rs.length))
     }
   }
+
+  test("x78: DSIR resample equals the full-sort draw over x57's scores") {
+    val got = SparkEntry.queries("x78_dsir_sample")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("pkey", "doc_id")
+    val want = graft.llm.CurationQueries.dsirScores(spark, sf0001)
+      .select(col("lang"), col("doc_id"),
+        greatest(col("score"), lit(1L)).as("wt"),
+        (col("doc_id") % 1000003L * 1640531527L % 1000003L).as("u"))
+      .withColumn("pkey", expr("(u * 1000000000000L) DIV wt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("lang"), col("rn"), col("doc_id"), col("wt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == want.toSet)
+    // the draw is importance-BIASED: the selected docs' mean score
+    // exceeds the corpus mean (weights came from x57, not uniform)
+    val scores = graft.llm.CurationQueries.dsirScores(spark, sf0001)
+      .select("lang", "doc_id", "score")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val selMean = got.map(t => scores((t._1, t._3))).sum.toDouble / got.length
+    val allMean = scores.values.sum.toDouble / scores.size
+    assert(selMean > allMean, s"selected mean $selMean <= corpus mean $allMean")
+    releaseAllRdds() // dsirScores cacheEager'd outside a CacheScope here
+  }
 }

@@ -315,6 +315,10 @@ COMMENTARY = """\
   micro-batch commit floor (two real epochs) and one <= 4,096-row
   counters append per batch — the artifact and its serve read are
   sf-invariant in size, so the row rides the scan + commit floor.
+  x78 is x57's weight pipeline (bounded 256-bucket tables, broadcast
+  weight join — the bigram explode is the data term) plus x77's
+  TopKPerKey draw: the row tracks x57's curve with the sampler adding
+  k-rows-per-stratum shuffle only.
 """
 
 
