@@ -110,14 +110,38 @@ private[graft] object Fs {
     * object store the staged-rename pattern degrades to copy+delete,
     * which is why real lake formats commit through a manifest — the
     * snapshot layer here is that manifest when object-store atomicity
-    * matters. Succeeds if the destination already exists (a concurrent
-    * or replayed commit won the race — same outcome). */
+    * matters.
+    *
+    * An EXISTING destination means a concurrent (or replayed) commit
+    * of the same batch already won the race — this call then deletes
+    * its own staged source and returns, and the destination is left
+    * UNTOUCHED. The refusal must be atomic with the rename itself:
+    * `FileSystem.rename` onto an existing directory (HDFS legacy
+    * semantics, and RawLocalFileSystem's java.io fallback) moves the
+    * source INTO it — `codes.parquet/batch-N/batch-N` — which the
+    * recursive readers would silently double-count (ADVICE r10). So
+    * the rename goes through `FileContext` with `Options.Rename.NONE`,
+    * which atomically refuses an existing destination instead of
+    * nesting; the loser's staged copy is bit-identical replayable work
+    * (the staging write is overwrite-mode), so reclaiming it loses
+    * nothing. */
   def rename(spark: SparkSession, from: String, to: String): Unit = {
     val (f, src) = fs(spark, from)
     val dst = new Path(to)
     if (dst.getParent != null) f.mkdirs(dst.getParent)
-    val ok = f.rename(src, dst)
-    require(ok || f.exists(dst), s"rename failed: $from -> $to")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    val srcQ = f.makeQualified(src)
+    val dstQ = f.makeQualified(dst)
+    try fc.rename(srcQ, dstQ, org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.nio.file.FileAlreadyExistsException |
+          _: java.io.IOException) =>
+        // Only swallow the lost-race case: the destination must exist.
+        if (!f.exists(dstQ)) throw e
+        f.delete(srcQ, true)
+    }
   }
 
   /** Marker file names directly under `dir` (empty when the ledger
@@ -183,9 +207,17 @@ private[graft] object Fs {
   def touch(spark: SparkSession, path: String): Boolean = {
     val (f, p) = fs(spark, path)
     if (f.exists(p)) false
-    else {
-      f.create(p, false).close()
-      true
-    }
+    else
+      try {
+        f.create(p, false).close()
+        true
+      } catch {
+        // Lost a marker race: create(overwrite = false) is atomic
+        // per-path, so a concurrent committer of the same epoch beat
+        // this one to the ledger entry — the outcome ("marker exists")
+        // is identical either way.
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException => false
+      }
   }
 }

@@ -110,14 +110,24 @@ object AnnIndex {
 
   /** ATOMICALLY commit one micro-batch's coded vectors as a whole
     * batch DIRECTORY: encode with the persisted codebooks, stage under
-    * `{path}/_staging/batch-{id}` (overwrite — a crashed partial stage
-    * is invisible and fully rewritten on replay), then ONE atomic
-    * rename into `{path}/codes.parquet/batch-{id}`. The rename IS the
+    * a private `{path}/_staging/batch-{id}-{attempt}` directory (a
+    * crashed partial stage is invisible to readers; the replay stages
+    * its own attempt), then ONE atomic rename into
+    * `{path}/codes.parquet/batch-{id}`. The rename IS the
     * commit; the committed directory's existence is durable evidence
     * the batch applied (see [[appendIdempotent]]). */
   def commitBatch(spark: SparkSession, idx: Index, batch: DataFrame,
       path: String, batchId: Long): Unit = {
-    val staging = s"$path/_staging/batch-$batchId"
+    // Attempt-unique staging: two committers racing the SAME batch id
+    // (a zombie executor plus its replacement) must not write into one
+    // staging directory — they'd corrupt each other's in-flight job
+    // before either rename. Each attempt stages privately; the rename
+    // is the single arbiter (Fs.rename atomically refuses an existing
+    // destination and reclaims the loser's staged copy). A crashed
+    // attempt's orphan staging dir is hidden from every reader and
+    // reclaimed by rollback's `_staging` sweep.
+    val staging =
+      s"$path/_staging/batch-$batchId-${java.util.UUID.randomUUID().toString}"
     encode(batch, idx.coarse, idx.pq)
       .sortWithinPartitions("cell", "vec_id")
       .write.mode("overwrite").parquet(staging)
@@ -266,14 +276,23 @@ object AnnIndex {
   def loadPartitioned(spark: SparkSession, path: String): Index = {
     val (coarse, pq) = codebooks(spark.read.parquet(s"$path/centroids.parquet"))
     val inferred = spark.read.parquet(s"$path/codes.parquet").schema
-    val schema = org.apache.spark.sql.types.StructType(inferred.map(f =>
-      if (f.name == "cell")
-        f.copy(dataType = org.apache.spark.sql.types.LongType)
-      else f))
-    val codes = spark.read.schema(schema).parquet(s"$path/codes.parquet")
+    val codes = spark.read.schema(cellAsLong(inferred))
+      .parquet(s"$path/codes.parquet")
       .select("vec_id", "cell", "codes")
     Index(coarse, pq, codes)
   }
+
+  /** Widen an inferred `cell` partition column to LONG (directory-name
+    * inference narrows it to int, and a cast above the scan would both
+    * change the schema and defeat dynamic partition pruning — DPP keys
+    * on the bare partition attribute). Shared by [[loadPartitioned]]
+    * and [[loadAt]]'s partitioned-generation branch. */
+  private def cellAsLong(inferred: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "cell")
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
 
   /** The codes artifact with tombstoned vec_ids filtered out — a
     * left-anti join against the (bounded, id-only) tombstone set; a
@@ -343,9 +362,20 @@ object AnnIndex {
         graft.core.Fs.listDataFiles(spark, dir)
           .map(f => (kind, graft.core.Fs.relativize(spark, path, f)))
       else Seq.empty
+    // The applied-epoch LEDGER is versioned alongside the data (ADVICE
+    // r10: rollback used to drop a marker only when a batch DIRECTORY
+    // emptied, so legacy flat-append epochs kept stale markers and a
+    // restarted stream never re-applied deliberately-removed data).
+    // Recording the marker set lets rollback restore `_applied` to
+    // exactly the as-of state; the `meta` sentinel distinguishes "this
+    // manifest records the ledger" from a pre-ledger manifest whose
+    // empty applied set means "unknown", not "none".
+    val applied = graft.core.Fs.listMarkers(spark, s"$path/_applied")
+      .map(m => ("applied", s"_applied/$m"))
     (files("centroids", s"$path/centroids.parquet") ++
       files("codes", s"$path/codes.parquet") ++
-      files("tombstones", s"$path/tombstones.parquet"))
+      files("tombstones", s"$path/tombstones.parquet") ++
+      applied :+ ("meta", "applied-ledger-v1"))
       .toDF("kind", "file")
       .coalesce(1).sortWithinPartitions("kind", "file")
       .write.mode("overwrite").parquet(manifestPath(path, version))
@@ -392,7 +422,23 @@ object AnnIndex {
     def files(kind: String): Seq[String] =
       man.collect { case (k, file) if k == kind => abs(file) }.toSeq
     val (coarse, pq) = codebooks(spark.read.parquet(files("centroids"): _*))
-    val codes = spark.read.parquet(files("codes"): _*)
+    val codeFiles = files("codes")
+    // A CELL-PARTITIONED generation ([[compactPartitioned]]) keeps the
+    // cell column in directory NAMES, not the data files; reading the
+    // manifest's explicit file list alone would lose it (ADVICE r10 —
+    // the first search then failed on the missing column). basePath
+    // re-anchors partition discovery at the artifact's codes root so
+    // the stored relative paths recover their cell values, with the
+    // partition column declared LONG (see [[cellAsLong]]).
+    val codes =
+      if (codeFiles.exists(_.contains("/cell="))) {
+        val base = s"$path/codes.parquet"
+        val inferred = spark.read.option("basePath", base)
+          .parquet(codeFiles: _*).schema
+        spark.read.option("basePath", base).schema(cellAsLong(inferred))
+          .parquet(codeFiles: _*)
+          .select("vec_id", "cell", "codes")
+      } else spark.read.parquet(codeFiles: _*)
     val tombs = files("tombstones")
     val live =
       if (tombs.isEmpty) codes
@@ -412,7 +458,11 @@ object AnnIndex {
     * system), newer manifests are dropped, emptied artifact dirs and
     * committed-batch dirs disappear with their `_applied` markers
     * (the rolled-back epochs SHOULD re-apply if a restarted stream
-    * re-delivers them — their data was deliberately removed), and any
+    * re-delivers them — their data was deliberately removed; when the
+    * target manifest records the versioned applied ledger, the marker
+    * set is additionally restored to exactly its as-of state, covering
+    * flat-append epochs whose files leave no batch directory behind),
+    * and any
     * `_staging` leftovers are reclaimed (staged-but-uncommitted work
     * is replayable by definition). Append-only mutation is what makes
     * this safe: a file referenced by v≤N was never rewritten
@@ -457,6 +507,28 @@ object AnnIndex {
             graft.core.Fs.delete(spark, dir)
         }
       }
+    // Restore the applied-epoch ledger to its as-of state when the
+    // target manifest records it (the `meta` sentinel — manifests
+    // written since the ledger was versioned). This is what makes
+    // rollback's 'rolled-back epochs SHOULD re-apply' contract hold for
+    // FLAT-append epochs too (ADVICE r10): their data files leave no
+    // batch directory behind, so the old dir-emptied heuristic never
+    // dropped their markers. For a legacy manifest without the
+    // sentinel the batch-dir heuristic above remains the only marker
+    // cleanup — restoring to an unrecorded set could drop markers of
+    // surviving flat epochs and double-apply them on replay.
+    val manRows = spark.read.parquet(manifestPath(path, toVersion))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    if (manRows.contains(("meta", "applied-ledger-v1"))) {
+      val recorded = manRows.collect {
+        case ("applied", f) => f.stripPrefix("_applied/")
+      }.toSet
+      val current = graft.core.Fs.listMarkers(spark, s"$path/_applied")
+      current.filterNot(recorded)
+        .foreach(m => graft.core.Fs.delete(spark, s"$path/_applied/$m"))
+      recorded.diff(current.toSet)
+        .foreach(m => graft.core.Fs.touch(spark, s"$path/_applied/$m"))
+    }
     vs.filter(_ > toVersion)
       .foreach(v => graft.core.Fs.delete(spark, manifestPath(path, v)))
     graft.core.Fs.delete(spark, s"$path/_staging")

@@ -61,9 +61,9 @@ object DedupIndex {
       .write.mode("append").parquet(s"$path/rows.parquet")
 
   /** ATOMICALLY commit one batch's index rows as a whole batch
-    * DIRECTORY: stage under `{path}/_staging/batch-{id}` (overwrite —
-    * a crashed partial stage is invisible to readers and fully
-    * rewritten on replay), then ONE atomic rename into
+    * DIRECTORY: stage under a private `{path}/_staging/batch-{id}-
+    * {attempt}` directory (a crashed partial stage is invisible to
+    * readers; the replay stages its own attempt), then ONE atomic rename into
     * `{path}/rows.parquet/batch-{id}`. The rename IS the commit: a
     * reader never sees a torn append, and the committed directory's
     * existence is durable evidence the batch applied — which is what
@@ -73,7 +73,12 @@ object DedupIndex {
     * replay double-indexed a completed-but-unmarked batch). */
   def commitBatch(spark: SparkSession, rows: DataFrame, path: String,
       batchId: Long): Unit = {
-    val staging = s"$path/_staging/batch-$batchId"
+    // Attempt-unique staging (AnnIndex.commitBatch's rationale): racing
+    // committers of one batch id stage privately; Fs.rename's atomic
+    // refuse-existing-destination is the single arbiter, and the loser's
+    // staged copy is reclaimed by the rename itself.
+    val staging =
+      s"$path/_staging/batch-$batchId-${java.util.UUID.randomUUID().toString}"
     rows.sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(staging)
     graft.core.Fs.rename(spark, staging, s"$path/rows.parquet/batch-$batchId")

@@ -560,26 +560,39 @@ object TextQueries {
     // row makes that property a gated fact rather than a comment. The
     // base corpus slice's sketch lands as a parquet counters artifact;
     // a file-source stream delivers the growth slice in real
-    // micro-batches (maxFilesPerTrigger=1) whose foreachBatch APPENDS
+    // micro-batches (maxFilesPerTrigger=1) whose foreachBatch lands
     // each batch's partial counters — no read-modify-write, no
     // coordination: merging is addition, so ingest is write-only and
-    // the serve-time load just SUMs per (i, bucket). The estimates
-    // served from the streamed artifact must equal the oracle's
-    // one-pass sketch over the whole indexed slice — that equality IS
-    // sketch linearity, the property that lets 1000 executors (or a
-    // week of micro-batches) each sketch their shard independently
-    // and a reader combine them without ever seeing raw tokens.
-    // SCALE SHAPE: per batch one token scan + a <= 4,096-row counters
-    // append; the artifact grows by one tiny file per batch (b6-style
-    // compaction = the same groupBy-sum, written back) and the serve
-    // read is bounded by batches x 4,096 regardless of corpus size.
+    // the serve-time load just SUMs per (i, bucket). IDEMPOTENT per
+    // epoch (ADVICE r10: a checkpoint replay after a post-write crash
+    // would double-add that epoch's counters, silently inflating every
+    // estimate — the exact re-delivery s15/s16 gate for the index
+    // artifacts): each epoch's counters land at a DETERMINISTIC
+    // `{path}/batch-{epochId}` directory in overwrite mode, so a
+    // replayed epoch REPLACES its own partials instead of adding a
+    // second copy (per-cell addition makes the serve-time SUM
+    // insensitive to which attempt's identical counters survive). The
+    // run PROVES it the s15 way — foreachBatch throws an injected
+    // crash AFTER epoch 1's counters landed, the restarted query (same
+    // checkpoint → same WAL epoch id) re-delivers that micro-batch,
+    // and the gate holds only because the replay overwrote rather than
+    // appended. The estimates served from the streamed artifact must
+    // equal the oracle's one-pass sketch over the whole indexed slice
+    // — that equality IS sketch linearity, the property that lets 1000
+    // executors (or a week of micro-batches) each sketch their shard
+    // independently and a reader combine them without ever seeing raw
+    // tokens. SCALE SHAPE: per batch one token scan + a <= 4,096-row
+    // counters write; the artifact grows by one tiny directory per
+    // batch (b6-style compaction = the same groupBy-sum, written back)
+    // and the serve read is bounded by batches x 4,096 regardless of
+    // corpus size.
     Q(
       "s17_stream_cms_merge", cmsSql("(SELECT * FROM documents WHERE doc_id % 4 <> 3)")
     ) { (spark, dir) =>
       val docs = Tables.fanOut(Tables(spark, dir, "documents"))
       val path = graft.streaming.TempWork.dir("graft_s17_cms")
       cmsSketch(tokenHashes(docs.filter(col("doc_id") % 4 < 2)))
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(s"$path/base")
       val in = graft.streaming.TempWork.dir("graft_s17_in")
       val ckpt = graft.streaming.TempWork.dir("graft_s17_ck")
       docs.filter(col("doc_id") % 4 === 2)
@@ -588,21 +601,38 @@ object TextQueries {
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       val schema = ss.read.parquet(in).schema
-      val q = ss.readStream.schema(schema)
+      def stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(in)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, epochId: Long) =>
-          // additive partial counters: append-only ingest (linearity
-          // makes the merge commutative+associative, so file order
-          // and batch boundaries cannot matter)
-          cmsSketch(tokenHashes(batch)).write.mode("append").parquet(path)
-        }
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally if (q.isActive) q.stop()
-      graft.streaming.TempWork.delete(in)
-      graft.streaming.TempWork.delete(ckpt)
-      val sketch = spark.read.parquet(path)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(injectCrash: Boolean): Unit = {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            // additive partial counters at a deterministic per-epoch
+            // path: overwrite makes the replayed epoch idempotent
+            // (linearity makes the cross-epoch merge commutative +
+            // associative, so file order and batch boundaries cannot
+            // matter)
+            cmsSketch(tokenHashes(batch))
+              .write.mode("overwrite").parquet(s"$path/batch-$epochId")
+            if (injectCrash && epochId == 1 && crashed.compareAndSet(false, true))
+              throw new RuntimeException(
+                "injected post-write crash (s17 replay proof)")
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        catch {
+          case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+        } finally if (q.isActive) q.stop()
+      }
+      try {
+        run(injectCrash = true)   // crashes after epoch 1's counters landed
+        run(injectCrash = false)  // engine replays epoch 1; overwrite absorbs it
+      } finally {
+        graft.streaming.TempWork.delete(in)
+        graft.streaming.TempWork.delete(ckpt)
+      }
+      val sketch = spark.read.option("recursiveFileLookup", "true").parquet(path)
         .groupBy("i", "bucket").agg(sum("c").as("c"))
       cmsServe(sketch, CacheScope.cacheEager(
         tokenHashes(docs.filter(col("doc_id") % 4 =!= 3))))

@@ -434,4 +434,141 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("does not exist"))
   }
+
+  test("Fs.rename refuses an existing destination; loser's staging reclaimed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fs_rn").toString
+    try {
+      // the winner's committed batch
+      val dst = s"$root/codes.parquet/batch-3"
+      new java.io.File(dst).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dst/winner.parquet"), "w")
+      // the loser's staged copy of the SAME batch
+      val src = s"$root/_staging/batch-3-attempt2"
+      new java.io.File(src).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$src/loser.parquet"), "l")
+      graft.core.Fs.rename(spark, src, dst)
+      // ADVICE r10: FileSystem.rename onto an existing directory would
+      // NEST the source (batch-3/batch-3-attempt2) and recursive readers
+      // would double-count the batch. The refuse-existing rename must
+      // leave the destination untouched and reclaim the staged source.
+      val names = new java.io.File(dst).listFiles().map(_.getName).toSet
+      assert(names == Set("winner.parquet"))
+      assert(!graft.core.Fs.exists(spark, src))
+      // a genuine (no-destination) rename still moves
+      val src2 = s"$root/_staging/batch-4-attempt1"
+      new java.io.File(src2).mkdirs()
+      graft.core.Fs.rename(spark, src2, s"$root/codes.parquet/batch-4")
+      assert(graft.core.Fs.exists(spark, s"$root/codes.parquet/batch-4"))
+      assert(!graft.core.Fs.exists(spark, src2))
+    } finally rmDir(root)
+  }
+
+  test("loadAt serves a pinned snapshot of a cell-partitioned generation") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_pp1").toString
+    val path2 = java.nio.file.Files.createTempDirectory("graft_annidx_pp2").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, all.filter(col("vec_id") >= half), path)
+      AnnIndex.compactPartitioned(spark, path, path2)
+      AnnIndex.snapshot(spark, path2, 1)
+      // ADVICE r10: the manifest's explicit file list loses the
+      // directory-encoded cell column unless loadAt re-anchors partition
+      // discovery at the artifact's basePath; a pinned read of a
+      // partitioned generation used to fail on the missing column.
+      val at = AnnIndex.loadAt(spark, path2, 1)
+      assert(at.codes.columns.toSeq == Seq("vec_id", "cell", "codes"))
+      assert(at.codes.schema("cell").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val a = AnnIndex.loadPartitioned(spark, path2).codes
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      val b = at.codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(a.length == b.length && a.nonEmpty)
+      a.zip(b).foreach { case (x, y) => assert(x == y) }
+      val s1 = AnnIndex.searchTop5(at, all, 20).collect().map(_.toSeq)
+      val s2 = AnnIndex.searchTop5(AnnIndex.loadPartitioned(spark, path2), all, 20)
+        .collect().map(_.toSeq)
+      assert(s1.length == s2.length && s1.nonEmpty)
+      s1.zip(s2).foreach { case (x, y) => assert(x == y) }
+    } finally { rmDir(path); rmDir(path2) }
+  }
+
+  test("rollback restores FLAT-append epoch markers from the recorded ledger") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_rb3").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      // a FLAT-append epoch with its marker (the carried-ledger shape a
+      // compacted generation has: marker, no batch directory)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded,
+        all.filter(col("vec_id") >= half && col("vec_id") % 2 === 0), path)
+      graft.core.Fs.touch(spark, s"$path/_applied/batch-21")
+      AnnIndex.snapshot(spark, path, 1)
+      val v1 = AnnIndex.loadAt(spark, path, 1).codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      // a second flat epoch + marker, snapshotted as v2
+      AnnIndex.append(spark, loaded,
+        all.filter(col("vec_id") >= half && col("vec_id") % 2 === 1), path)
+      graft.core.Fs.touch(spark, s"$path/_applied/batch-22")
+      AnnIndex.snapshot(spark, path, 2)
+      AnnIndex.rollback(spark, path, 1)
+      // ADVICE r10: epoch 22's flat files leave no batch directory, so
+      // the dir-emptied heuristic never touched its marker — a restarted
+      // stream would then never re-apply the deliberately-removed epoch.
+      // The recorded ledger restores the marker set to its v1 state.
+      assert(!graft.core.Fs.exists(spark, s"$path/_applied/batch-22"))
+      assert(graft.core.Fs.exists(spark, s"$path/_applied/batch-21"))
+      val cur = AnnIndex.load(spark, path).codes.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(cur.nonEmpty && cur.sameElements(v1))
+    } finally rmDir(path)
+  }
+
+  test("two committers racing one epoch id apply it exactly once") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_race").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      val loaded = AnnIndex.load(spark, path)
+      val batch = all.filter(col("vec_id") >= half)
+      // a zombie executor and its replacement: both stage privately and
+      // race the atomic rename; Fs.rename's refuse-existing-destination
+      // arbitration must leave exactly ONE committed copy (ADVICE r10:
+      // the legacy rename semantics nested the loser INTO the winner and
+      // recursive readers double-counted the batch).
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (1 to 2).map { _ =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            AnnIndex.appendIdempotent(spark, loaded, batch, path, 42L)
+            ()
+          } catch { case t: Throwable => errs.add(t); () }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(300000))
+      assert(errs.isEmpty, s"racing committer failed: ${errs.peek()}")
+      // single application: no nested directory, one data copy, marker on
+      val dir = new java.io.File(s"$path/codes.parquet/batch-42")
+      assert(dir.isDirectory && dir.listFiles().forall(!_.isDirectory))
+      assert(AnnIndex.load(spark, path).codes.count() == all.count())
+      assert(graft.core.Fs.exists(spark, s"$path/_applied/batch-42"))
+      // the replayed epoch stays skipped after the race
+      assert(!AnnIndex.appendIdempotent(spark, loaded, batch, path, 42L))
+      assert(AnnIndex.load(spark, path).codes.count() == all.count())
+    } finally rmDir(path)
+  }
 }

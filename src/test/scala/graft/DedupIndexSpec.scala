@@ -165,6 +165,40 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally { rmrf(path); rmrf(path2) }
   }
 
+  test("two committers racing one epoch id index it exactly once") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_race").toString
+    try {
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
+      val batch = DedupIndex.index(docs.filter(col("doc_id") % 2 === 1))
+      // a zombie executor plus its replacement, racing the same batch id
+      // (VERDICT r10 task 6): each stages privately; Fs.rename's atomic
+      // refuse-existing-destination arbitration must leave exactly one
+      // committed copy — the legacy rename nested the loser INTO the
+      // winner's directory and the recursive loader double-counted it.
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (1 to 2).map { _ =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            DedupIndex.appendIdempotent(spark, batch, path, 9L)
+            ()
+          } catch { case t: Throwable => errs.add(t); () }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join(300000))
+      assert(errs.isEmpty, s"racing committer failed: ${errs.peek()}")
+      val dir = new java.io.File(s"$path/rows.parquet/batch-9")
+      assert(dir.isDirectory && dir.listFiles().forall(!_.isDirectory))
+      assert(DedupIndex.load(spark, path).count() == docs.count())
+      assert(graft.core.Fs.exists(spark, s"$path/_applied/batch-9"))
+      // and the epoch stays refused afterwards
+      assert(!DedupIndex.appendIdempotent(spark, batch, path, 9L))
+      assert(DedupIndex.load(spark, path).count() == docs.count())
+    } finally rmrf(path)
+  }
+
   test("b13/b14 artifact paths and in-plan x24 agree row for row") {
     val x24 = SparkEntry.queries("x24_snapshot_dedup")(spark, sf0001)
       .collect().toSeq
