@@ -38,6 +38,27 @@ object CurationQueries {
     * micro-batch append is invisible to the x24-shaped counts — near
     * ids are DISTINCT and n_new counts the batch — but doubles the
     * artifact's row count). */
+  /** b20/b21's oracle: x24's snapshot dedup restricted to the
+    * SURVIVING index — doc_id % 5 = 4 is deleted from the indexed side
+    * after build+append, so neither the exact-dup hash set nor the
+    * near-dup partner set may include those documents (a batch doc
+    * whose ONLY near partner was deleted stops counting as a near-dup
+    * — the modulus is chosen so that happens at every tested scale,
+    * making the delete answer-VISIBLE, not a no-op gate). The batch
+    * side is untouched: tombstones mask the index, not the input. */
+  private[llm] def survivorDedupSql: String =
+    s"""${MinHash.oracleSig(5)},
+       |${DedupQueries.agreeSql},
+       |near AS (SELECT DISTINCT CASE WHEN d1 % 4 = 3 THEN d1 ELSE d2 END AS doc_id
+       |         FROM agree WHERE matches >= 14 AND ((d1 % 4 = 3) <> (d2 % 4 = 3))
+       |           AND (CASE WHEN d1 % 4 = 3 THEN d2 ELSE d1 END) % 5 <> 4),
+       |b AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 5 <> 4),
+       |nw AS (SELECT doc_id, lang, sha256(text) AS h FROM documents WHERE doc_id % 4 = 3)
+       |SELECT lang, count(*) AS n_new,
+       |  CAST(SUM(CASE WHEN h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
+       |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[llm] def snapshotDedupSql(extraCte: String, extraSelect: String): String =
     s"""${MinHash.oracleSig(5)},
        |${DedupQueries.agreeSql},
@@ -242,6 +263,73 @@ object CurationQueries {
         DedupIndex.index(docs.filter(col("doc_id") % 4 < 2)), path)
       DedupIndex.append(spark,
         DedupIndex.index(docs.filter(col("doc_id") % 4 === 2)), path)
+      DedupIndex.dedupBatch(docs.filter(col("doc_id") % 4 === 3),
+        DedupIndex.load(spark, path))
+    },
+
+    // B20 — DEDUP-INDEX DELETES made physical: b11's tombstone pattern
+    // transplanted to the dedup artifact (VERDICT r10 task 1: "the
+    // dedup index can forget taken-down documents"). The full
+    // lifecycle in one gated chain: base built on half the corpus,
+    // yesterday's batch appended, then every indexed doc_id % 5 = 4 is
+    // DELETED (takedowns / de-listed sources whose old text must stop
+    // suppressing future near-duplicates) and the artifact COMPACTED —
+    // deletes are a bounded id-only tombstone artifact appended next
+    // to the rows (the Delta/Iceberg delete-file pattern: a
+    // per-takedown rewrite of a 100 GB signature artifact is a full
+    // table write), and compaction is where they become physical: the
+    // new generation holds exactly the surviving rows, tombstone-free,
+    // with the `_applied/` epoch ledger still carried. The gate is
+    // x24's dedup restated over the SURVIVING index — batch docs whose
+    // only near partner was deleted stop counting (answer-visible at
+    // every tested scale by the modulus choice), which is precisely
+    // the production requirement: a taken-down document must stop
+    // producing dedup suppressions. SCALE SHAPE: b14's (per-batch cost
+    // scales with the batch) plus one broadcast anti-join whose build
+    // side is the tombstone id set — bounded by deletes, not corpus.
+    Q(
+      "b20_dedup_index_delete_compact", survivorDedupSql
+    ) { (spark, dir) =>
+      val docs = Tables.fanOut(Tables(spark, dir, "documents"))
+      val path = graft.streaming.TempWork.dir("graft_b20_dedupidx")
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 < 2)), path)
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 2)), path)
+      DedupIndex.delete(spark,
+        docs.filter(col("doc_id") % 4 =!= 3 && col("doc_id") % 5 === 4)
+          .select("doc_id"), path)
+      val compacted = graft.streaming.TempWork.dir("graft_b20_compact")
+      DedupIndex.compact(spark, path, compacted)
+      DedupIndex.dedupBatch(docs.filter(col("doc_id") % 4 === 3),
+        DedupIndex.load(spark, compacted))
+    },
+
+    // B21 — the MASKED serve path of the dedup index: b20's lifecycle
+    // up to the delete, served WITHOUT compacting — the state a
+    // production index is in between a takedown and the next OPTIMIZE
+    // pass, when deleted documents must already have stopped matching
+    // but the rows artifact still physically holds them. DedupIndex
+    // .load anti-joins the (bounded, id-only, broadcast) tombstone set
+    // out of the recursive rows scan, so the incoming batch dedups
+    // against exactly the surviving signatures. The gate is b20's
+    // VERBATIM oracle: masked-before-compact and physical-after-
+    // compact must be the same answer — the two halves of the
+    // tombstone contract, each hash-gated on its own row
+    // (DedupIndexSpec additionally pins their row identity and the
+    // compacted artifact's physical exclusion).
+    Q(
+      "b21_dedup_index_masked_serve", survivorDedupSql
+    ) { (spark, dir) =>
+      val docs = Tables.fanOut(Tables(spark, dir, "documents"))
+      val path = graft.streaming.TempWork.dir("graft_b21_dedupidx")
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 < 2)), path)
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 2)), path)
+      DedupIndex.delete(spark,
+        docs.filter(col("doc_id") % 4 =!= 3 && col("doc_id") % 5 === 4)
+          .select("doc_id"), path)
       DedupIndex.dedupBatch(docs.filter(col("doc_id") % 4 === 3),
         DedupIndex.load(spark, path))
     },

@@ -116,13 +116,39 @@ object DedupIndex {
     }
   }
 
+  /** DELETE documents from the index (takedowns, de-listed sources,
+    * re-crawled URLs whose old text must stop suppressing future
+    * near-duplicates — VERDICT r10 task 1: an index that can only
+    * grow keeps serving dedup evidence for documents the corpus no
+    * longer contains). Deletes are TOMBSTONES — AnnIndex.delete's
+    * contract transplanted: a `{path}/tombstones.parquet` artifact of
+    * doc_ids, appended per delete batch, never touching the rows files
+    * (a per-takedown rewrite of the rows artifact is a full table
+    * write; every lake-format delete is a delete-file for the same
+    * reason). [[load]] anti-joins the tombstone set out, so a deleted
+    * document stops matching incoming batches the moment the tombstone
+    * lands; [[compact]] makes the delete physical and starts the new
+    * generation tombstone-free. `ids` must have a doc_id column; the
+    * write is one bounded batch. */
+  def delete(spark: SparkSession, ids: DataFrame, path: String): Unit =
+    ids.select(col("doc_id"))
+      .write.mode("append").parquet(s"$path/tombstones.parquet")
+
   /** Load the full index — a RECURSIVE file lookup, so flat base/append
     * files and atomically-committed batch directories read as one
     * union (no partition inference: batch directories are commit
-    * units, not partition keys). */
-  def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
+    * units, not partition keys) — with any tombstoned doc_ids
+    * anti-joined out (a broadcast of bare ids, bounded by deletes; a
+    * no-op scan when no delete has ever happened). */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val rows = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$path/rows.parquet")
+    if (graft.core.Fs.exists(spark, s"$path/tombstones.parquet"))
+      rows.join(
+        broadcast(spark.read.parquet(s"$path/tombstones.parquet").distinct()),
+        Seq("doc_id"), "left_anti")
+    else rows
+  }
 
   /** Compact an index whose rows artifact has accumulated append
     * fragments (b14/s15 leave the base write plus one file set per
@@ -141,6 +167,10 @@ object DedupIndex {
   def compact(spark: SparkSession, from: String, to: String): Unit = {
     val bytes = graft.core.Fs.layoutBytes(spark, s"$from/rows.parquet")
     val target = graft.core.Fs.packTarget(bytes)
+    // load is the MASKED view: tombstoned rows are DROPPED here —
+    // compaction is where deletes become physical; the new generation
+    // has no tombstone artifact, so its reload sees exactly the
+    // surviving rows (AnnIndex.compact's contract).
     load(spark, from)
       .repartition(target)
       .sortWithinPartitions("doc_id")

@@ -165,6 +165,33 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally { rmrf(path); rmrf(path2) }
   }
 
+  test("delete: masked load == physical compaction; tombstoned rows are gone") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_del").toString
+    val path2 = java.nio.file.Files.createTempDirectory("graft_dedupidx_dlc").toString
+    try {
+      DedupIndex.save(spark, DedupIndex.index(docs), path)
+      DedupIndex.delete(spark,
+        docs.filter(col("doc_id") % 5 === 4).select("doc_id"), path)
+      // masked view: the tombstone anti-join serves the surviving set
+      // immediately, no rewrite
+      val masked = DedupIndex.load(spark, path).orderBy("doc_id").collect()
+      assert(masked.nonEmpty && masked.forall(_.getLong(0) % 5 != 4))
+      assert(masked.length == docs.filter(col("doc_id") % 5 =!= 4).count())
+      // compaction makes the delete physical: identical surviving rows,
+      // and the raw (unmasked) compacted artifact holds nothing else
+      DedupIndex.compact(spark, path, path2)
+      val compacted = DedupIndex.load(spark, path2).orderBy("doc_id").collect()
+      assert(masked.length == compacted.length)
+      masked.zip(compacted).foreach { case (a, b) => assert(a == b) }
+      val raw = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$path2/rows.parquet").select("doc_id").collect()
+        .map(_.getLong(0))
+      assert(raw.length == masked.length && raw.forall(_ % 5 != 4))
+      // the new generation starts tombstone-free
+      assert(!graft.core.Fs.exists(spark, s"$path2/tombstones.parquet"))
+    } finally { rmrf(path); rmrf(path2) }
+  }
+
   test("two committers racing one epoch id index it exactly once") {
     val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_race").toString
     try {
