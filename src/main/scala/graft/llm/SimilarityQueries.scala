@@ -872,6 +872,46 @@ object SimilarityQueries {
       AnnIndex.searchTop5(AnnIndex.load(spark, path), e, 20)
     },
 
+    // B22 — SNAPSHOT RETENTION (vacuum): rollback forgets the FUTURE
+    // of a version; expire forgets the PAST. Unbounded time-travel
+    // history is untenable at 100 TB — every retained version pins its
+    // file set against reclamation — so a deployment expires all but
+    // the last N versions, exactly Delta VACUUM / Iceberg
+    // expire_snapshots. The chain is b16's (build+save v1, append v2,
+    // delete v3), then expire(keepLast = 2): v1's manifest is dropped
+    // — loadAt(1) is gone for good — while the gated search reads the
+    // index PINNED AT THE RETAINED v2 against b8's VERBATIM append
+    // oracle: expiring history must be invisible to every retained
+    // pinned read AND to the current state. File reclamation is
+    // rollback's file-set subtraction generalized ("referenced by an
+    // expired manifest and no retained one"); under append-only
+    // mutation that exclusive set is empty — newer manifests are
+    // supersets — so this row also proves expire deletes NO data file
+    // a retained version needs (AnnIndexSpec pins the file-level
+    // contract, including the subtraction actually firing on a
+    // history with out-of-band removals). SCALE SHAPE: one bounded
+    // manifest collect per version + per-file deletes — tracks
+    // manifest length, never data volume.
+    Q(
+      "b22_index_expire", ivfPqAppendSql
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(vectors(spark, dir))
+      val half = e.count() / 2
+      val built = AnnIndex.build(e.filter(col("vec_id") < half))
+      val path = graft.streaming.TempWork.dir("graft_b22_annidx")
+      AnnIndex.save(spark, built, path)
+      AnnIndex.snapshot(spark, path, 1)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, e.filter(col("vec_id") >= half), path)
+      AnnIndex.snapshot(spark, path, 2)
+      AnnIndex.delete(spark, e.filter(col("vec_id") % 10 === 3), path)
+      AnnIndex.snapshot(spark, path, 3)
+      AnnIndex.expire(spark, path, keepLast = 2)
+      // the retained pinned read serves the full pre-delete corpus,
+      // bit-for-bit, although v1's history is forgotten
+      AnnIndex.searchTop5(AnnIndex.loadAt(spark, path, 2), e, 20)
+    },
+
     // X37 — nprobe as the DECLARED recall/cost dial (VERDICT r6
     // stretch): the same jointly-trained IVF-PQ index as x33, searched
     // at nprobe=1 AND nprobe=4, scored against the exact brute-force

@@ -534,6 +534,85 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally rmDir(path)
   }
 
+  test("expire drops old manifests, keeps every retained-referenced file") {
+    val all = vecs
+    val n = all.count()
+    val half = n / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_exp").toString
+    try {
+      AnnIndex.save(spark, built, path)
+      AnnIndex.snapshot(spark, path, 1)
+      val loaded = AnnIndex.load(spark, path)
+      AnnIndex.append(spark, loaded, all.filter(col("vec_id") >= half), path)
+      AnnIndex.snapshot(spark, path, 2)
+      AnnIndex.delete(spark, all.filter(col("vec_id") % 10 === 3), path)
+      AnnIndex.snapshot(spark, path, 3)
+      val preV2 = AnnIndex.loadAt(spark, path, 2).codes.orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      val preCur = AnnIndex.load(spark, path).codes.orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      val preFiles = graft.core.Fs.listDataFiles(spark, s"$path/codes.parquet")
+      AnnIndex.expire(spark, path, keepLast = 2)
+      // v1 is forgotten; v2/v3 remain
+      assert(AnnIndex.versions(spark, path) == Seq(2, 3))
+      assert(!graft.core.Fs.exists(spark, f"$path/manifest/v${1}%05d.parquet"))
+      intercept[Exception] { AnnIndex.loadAt(spark, path, 1).codes.count() }
+      // append-only history: v1's files are all in v2/v3's supersets, so
+      // NO data file may be reclaimed — retained pinned reads and the
+      // current masked state are bit-identical to before
+      assert(graft.core.Fs.listDataFiles(spark, s"$path/codes.parquet") == preFiles)
+      val postV2 = AnnIndex.loadAt(spark, path, 2).codes.orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(postV2.length == n && postV2.sameElements(preV2))
+      val postCur = AnnIndex.load(spark, path).codes.orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      assert(postCur.sameElements(preCur))
+      // keeping at least the full history is a no-op
+      AnnIndex.expire(spark, path, keepLast = 5)
+      assert(AnnIndex.versions(spark, path) == Seq(2, 3))
+    } finally rmDir(path)
+  }
+
+  test("expire reclaims files exclusive to expired versions (subtraction fires)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_annidx_exf").toString
+    try {
+      // a two-file codes artifact with centroids, snapshotted as v1
+      Seq((0, 0, Seq(0.0))).toDF("space", "cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids.parquet")
+      Seq((1L, 0L, Seq(0L))).toDF("vec_id", "cell", "codes")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codes.parquet/batch-1")
+      Seq((2L, 0L, Seq(0L))).toDF("vec_id", "cell", "codes")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codes.parquet/batch-2")
+      graft.core.Fs.touch(spark, s"$path/_applied/batch-1")
+      graft.core.Fs.touch(spark, s"$path/_applied/batch-2")
+      AnnIndex.snapshot(spark, path, 1)
+      // an out-of-band removal between snapshots (foreign writer /
+      // partial restore): batch-1 leaves the lineage before v2 — v2's
+      // manifest records only batch-2, yet batch-1's files are back on
+      // disk when expire runs. This is exactly the history shape the
+      // file-set subtraction exists for.
+      val parked = java.nio.file.Files.createTempDirectory("graft_annidx_prk").toString
+      graft.core.Fs.delete(spark, parked)
+      graft.core.Fs.rename(spark, s"$path/codes.parquet/batch-1", parked)
+      AnnIndex.snapshot(spark, path, 2)
+      graft.core.Fs.rename(spark, parked, s"$path/codes.parquet/batch-1")
+      AnnIndex.expire(spark, path, keepLast = 1)
+      // batch-1 was referenced only by the expired v1: reclaimed, with
+      // its emptied dir and epoch marker; batch-2 (retained) survives
+      assert(!graft.core.Fs.exists(spark, s"$path/codes.parquet/batch-1"))
+      assert(!graft.core.Fs.exists(spark, s"$path/_applied/batch-1"))
+      assert(graft.core.Fs.exists(spark, s"$path/codes.parquet/batch-2"))
+      assert(graft.core.Fs.exists(spark, s"$path/_applied/batch-2"))
+      assert(AnnIndex.versions(spark, path) == Seq(2))
+      val ids = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$path/codes.parquet")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(2L))
+    } finally rmDir(path)
+  }
+
   test("two committers racing one epoch id apply it exactly once") {
     val all = vecs
     val half = all.count() / 2
