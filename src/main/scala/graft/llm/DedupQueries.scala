@@ -327,13 +327,15 @@ object DedupQueries {
     // plus the 8 one-bit flips), never a nested-loop cross product. At
     // 100 TB the plane count is the scale knob; 8 planes already cut the
     // sf0.1 pair space from 12.5M to ~225k candidates.
-    // SCALE REMEDY — x34_semantic_dedup (below) IS the gated fix for
-    // the fixed-width saturation SCALING.md measures here at sf1.0
-    // (15.2x step: 20k vectors overwhelm 256 buckets): its trained IVF
-    // coarse quantizer has no fixed ceiling — K grows with the corpus.
-    // x3 is retained deliberately as the fixed-width contrast case;
-    // its declared semantics (these 8 planes, hamming <= 1) are part
-    // of the query definition the oracle replays.
+    // SCALE REMEDY — two gated fixes exist for the fixed-width
+    // saturation SCALING.md measures here at sf1.0 (20k vectors
+    // overwhelm 256 buckets): x79 (below) keeps the LSH family but
+    // scales the plane count with the corpus (np = scaledPlanes(n),
+    // buckets track n), and x34's trained IVF coarse quantizer has no
+    // fixed ceiling at all — K grows with the corpus. x3 is retained
+    // deliberately as the fixed-width contrast case; its declared
+    // semantics (these 8 planes, hamming <= 1) are part of the query
+    // definition the oracle replays.
     Q(
       "x3_embedding_neardup",
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -360,6 +362,66 @@ object DedupQueries {
           (0 until 8).map(p => col("sig").bitwiseXOR(lit(1L << p))): _*)).as("pk"))
       val a = probes.toDF("v1", "va", "na", "pk")
       val b = e.toDF("v2", "vb", "nb", "sig2")
+      val sim = r4(dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      a.join(b, col("pk") === col("sig2") && col("v1") < col("v2"))
+        .select(col("v1"), col("v2"), sim.as("sim"))
+        .filter(col("sim") >= 0.4)
+        .orderBy("v1", "v2")
+    },
+
+    // X79 — x3's SRP-LSH near-dup with a CORPUS-SCALED plane count:
+    // np = scaledPlanes(n), the smallest p with 2^p >= n, restated in
+    // the oracle's pp CTE exactly like x34's kk (VERDICT r10 task 3 —
+    // the gated remedy for x3's fixed-width saturation, which
+    // SCALING.md measured at 17.7x/decade at sf1.0: 20k vectors
+    // crammed into 2^8 buckets make candidate volume quadratic again).
+    // With buckets tracking the corpus, expected occupancy stays <= 1
+    // and candidate work stays ~linear per decade; the price is
+    // ~log2(n) probes per vector (the hamming<=1 multi-probe fans out
+    // np+1 keyed rows), growing ~3.3 per decade while the per-bucket
+    // quadratic term stops growing at all. The plane SEQUENCE is the
+    // x3 family's — same formula at every index — so np = 8 reproduces
+    // x3 bit for bit; x3 itself is retained as the documented
+    // fixed-width contrast case. Like x3, bucketing is DECLARED
+    // semantics (the oracle applies identical planes), so the result
+    // is deterministic and exact over its candidate set: a keyed
+    // equi-join meets each qualifying pair exactly once (hamming-0 on
+    // the exact key, hamming-1 on exactly one flipped probe), verified
+    // by exact cosine >= 0.4 over the cached raw vectors.
+    Q(
+      "x79_embedding_neardup_scaled",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pp AS (SELECT MIN(p) AS np FROM
+        |    (SELECT CAST(UNNEST(range(1, 32)) AS BIGINT) AS p) ps,
+        |    (SELECT count(*) AS n FROM e) nn
+        |  WHERE (CAST(1 AS BIGINT) << p) >= n),
+        |pl AS (SELECT p, [CAST(((p*131 + d*17) % 19) - 9 AS DOUBLE) for d in range(0, 64)] AS w
+        |       FROM (SELECT CAST(UNNEST(range(0, 31)) AS BIGINT) AS p) q, pp WHERE p < np),
+        |sg AS (SELECT e.vec_id, SUM(CASE WHEN list_dot_product(e.v, pl.w) > 0
+        |                                 THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS sig
+        |       FROM e CROSS JOIN pl GROUP BY 1),
+        |ev AS (SELECT e.vec_id, e.v, sg.sig FROM e JOIN sg USING (vec_id))
+        |SELECT v1, v2, sim FROM (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |  FROM ev a JOIN ev b
+        |    ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 1) p
+        |WHERE sim >= 0.4 ORDER BY v1, v2""".stripMargin
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(Tables.fanOut(Tables(spark, dir, "embeddings"))
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+        .withColumn("nrm", l2norm(col("v"))))
+      // capacity tracks the corpus (the count is free — e was just
+      // eagerly materialized); the signature is computed AFTER np is
+      // known, one codegen'd projection per vector
+      val np = SimilarityQueries.scaledPlanes(e.count())
+      val ee = e.withColumn("sig", SimilarityQueries.lshSigN(col("v"), np))
+      val probes = ee.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(col("sig") +:
+          (0 until np).map(p => col("sig").bitwiseXOR(lit(1L << p))): _*)).as("pk"))
+      val a = probes.toDF("v1", "va", "na", "pk")
+      val b = ee.toDF("v2", "vb", "nb", "sig2")
       val sim = r4(dot(col("va"), col("vb")) / (col("na") * col("nb")))
       a.join(b, col("pk") === col("sig2") && col("v1") < col("v2"))
         .select(col("v1"), col("v2"), sim.as("sim"))

@@ -16,22 +16,42 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  /** Fixed LSH hyperplanes: w(p,d) = ((p*131 + d*17) % 19) - 9. */
-  private def planes: Seq[Seq[Double]] =
-    (0 until 8).map(p => (0 until 64).map(d => (((p * 131 + d * 17) % 19) - 9).toDouble))
+  /** Deterministic LSH hyperplanes: w(p,d) = ((p*131 + d*17) % 19) - 9
+    * — the same formula at every plane index, so the fixed 8-plane
+    * family (x3/x8) and the corpus-scaled family (x79) draw from ONE
+    * plane sequence and the scaled signature at np = 8 is bit-identical
+    * to the fixed one. */
+  private def planes(np: Int): Seq[Seq[Double]] =
+    (0 until np).map(p => (0 until 64).map(d => (((p * 131 + d * 17) % 19) - 9).toDouble))
 
-  /** LSH signature column for a 64-dim array<double> column (shared with
-    * DedupQueries.x3, which buckets near-dup candidates on the same
-    * deterministic planes). Each plane projection runs through the
-    * native in-order DotProduct expression — same bits as the
+  /** Corpus-scaled plane count: the smallest p with 2^p >= n — buckets
+    * track the corpus (expected occupancy <= 1), so candidate volume
+    * stays ~linear per decade where a FIXED width saturates
+    * (SCALING.md measured x3's 8 planes at 17.7x/decade at sf1.0: 20k
+    * vectors crammed into 256 buckets). ~log2(n) probes per vector is
+    * the price — the multi-probe fan-out grows by ~3.3 per decade
+    * while the per-bucket quadratic term stops growing at all. Integer
+    * -exact (shift compare, no FP log) and restated verbatim in the
+    * oracle's pp CTE — KMeans.scaledK's pattern applied to the LSH
+    * family. */
+  private[llm] def scaledPlanes(n: Long): Int =
+    (1 to 62).find(p => (1L << p) >= n).get
+
+  /** LSH signature over the first `np` planes of the shared sequence
+    * (x3/x8 pass the fixed 8; x79 passes [[scaledPlanes]] of the
+    * corpus count). Each plane projection runs through the native
+    * in-order DotProduct expression — same bits as the
     * aggregate(zip_with(...)) fold it replaces (both sum in index
     * order), but codegen'd: HOFs evaluate on the shared interpreted
     * path, which degrades in long-lived JVMs (see MinHashSigs). */
-  private[llm] def lshSig(v: Column): Column =
-    (0 until 8).map { p =>
-      val dp = graft.core.Cols.dot(v, typedLit(planes(p)))
+  private[llm] def lshSigN(v: Column, np: Int): Column =
+    (0 until np).map { p =>
+      val dp = graft.core.Cols.dot(v, typedLit(planes(np)(p)))
       when(dp > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
+
+  /** The fixed 8-plane signature of the x3/x8 family. */
+  private[llm] def lshSig(v: Column): Column = lshSigN(v, 8)
 
   /** Oracle-SQL `sg` CTE computing the same signatures as `lshSig`,
     * stated as in-order list_dot_product against LITERAL weight lists —
