@@ -278,5 +278,10 @@ object Bench {
     // sbt, whose log prefixes make stdout unparseable as bare JSON.
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), line + "\n")
     spark.stop()
+    // FINAL stdout line, tagged so the driver can extract the JSON from
+    // an sbt-wrapped log without relying on the repo-side bench.json
+    // (VERDICT r10 task 5: BENCH_r{9,10}.json carried parsed: null).
+    // After spark.stop() so no listener/shutdown chatter follows it.
+    println("BENCH-JSON: " + line)
   }
 }
