@@ -63,16 +63,21 @@ object Graft {
   def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int): DataFrame =
     ops.SkewSalt.saltedCount(df, keys, saltBuckets)
 
-  /** Connected components by pointer-jumping min-label propagation:
-    * (id, lbl) with lbl = min node id of the component. The near-dup
-    * cluster resolver behind x12_dedup_clusters. Scoped: the internal
-    * label snapshot is released after the result's FIRST materialization
-    * (no per-call storage leak). A later re-materialization is still
-    * correct and stays cheap — recompute re-reads the loop's retained
-    * shuffle files rather than re-running the iteration — but callers
-    * that will act on the result many times should persist it. */
+  /** Connected components by alternating large-star/small-star
+    * contraction: (id, lbl) with lbl = min node id of the component.
+    * The near-dup cluster resolver behind x12_dedup_clusters — the
+    * edge list collapses toward a star forest each round, so dense
+    * template clusters (quadratic verified-pair sets) cost one full
+    * pass, not one per round; `ops.ConnectedComponents.minLabel` (the
+    * pointer-jumping label loop) remains available for sparse
+    * long-chain graphs. Scoped: the internal snapshot is released
+    * after the result's FIRST materialization (no per-call storage
+    * leak). A later re-materialization is still correct and stays
+    * cheap — recompute re-reads the loop's retained shuffle files
+    * rather than re-running the iteration — but callers that will act
+    * on the result many times should persist it. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
-    core.CacheScope.scoped(ops.ConnectedComponents.minLabel(nodes, edges))
+    core.CacheScope.scoped(ops.ConnectedComponents.stars(nodes, edges))
 
   /** Streaming exact dedup by event_id, state bounded by the watermark. */
   def streamDedupe(events: DataFrame): DataFrame =

@@ -502,11 +502,17 @@ object DedupQueries {
     // X12 — near-dup cluster resolution: the l2 pair set treated as an
     // undirected graph, resolved to connected components so a pipeline
     // can keep one canonical doc per near-dup cluster. Components are
-    // labeled by their minimum doc_id via iterative min-label
-    // propagation — a converging join loop, all-distributed, no
-    // driver-side union-find; rounds = O(component diameter), and
-    // near-dup clusters are shallow. The oracle states the same fixpoint
-    // as a recursive reachability CTE.
+    // labeled by their minimum doc_id via alternating large-star/
+    // small-star contraction (since round 11 — VERDICT r10 task 4):
+    // template corpora make the verified pair set QUADRATIC in cluster
+    // size (sf1.0: 22.3M edges over 36k nodes), and the old min-label
+    // loop re-joined that full edge list every round; the star loop
+    // REWRITES the edge list toward a star forest, so the dense bulk is
+    // touched once and later rounds see a collapsing set.
+    // All-distributed, no driver-side union-find, no groupByKey (each
+    // phase is reduceByKey(min) + a co-partitioned join). The oracle
+    // states the same fixpoint as a recursive reachability CTE —
+    // label-set equality is algorithm-independent.
     Q(
       "x12_dedup_clusters",
       s"""${MinHash.oracleSig(5).replaceFirst("WITH ", "WITH RECURSIVE ")},
@@ -523,7 +529,7 @@ object DedupQueries {
     ) { (spark, dir) =>
       val pairs = minhashPairs(spark, dir).select("d1", "d2")
       val nodes = MinHash.docs(spark, dir).select("doc_id")
-      graft.ops.ConnectedComponents.minLabel(nodes, pairs)
+      graft.ops.ConnectedComponents.stars(nodes, pairs)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
         .orderBy("doc_id")
@@ -563,7 +569,7 @@ object DedupQueries {
     ) { (spark, dir) =>
       val pairs = minhashPairs(spark, dir).select("d1", "d2")
       val docs = Tables(spark, dir, "documents").select("doc_id", "n_chars")
-      val cl = graft.ops.ConnectedComponents.minLabel(docs.select("doc_id"), pairs)
+      val cl = graft.ops.ConnectedComponents.stars(docs.select("doc_id"), pairs)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
@@ -627,7 +633,7 @@ object DedupQueries {
           .select(col("d1"), col("d2"), matches.as("m"))
           .filter(col("m") >= 14)
           .select("d1", "d2")
-        val cc = graft.ops.ConnectedComponents.minLabel(
+        val cc = graft.ops.ConnectedComponents.stars(
           docsDf.select("doc_id"), pairs)
         // Output: the cluster-size histogram — tiny, and the strongest
         // summary of whether the skewed bucket resolved correctly

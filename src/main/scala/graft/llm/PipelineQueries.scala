@@ -132,7 +132,7 @@ object PipelineQueries {
       // banded minhash candidates, longest member survives.
       val pairs = DedupQueries.minhashPairs(spark, dir).select("d1", "d2")
       val cl = graft.ops.ConnectedComponents
-        .minLabel(docs.select("doc_id"), pairs)
+        .stars(docs.select("doc_id"), pairs)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       val wS = Window.partitionBy("cluster_id")
         .orderBy(col("n_chars").desc, col("doc_id"))

@@ -81,6 +81,143 @@ object ConnectedComponents {
   def minLabel(nodes: DataFrame, edges: DataFrame): DataFrame =
     minLabelCounted(nodes, edges)._1
 
+  /** Alternating LARGE-STAR / SMALL-STAR connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    * — the DENSE-graph scale step (VERDICT r10 task 4). [[minLabel]]'s
+    * min-label loop re-reads the FULL edge list every round: on the
+    * near-dup graph that list is the verified pair set, which template
+    * clusters make quadratic in cluster size (sf1.0 measured 22.3M
+    * edges over 36k nodes, ~624/node), so 8 rounds each re-join 22M
+    * edges while fewer than 300 labels still change. The star
+    * algorithm REWRITES the edge list each round — large-star hangs
+    * every node's larger neighbors onto its neighborhood minimum,
+    * small-star re-points its smaller neighbors there — so a dense
+    * cluster collapses toward its star (≤ one edge per node) after
+    * the first pass and every later round touches a vanishing edge
+    * set. Same contract and return shape as [[minLabel]]; the x12/x36
+    * oracle (label-set equality) is algorithm-independent, and
+    * ConnectedComponentsSpec cross-checks the two loops node for node.
+    *
+    * Implementation notes: edges are kept CANONICAL (hi, lo), each
+    * phase is reduceByKey(min) + a co-partitioned JOIN — never a
+    * groupByKey, so a million-member cluster costs no single-task
+    * memory — followed by distinct(); convergence is detected by a
+    * per-phase rewrite accumulator (an emitted edge differing from its
+    * input), zero for both phases exactly at the star-forest fixpoint.
+    * Task retries can only overcount → at worst one extra confirming
+    * round, never a premature stop. */
+  def stars(nodes: DataFrame, edges: DataFrame): DataFrame =
+    starsCounted(nodes, edges)._1
+
+  /** As [[stars]], also returning the number of (large+small) rounds
+    * run (the last is the fixpoint-confirming one). */
+  private[graft] def starsCounted(nodes: DataFrame, edges: DataFrame): (DataFrame, Int) = {
+    var rounds = 0
+    val out = CacheScope.scoped(starsBody(nodes, edges, r => rounds = r))
+    (out, rounds)
+  }
+
+  private def starsBody(
+      nodes: DataFrame, edges: DataFrame, reportRounds: Int => Unit): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val idCol = nodes.columns.head
+    val Array(srcCol, dstCol) = edges.columns.take(2)
+    val sc = spark.sparkContext
+
+    val tFence = System.nanoTime()
+    sc.getExecutorMemoryStatus // drain the block-manager endpoint (see minLabel)
+    val fenceMs = (System.nanoTime() - tFence) / 1e6
+
+    // Canonical (hi, lo) edge set, self-loops dropped. Partition count
+    // right-sized to the measured graph exactly like minLabel's loop —
+    // the star loop's edge set only SHRINKS from here.
+    // ONE pass over the (possibly expensive) upstream edge plan: dedup
+    // wide, measure, then right-size the loop partitioner on the
+    // already-deduped set — the loop's edge set only SHRINKS from here.
+    val eWide = edges
+      .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) =>
+        if (a == b) Iterator.empty
+        else Iterator((math.max(a, b), math.min(a, b)))
+      }
+      .distinct(sc.defaultParallelism)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nEdges = eWide.count()
+    val loopN = math.max(1L, nEdges / 262144L + 1L)
+      .min(sc.defaultParallelism.toLong).toInt
+    val part = new HashPartitioner(loopN)
+    var e: RDD[(Long, Long)] = eWide.partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    eWide.unpersist(blocking = true)
+    trace(f"[cc*] init fence_ms=$fenceMs%.0f edges=$nEdges parts=$loopN")
+
+    var rounds = 0
+    var changed = nEdges > 0
+    while (changed) {
+      rounds += 1
+      val tRound = System.nanoTime()
+      val gcBefore = gcMillis()
+      val acc = sc.longAccumulator("cc-star-rewrites")
+
+      // LARGE-STAR: every node u hangs its LARGER neighbors onto
+      // m(u) = min(N(u) ∪ {u}). m via reduceByKey (map-side combined),
+      // emission via a co-partitioned join — no groupByKey, so the
+      // hottest cluster costs no single-task memory.
+      val sym = e.mapPartitions(
+        _.flatMap { case (hi, lo) => Iterator((hi, lo), (lo, hi)) })
+        .partitionBy(part)
+      val mL = sym.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .mapPartitions(_.map { case (u, mN) => (u, math.min(u, mN)) },
+          preservesPartitioning = true)
+      val eL = sym.filter { case (u, v) => v > u }
+        .join(mL)
+        .map { case (u, (v, m)) =>
+          if (m != u) acc.add(1)
+          (v, m)
+        }
+        .distinct(loopN)
+        .partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // SMALL-STAR: every node re-points its SMALLER neighbors (and
+      // itself) at their collective minimum.
+      val mS = eL.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val eS = eL.join(mS)
+        .flatMap { case (hi, (lo, m)) =>
+          if (lo == m) Iterator((hi, m))
+          else { acc.add(1); Iterator((lo, m), (hi, m)) }
+        }
+        .distinct(loopN)
+        .partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n2 = eS.count() // the round's materializing action
+      eL.unpersist(blocking = true)
+      e.unpersist(blocking = true)
+      e = eS
+      changed = acc.value > 0
+      trace(f"[cc*] round=$rounds ms=${(System.nanoTime() - tRound) / 1e6}%.0f " +
+        f"gc_ms=${gcMillis() - gcBefore} edges=$nEdges->$n2 rewrites=${acc.value}")
+      nEdges = n2
+    }
+    reportRounds(rounds)
+    trace(f"[cc*] done rounds=$rounds")
+
+    // Fixpoint: e is a star forest (member, center) with one center —
+    // the component minimum — per member. reduceByKey(min) is belt and
+    // braces; centers and singletons label themselves via the left join.
+    val labels = e.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+    val active = spark.createDataset(labels).toDF("aid", "lbl")
+    val out = nodes.select(col(idCol).cast("long").as("id"))
+      .join(active, col("id") === col("aid"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+    val last = e
+    CacheScope.release(() => { last.unpersist(false); () })
+    out
+  }
+
   /** As `minLabel`, also returning the number of rounds run (the last
     * round is the fixpoint-confirming one that changes nothing). */
   private[graft] def minLabelCounted(nodes: DataFrame, edges: DataFrame): (DataFrame, Int) = {

@@ -97,6 +97,76 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  private def runStars(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val sp = spark
+    import sp.implicits._
+    val got = ConnectedComponents.stars(nodes.toDF("id"), edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    releaseLabelSnapshots()
+    got
+  }
+
+  test("stars: chain + triangle + singletons + direction-blind, == minLabel") {
+    val nodes = Seq[Long](1, 2, 3, 4, 10, 11, 12, 20, 21)
+    val edges = Seq(2L -> 1L, 2L -> 3L, 4L -> 3L, 10L -> 11L, 11L -> 12L, 12L -> 10L)
+    val got = runStars(nodes, edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+    assert(got == run(nodes, edges))
+  }
+
+  test("stars: duplicate and self-loop edges are absorbed") {
+    val got = runStars(Seq[Long](1, 2, 3),
+      Seq(1L -> 2L, 2L -> 1L, 2L -> 2L, 2L -> 3L, 2L -> 3L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("stars: a dense clique collapses in a handful of rounds") {
+    val sp = spark
+    import sp.implicits._
+    // 200-node clique (19,900 edges) + 50 singletons: the dense-cluster
+    // shape the star loop exists for — the edge list must COLLAPSE, not
+    // be re-joined at full size every round
+    val n = 200L
+    val nodes = (0L until 250L).toDF("id")
+    val edges = (for (a <- 0L until n; b <- (a + 1) until n) yield (a, b))
+      .toDF("a", "b")
+    val (df, rounds) = ConnectedComponents.starsCounted(nodes, edges)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until n).forall(got(_) == 0L))
+    assert((n until 250L).forall(i => got(i) == i))
+    assert(rounds <= 4, s"clique should collapse almost immediately, got $rounds rounds")
+    releaseLabelSnapshots()
+  }
+
+  test("stars: 1000-node path converges and matches minLabel") {
+    val sp = spark
+    import sp.implicits._
+    val n = 1000
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (df, rounds) = ConnectedComponents.starsCounted(nodes, edges)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+    // alternating star rounds halve path depth: O(log n) in practice
+    assert(rounds <= 25, s"expected O(log n) star rounds on a path, got $rounds")
+    releaseLabelSnapshots()
+  }
+
+  test("stars == minLabel on the sf0.001 near-dup graph, node for node") {
+    val sp = spark
+    val pairs = SparkEntry.queries("l2_minhash_neardup")(sp, sf0001)
+      .select("d1", "d2")
+    val nodes = graft.core.Tables(sp, sf0001, "documents").select("doc_id")
+    val a = ConnectedComponents.minLabel(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = ConnectedComponents.stars(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty && a == b)
+    releaseLabelSnapshots()
+    sp.catalog.clearCache()
+  }
+
   test("x12 clusters are consistent with the l2 pair set on sf0.001") {
     val clusters = SparkEntry.queries("x12_dedup_clusters")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
