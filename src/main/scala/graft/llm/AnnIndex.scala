@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.core.Cols._
+import graft.core.Snapshots
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -331,8 +332,14 @@ object AnnIndex {
     Index(coarse, pq, liveCodes(spark, path))
   }
 
-  private def manifestPath(path: String, version: Int): String =
-    f"$path/manifest/v$version%05d.parquet"
+  /** This artifact's manifest coordinates for the shared versioned-
+    * snapshot layer ([[graft.core.Snapshots]] — extracted round 11 so
+    * DedupIndex shares the machinery instead of forking it): three
+    * data-file kinds, one per artifact directory. */
+  private val SnapshotDirs = Seq(
+    "centroids" -> "centroids.parquet",
+    "codes" -> "codes.parquet",
+    "tombstones" -> "tombstones.parquet")
 
   /** Record the artifact's CURRENT file sets as snapshot `version` — a
     * manifest parquet of (kind, file) rows under `{path}/manifest/`,
@@ -344,63 +351,19 @@ object AnnIndex {
     * — takedown audits ("what did the index serve last Tuesday"),
     * reproducible retrieval runs, and safe rollback after a bad batch,
     * none of which a directory-state read can answer once the
-    * directory has moved on. The manifest is bounded by FILE COUNT
-    * (one row per data file — the same driver-side manifest scale
-    * every real table format accepts); reference anchor: the
+    * directory has moved on. Paths are root-relative (b17 gates a
+    * physically relocated artifact serving its history) and the
+    * applied-epoch ledger is recorded alongside the data (ADVICE r10 —
+    * see [[graft.core.Snapshots.snapshot]]); reference anchor: the
     * produce-once/consume-downstream trace-artifact contract
     * (main.rs:17-25), here versioned. */
-  def snapshot(spark: SparkSession, path: String, version: Int): Unit = {
-    import spark.implicits._
-    // Paths are stored ARTIFACT-ROOT-RELATIVE (ADVICE r9: absolute
-    // URIs break every pinned version the moment the artifact
-    // directory relocates — including the compact pointer-swap pattern
-    // the surrounding docs recommend). loadAt resolves them against
-    // its own `path`, so a moved artifact serves its history from the
-    // new location — b17 gates exactly that.
-    def files(kind: String, dir: String): Seq[(String, String)] =
-      if (graft.core.Fs.exists(spark, dir))
-        graft.core.Fs.listDataFiles(spark, dir)
-          .map(f => (kind, graft.core.Fs.relativize(spark, path, f)))
-      else Seq.empty
-    // The applied-epoch LEDGER is versioned alongside the data (ADVICE
-    // r10: rollback used to drop a marker only when a batch DIRECTORY
-    // emptied, so legacy flat-append epochs kept stale markers and a
-    // restarted stream never re-applied deliberately-removed data).
-    // Recording the marker set lets rollback restore `_applied` to
-    // exactly the as-of state; the `meta` sentinel distinguishes "this
-    // manifest records the ledger" from a pre-ledger manifest whose
-    // empty applied set means "unknown", not "none".
-    val applied = graft.core.Fs.listMarkers(spark, s"$path/_applied")
-      .map(m => ("applied", s"_applied/$m"))
-    (files("centroids", s"$path/centroids.parquet") ++
-      files("codes", s"$path/codes.parquet") ++
-      files("tombstones", s"$path/tombstones.parquet") ++
-      applied :+ ("meta", "applied-ledger-v1"))
-      .toDF("kind", "file")
-      .coalesce(1).sortWithinPartitions("kind", "file")
-      .write.mode("overwrite").parquet(manifestPath(path, version))
-  }
+  def snapshot(spark: SparkSession, path: String, version: Int): Unit =
+    Snapshots.snapshot(spark, path, version, SnapshotDirs)
 
-  private val VersionName = """v(\d+)\.parquet""".r
-
-  /** The committed snapshot versions, ascending — one bounded
-    * listStatus of the manifest directory. Only entries matching
-    * `v{digits}.parquet` count (a stray name no longer throws —
-    * ADVICE r9), and an IN-FLIGHT snapshot write (its directory still
-    * carrying `_temporary`) is not yet a committed version. */
-  def versions(spark: SparkSession, path: String): Seq[Int] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hfs.exists(dir)) Seq.empty
-    else hfs.listStatus(dir).flatMap { st =>
-      st.getPath.getName match {
-        case VersionName(n) if !hfs.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "_temporary")) =>
-          Some(n.toInt)
-        case _ => None
-      }
-    }.sorted.toSeq
-  }
+  /** The committed snapshot versions, ascending — one bounded listing;
+    * stray names ignored, in-flight snapshot writes not yet listed. */
+  def versions(spark: SparkSession, path: String): Seq[Int] =
+    Snapshots.versions(spark, path)
 
   /** Load the index AS OF snapshot `version` — time travel. Every file
     * set comes from the manifest, NOT the directory: codes added after
@@ -410,17 +373,14 @@ object AnnIndex {
     * then the same distributed scans as [[load]] over the pinned
     * files. */
   def loadAt(spark: SparkSession, path: String, version: Int): Index = {
-    val man = spark.read.parquet(manifestPath(path, version))
-      .collect().map(r => (r.getString(0), r.getString(1)))
+    val man = Snapshots.entries(spark, path, version)
     // Manifests store root-relative paths; resolve against THIS root,
     // so a relocated artifact serves its pinned history from wherever
-    // it lives now. Absolute entries (pre-relative manifests) pass
-    // through untouched for backward compatibility.
-    def abs(file: String): String =
-      if (file.startsWith("/") || file.contains(":/")) file
-      else s"$path/$file"
+    // it lives now (legacy absolute entries pass through).
     def files(kind: String): Seq[String] =
-      man.collect { case (k, file) if k == kind => abs(file) }.toSeq
+      man.collect { case (k, file) if k == kind =>
+        Snapshots.resolve(path, file)
+      }
     val (coarse, pq) = codebooks(spark.read.parquet(files("centroids"): _*))
     val codeFiles = files("codes")
     // A CELL-PARTITIONED generation ([[compactPartitioned]]) keeps the
@@ -472,67 +432,8 @@ object AnnIndex {
     * bounded manifest collect per retained version + one recursive
     * listing + per-file deletes — tracks FILE COUNT, never data
     * volume. */
-  def rollback(spark: SparkSession, path: String, toVersion: Int): Unit = {
-    val vs = versions(spark, path)
-    require(vs.contains(toVersion), s"no committed snapshot v$toVersion at $path")
-    // the keep-set, in root-relative coordinates (legacy absolute
-    // manifest entries are relativized; they must be under this root)
-    val keep: Set[String] = vs.filter(_ <= toVersion).flatMap { v =>
-      spark.read.parquet(manifestPath(path, v)).collect().map { r =>
-        val f = r.getString(1)
-        if (f.startsWith("/") || f.contains(":/"))
-          graft.core.Fs.relativize(spark, path, f)
-        else f
-      }
-    }.toSet
-    Seq("centroids.parquet", "codes.parquet", "tombstones.parquet")
-      .foreach { dirName =>
-        val dir = s"$path/$dirName"
-        if (graft.core.Fs.exists(spark, dir)) {
-          graft.core.Fs.listDataFiles(spark, dir).foreach { f =>
-            if (!keep(graft.core.Fs.relativize(spark, path, f)))
-              graft.core.Fs.delete(spark, f)
-          }
-          // a batch dir emptied of data files is gone — and its epoch
-          // marker with it, so the epoch can legitimately re-apply
-          graft.core.Fs.listBatchDirs(spark, dir).foreach { b =>
-            if (graft.core.Fs.listDataFiles(spark, s"$dir/$b").isEmpty) {
-              graft.core.Fs.delete(spark, s"$dir/$b")
-              graft.core.Fs.delete(spark, s"$path/_applied/$b")
-            }
-          }
-          // an artifact dir emptied of data files is gone outright
-          // (an empty parquet dir would fail schema inference on load)
-          if (graft.core.Fs.listDataFiles(spark, dir).isEmpty)
-            graft.core.Fs.delete(spark, dir)
-        }
-      }
-    // Restore the applied-epoch ledger to its as-of state when the
-    // target manifest records it (the `meta` sentinel — manifests
-    // written since the ledger was versioned). This is what makes
-    // rollback's 'rolled-back epochs SHOULD re-apply' contract hold for
-    // FLAT-append epochs too (ADVICE r10): their data files leave no
-    // batch directory behind, so the old dir-emptied heuristic never
-    // dropped their markers. For a legacy manifest without the
-    // sentinel the batch-dir heuristic above remains the only marker
-    // cleanup — restoring to an unrecorded set could drop markers of
-    // surviving flat epochs and double-apply them on replay.
-    val manRows = spark.read.parquet(manifestPath(path, toVersion))
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    if (manRows.contains(("meta", "applied-ledger-v1"))) {
-      val recorded = manRows.collect {
-        case ("applied", f) => f.stripPrefix("_applied/")
-      }.toSet
-      val current = graft.core.Fs.listMarkers(spark, s"$path/_applied")
-      current.filterNot(recorded)
-        .foreach(m => graft.core.Fs.delete(spark, s"$path/_applied/$m"))
-      recorded.diff(current.toSet)
-        .foreach(m => graft.core.Fs.touch(spark, s"$path/_applied/$m"))
-    }
-    vs.filter(_ > toVersion)
-      .foreach(v => graft.core.Fs.delete(spark, manifestPath(path, v)))
-    graft.core.Fs.delete(spark, s"$path/_staging")
-  }
+  def rollback(spark: SparkSession, path: String, toVersion: Int): Unit =
+    Snapshots.rollback(spark, path, toVersion, SnapshotDirs.map(_._2))
 
   /** EXPIRE snapshot history older than the last `keepLast` versions —
     * the retention/vacuum side of the snapshot layer (VERDICT r10 task
@@ -558,40 +459,9 @@ object AnnIndex {
     * both behaviors. Cost: one bounded manifest collect per version —
     * tracks file count, never data volume. No `_staging` sweep: expire
     * may run beside a live writer whose staged work is in flight. */
-  def expire(spark: SparkSession, path: String, keepLast: Int): Unit = {
-    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val vs = versions(spark, path)
-    if (vs.length <= keepLast) return
-    val (expired, retained) = vs.splitAt(vs.length - keepLast)
-    def fileSet(v: Int): Set[String] =
-      spark.read.parquet(manifestPath(path, v)).collect().flatMap { r =>
-        (r.getString(0), r.getString(1)) match {
-          case ("centroids" | "codes" | "tombstones", f) =>
-            Some(if (f.startsWith("/") || f.contains(":/"))
-              graft.core.Fs.relativize(spark, path, f)
-            else f)
-          case _ => None
-        }
-      }.toSet
-    val keep = retained.flatMap(fileSet).toSet
-    expired.flatMap(fileSet).toSet.diff(keep)
-      .foreach(f => graft.core.Fs.delete(spark, s"$path/$f"))
-    Seq("centroids.parquet", "codes.parquet", "tombstones.parquet")
-      .foreach { dirName =>
-        val dir = s"$path/$dirName"
-        if (graft.core.Fs.exists(spark, dir)) {
-          graft.core.Fs.listBatchDirs(spark, dir).foreach { b =>
-            if (graft.core.Fs.listDataFiles(spark, s"$dir/$b").isEmpty) {
-              graft.core.Fs.delete(spark, s"$dir/$b")
-              graft.core.Fs.delete(spark, s"$path/_applied/$b")
-            }
-          }
-          if (graft.core.Fs.listDataFiles(spark, dir).isEmpty)
-            graft.core.Fs.delete(spark, dir)
-        }
-      }
-    expired.foreach(v => graft.core.Fs.delete(spark, manifestPath(path, v)))
-  }
+  def expire(spark: SparkSession, path: String, keepLast: Int): Unit =
+    Snapshots.expire(spark, path, keepLast,
+      SnapshotDirs.map(_._1).toSet, SnapshotDirs.map(_._2))
 
   /** x33's cell-pruned reconstruction-cosine top-5 search, run
     * entirely from index artifacts: the database side is the CODED

@@ -59,6 +59,27 @@ object CurationQueries {
        |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
        |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** b23/b24's oracle: x24's snapshot dedup against ONLY the v1 base
+    * (doc_id % 4 < 2) — the state the dedup index was in when snapshot
+    * v1 was taken, before the % 4 = 2 append and the % 5 = 4 takedown
+    * landed. A pinned read (b23) and a rolled-back directory read
+    * (b24) must BOTH give this answer while the directory physically
+    * holds (b23) or held (b24) a later, different-answering
+    * generation: post-snapshot appends must be invisible and
+    * post-snapshot tombstones must NOT mask. */
+  private[llm] def baseOnlyDedupSql: String =
+    s"""${MinHash.oracleSig(5)},
+       |${DedupQueries.agreeSql},
+       |near AS (SELECT DISTINCT CASE WHEN d1 % 4 = 3 THEN d1 ELSE d2 END AS doc_id
+       |         FROM agree WHERE matches >= 14 AND ((d1 % 4 = 3) <> (d2 % 4 = 3))
+       |           AND (CASE WHEN d1 % 4 = 3 THEN d2 ELSE d1 END) % 4 < 2),
+       |b AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 < 2),
+       |nw AS (SELECT doc_id, lang, sha256(text) AS h FROM documents WHERE doc_id % 4 = 3)
+       |SELECT lang, count(*) AS n_new,
+       |  CAST(SUM(CASE WHEN h IN (SELECT h FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
+       |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[llm] def snapshotDedupSql(extraCte: String, extraSelect: String): String =
     s"""${MinHash.oracleSig(5)},
        |${DedupQueries.agreeSql},
@@ -330,6 +351,70 @@ object CurationQueries {
       DedupIndex.delete(spark,
         docs.filter(col("doc_id") % 4 =!= 3 && col("doc_id") % 5 === 4)
           .select("doc_id"), path)
+      DedupIndex.dedupBatch(docs.filter(col("doc_id") % 4 === 3),
+        DedupIndex.load(spark, path))
+    },
+
+    // B23 — DEDUP-INDEX TIME TRAVEL: the versioned-manifest layer the
+    // ANN index earned across rounds 9-10 (snapshot/loadAt, b16/b17),
+    // now on the dedup artifact through the SAME shared machinery
+    // (core.Snapshots — extracted round 11, not forked). Why a dedup
+    // index needs pinned reads: dedup decisions are training-run
+    // PROVENANCE — "which documents did Tuesday's ingest suppress,
+    // against which index state" must stay answerable after the index
+    // has grown and absorbed takedowns. The chain: base built and
+    // snapshotted (v1), then the artifact moves on — an append AND a
+    // takedown, snapshotted as v2 — and today's batch is deduplicated
+    // against loadAt(v1). The gate is x24's dedup restated over ONLY
+    // the v1 base: post-snapshot rows must be invisible and
+    // post-snapshot tombstones must NOT mask (the audit point — the
+    // pinned answer differs from the live directory's on both counts).
+    // SCALE SHAPE: one bounded manifest collect, then b13's exact
+    // serving plan over the pinned file set.
+    Q(
+      "b23_dedup_index_pinned_read", baseOnlyDedupSql
+    ) { (spark, dir) =>
+      val docs = Tables.fanOut(Tables(spark, dir, "documents"))
+      val path = graft.streaming.TempWork.dir("graft_b23_dedupidx")
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 < 2)), path)
+      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 2)), path)
+      DedupIndex.delete(spark,
+        docs.filter(col("doc_id") % 4 =!= 3 && col("doc_id") % 5 === 4)
+          .select("doc_id"), path)
+      DedupIndex.snapshot(spark, path, 2)
+      DedupIndex.dedupBatch(docs.filter(col("doc_id") % 4 === 3),
+        DedupIndex.loadAt(spark, path, 1))
+    },
+
+    // B24 — DEDUP-INDEX ROLLBACK: the recovery move after a bad ingest,
+    // b19's contract on the dedup artifact (shared core.Snapshots
+    // path). The injected damage is chosen to be answer-FATAL if the
+    // rollback under-deletes or over-deletes: (a) a mis-routed junk
+    // append that indexes the incoming batch slice ITSELF — served
+    // un-rolled-back, every batch doc exact-dups its own index row, so
+    // n_exact_dup saturates to n_new; (b) an over-broad takedown
+    // tombstoning every even doc_id — served masked, half the base's
+    // dedup evidence vanishes. rollback(v1) physically deletes the junk
+    // rows (unreferenced by v1's manifest), removes the tombstone
+    // artifact outright (v1 recorded none), and the DIRECTORY read —
+    // load, not loadAt — must then give the v1 base-only answer
+    // bit-exactly. Cost tracks file count, never data volume.
+    Q(
+      "b24_dedup_index_rollback", baseOnlyDedupSql
+    ) { (spark, dir) =>
+      val docs = Tables.fanOut(Tables(spark, dir, "documents"))
+      val path = graft.streaming.TempWork.dir("graft_b24_dedupidx")
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 < 2)), path)
+      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 3)), path)
+      DedupIndex.delete(spark,
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id"), path)
+      DedupIndex.rollback(spark, path, 1)
       DedupIndex.dedupBatch(docs.filter(col("doc_id") % 4 === 3),
         DedupIndex.load(spark, path))
     },

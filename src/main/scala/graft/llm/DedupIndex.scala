@@ -182,6 +182,77 @@ object DedupIndex {
     graft.core.Fs.copyAppliedLedger(spark, from, to, "rows.parquet")
   }
 
+  /** This artifact's manifest coordinates for the shared versioned-
+    * snapshot layer ([[graft.core.Snapshots]]): two data-file kinds —
+    * the signature rows and the id-only tombstones. */
+  private val SnapshotDirs = Seq(
+    "rows" -> "rows.parquet",
+    "tombstones" -> "tombstones.parquet")
+
+  /** Record the artifact's CURRENT file sets as snapshot `version` —
+    * AnnIndex.snapshot's contract on the dedup artifact, same shared
+    * machinery: every mutation here is append-only (save/compact write
+    * NEW directories; append/commitBatch add row files; delete adds
+    * tombstone files), so a version's recorded files stay on disk
+    * untouched as later versions accumulate and [[loadAt]] can serve
+    * any pinned state. Why a DEDUP index needs time travel: dedup
+    * decisions are part of a training run's provenance — "which
+    * documents did yesterday's ingest suppress, against which index
+    * state" must be answerable after the index has grown and absorbed
+    * takedowns (a reproducibility/audit demand, not a serving one).
+    * Root-relative paths + the applied-epoch ledger sentinel, per
+    * [[graft.core.Snapshots.snapshot]]. */
+  def snapshot(spark: SparkSession, path: String, version: Int): Unit =
+    graft.core.Snapshots.snapshot(spark, path, version, SnapshotDirs)
+
+  /** The committed snapshot versions, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Int] =
+    graft.core.Snapshots.versions(spark, path)
+
+  /** Load the index AS OF snapshot `version` — time travel. File sets
+    * come from the manifest, NOT the directory: rows appended after the
+    * snapshot are invisible, and tombstones written after it do NOT
+    * mask (a v1 read serves dedup evidence for a document v2 deleted —
+    * that is the audit point; b23 gates it against a base-only
+    * oracle while the directory holds a later generation with appends
+    * AND deletes). One bounded manifest collect, then the same
+    * distributed scans as [[load]] over the pinned files. */
+  def loadAt(spark: SparkSession, path: String, version: Int): DataFrame = {
+    val man = graft.core.Snapshots.entries(spark, path, version)
+    def files(kind: String): Seq[String] =
+      man.collect { case (k, file) if k == kind =>
+        graft.core.Snapshots.resolve(path, file)
+      }
+    val rows = spark.read.parquet(files("rows"): _*)
+    val tombs = files("tombstones")
+    if (tombs.isEmpty) rows
+    else rows.join(
+      broadcast(spark.read.parquet(tombs: _*).distinct()),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** ROLL BACK the artifact to snapshot `toVersion` — the recovery
+    * move after a bad ingest (a mis-parsed crawl slice whose garbage
+    * signatures suppress nothing or everything, an over-broad
+    * takedown): every row/tombstone file not referenced by a manifest
+    * ≤ `toVersion` is deleted, newer manifests drop, the applied-epoch
+    * ledger is restored to its as-of state, and rolled-back epochs
+    * re-apply if a restarted stream re-delivers them. Shared contract
+    * and rationale: [[graft.core.Snapshots.rollback]]; b24 gates the
+    * restored directory read against the same base-only oracle that
+    * gates the pinned read. */
+  def rollback(spark: SparkSession, path: String, toVersion: Int): Unit =
+    graft.core.Snapshots.rollback(spark, path, toVersion, SnapshotDirs.map(_._2))
+
+  /** EXPIRE snapshot history older than the last `keepLast` versions —
+    * retention/vacuum ([[graft.core.Snapshots.expire]]): drops the
+    * oldest manifests and reclaims files referenced by no retained
+    * one; the current state is untouched by construction. Spec-gated
+    * (DedupIndexSpec): the behavior is b22's, hash-gated there on the
+    * ANN artifact through the same shared code path. */
+  def expire(spark: SparkSession, path: String, keepLast: Int): Unit =
+    graft.core.Snapshots.expire(spark, path, keepLast,
+      SnapshotDirs.map(_._1).toSet, SnapshotDirs.map(_._2))
 
   /** Dedup an incoming batch (doc_id, lang, text) against a LOADED
     * index: per language, how many incoming docs are exact duplicates

@@ -226,6 +226,79 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally rmrf(path)
   }
 
+  test("snapshot/loadAt: pinned version ignores later appends AND tombstones") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_snap").toString
+    try {
+      val base = docs.filter(col("doc_id") % 4 < 2)
+      DedupIndex.save(spark, DedupIndex.index(base), path)
+      DedupIndex.snapshot(spark, path, 1)
+      val v1 = DedupIndex.load(spark, path).orderBy("doc_id").collect()
+      // the artifact moves on: an append and a takedown
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 2)), path)
+      DedupIndex.delete(spark,
+        base.filter(col("doc_id") % 5 === 4).select("doc_id"), path)
+      DedupIndex.snapshot(spark, path, 2)
+      assert(DedupIndex.versions(spark, path) == Seq(1, 2))
+      // v1 pinned: appended rows invisible, tombstones do NOT mask
+      val at1 = DedupIndex.loadAt(spark, path, 1).orderBy("doc_id").collect()
+      assert(at1.toSeq == v1.toSeq && v1.nonEmpty)
+      // v2 pinned == current directory state (masked)
+      val at2 = DedupIndex.loadAt(spark, path, 2).orderBy("doc_id").collect()
+      val live = DedupIndex.load(spark, path).orderBy("doc_id").collect()
+      assert(at2.toSeq == live.toSeq)
+      assert(at2.length > v1.length) // append outweighs the takedown
+    } finally rmrf(path)
+  }
+
+  test("rollback physically restores v1: junk rows gone, tombstones gone") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_rb").toString
+    try {
+      val base = docs.filter(col("doc_id") % 4 < 2)
+      DedupIndex.save(spark, DedupIndex.index(base), path)
+      DedupIndex.snapshot(spark, path, 1)
+      val v1 = DedupIndex.load(spark, path).orderBy("doc_id").collect()
+      // the damage: a mis-routed junk append + an over-broad takedown
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 3)), path)
+      DedupIndex.delete(spark,
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id"), path)
+      DedupIndex.rollback(spark, path, 1)
+      val restored = DedupIndex.load(spark, path).orderBy("doc_id").collect()
+      assert(restored.toSeq == v1.toSeq && v1.nonEmpty)
+      // physical: the tombstone artifact is gone outright (v1 had none)
+      assert(!graft.core.Fs.exists(spark, s"$path/tombstones.parquet"))
+      assert(DedupIndex.versions(spark, path) == Seq(1))
+    } finally rmrf(path)
+  }
+
+  test("expire keeps the last N versions' files and the current state") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_exp").toString
+    try {
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 0)), path)
+      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 1)), path)
+      DedupIndex.snapshot(spark, path, 2)
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 4 === 2)), path)
+      DedupIndex.snapshot(spark, path, 3)
+      val at3 = DedupIndex.loadAt(spark, path, 3).orderBy("doc_id").collect()
+      val live = DedupIndex.load(spark, path).orderBy("doc_id").collect()
+      DedupIndex.expire(spark, path, keepLast = 2)
+      assert(DedupIndex.versions(spark, path) == Seq(2, 3))
+      // retained pinned reads and the current state are untouched
+      // (append-only history: v1's files are all referenced by v2/v3,
+      // so the subtraction reclaims only manifest history here)
+      assert(DedupIndex.loadAt(spark, path, 3).orderBy("doc_id")
+        .collect().toSeq == at3.toSeq)
+      assert(DedupIndex.load(spark, path).orderBy("doc_id")
+        .collect().toSeq == live.toSeq)
+      intercept[Exception](DedupIndex.loadAt(spark, path, 1).collect())
+    } finally rmrf(path)
+  }
+
   test("b13/b14 artifact paths and in-plan x24 agree row for row") {
     val x24 = SparkEntry.queries("x24_snapshot_dedup")(spark, sf0001)
       .collect().toSeq
