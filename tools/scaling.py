@@ -319,6 +319,44 @@ COMMENTARY = """\
   weight join — the bigram explode is the data term) plus x77's
   TopKPerKey draw: the row tracks x57's curve with the sampler adding
   k-rows-per-stratum shuffle only.
+
+- **Round-11: the CC family switched algorithms (x12/x36/x38, and
+  x21's in-plan resolver).** Cluster resolution moved from
+  pointer-jumping min-label propagation to alternating large-star/
+  small-star contraction (ops/ConnectedComponents.stars — Kiveris et
+  al., SoCC'14). The structural difference the curve should show: the
+  min-label loop RE-JOINED the full verified-pair edge list every
+  round (sf1.0: 22.3M edges over 36k nodes — template corpora make
+  the pair set quadratic in cluster size, and 8 rounds each re-paid
+  the dense bulk); the star loop REWRITES the edge list toward a star
+  forest, so the dense bulk is touched once and later rounds see a
+  collapsing set (measured at sf1.0: 11.2M canonical edges -> 45k
+  after one large+small pass, fixpoint in 5 rounds). Both are
+  reduceByKey(min) + co-partitioned joins — no groupByKey, no
+  single-task cluster-size memory; the x12/x36 label-set oracle is
+  algorithm-independent, so the gates pin equality while the curve
+  measures the rewrite's effect.
+
+- **Round-11 rows (b20-b24, x79).** b20/b21 are the dedup-index
+  tombstone pair: b14's corpus-linear build/append plus an id-only
+  tombstone append (bounded by deletes), then either a compaction
+  rewrite (b20 — one pass over the surviving rows, the b6/b10 layout
+  cost) or a masked serve (b21 — one broadcast anti-join on top of
+  b14's plan), so both rows track b14's curve with a layout- or
+  broadcast-sized increment. b23/b24 are the snapshot layer on the
+  dedup artifact (shared core.Snapshots): manifest operations are
+  bounded by FILE COUNT — snapshot is a listing + one tiny parquet
+  write, loadAt a bounded collect + the same pruned scans as load,
+  rollback a per-file delete sweep — so both rows are b13's serving
+  cost plus metadata-time overhead at every sf; the junk-append
+  encode in b24 is the same linear term as b14's append. x79 is x3's
+  SRP-LSH near-dup with plane count scaled ~log2(n) (scaledPlanes,
+  restated in the oracle): where x3's FIXED 8-bit signature width
+  saturates (256 buckets can't keep per-bucket occupancy bounded as
+  the corpus grows — its ratio is the suite's documented contrast
+  case), x79 adds a plane per doubling so expected bucket occupancy
+  stays ~constant and the verify join's candidate volume tracks the
+  corpus, not its square.
 """
 
 
