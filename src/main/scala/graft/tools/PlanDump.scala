@@ -134,7 +134,15 @@ object PlanDump {
     // per input partition, no corpus-sized sort anywhere. (s17 is
     // absent like s14/s15: its builder runs real stream lifecycles
     // eagerly; the serve plan it ends in is x76's.)
-    "x76_cms_frequency", "x77_priority_sample")
+    "x76_cms_frequency", "x77_priority_sample",
+    // round 11: b23's pinned dedup-index serve — b16's time-travel
+    // claim on the second artifact through the shared core.Snapshots
+    // layer: the rows scans read the v1 MANIFEST's file list, so the
+    // post-snapshot append batch and the tombstone artifact (both
+    // physically present in the directory) appear nowhere in the
+    // plan — no anti-join node at all, because v1 recorded no
+    // tombstones and loadAt masks only what the pinned version knew.
+    "b23_dedup_index_pinned_read")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
