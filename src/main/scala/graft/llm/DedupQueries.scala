@@ -535,6 +535,81 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // X80 — INCREMENTAL cluster maintenance: x12's answer produced the
+    // way a daily-ingest pipeline actually produces it (round-11
+    // follow-through on the star-CC switch). x12 recomputes the full
+    // corpus pair set per run — at 100 TB nobody re-pairs yesterday's
+    // corpus to admit today's batch. This row maintains the clusters:
+    // yesterday's state is its LABEL FOREST (one (id, lbl) edge per
+    // non-canonical doc — n edges, NOT the quadratic verified-pair
+    // set, and exactly what x12 persists), today's batch (doc_id % 3 =
+    // 2) contributes only the pairs that INVOLVE it — asymmetric
+    // banding, batch keys x corpus keys, so candidate volume scales
+    // with the batch (DedupIndex.dedupBatch's contract) — and the star
+    // loop re-runs over forest ∪ batch-pairs. Connectivity of (old
+    // pairs ∪ batch pairs) equals connectivity of (old star forest ∪
+    // batch pairs) — the forest has the same components over old docs
+    // by construction — so the maintained labels EQUAL the full
+    // recompute's, and the gate is x12's VERBATIM full-corpus oracle:
+    // the incremental path must be answer-invisible. SCALE SHAPE:
+    // per-ingest cost = one batch text scan + the asymmetric band join
+    // + verify + a star loop whose old-side input is already a star
+    // forest (collapsed in one round); the old corpus's dense pair
+    // bulk is never touched again. (Yesterday's labels are recomputed
+    // in-run here to keep the gated row self-contained — a deployment
+    // reads them from the x12 artifact.)
+    Q(
+      "x80_incremental_clusters",
+      s"""${MinHash.oracleSig(5).replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$agreeSql,
+         |pairs AS (SELECT d1, d2 FROM agree WHERE matches >= 14),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+         |SELECT doc_id, min(r) AS cluster_id,
+         |  CAST(CASE WHEN doc_id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val docs = MinHash.docs(spark, dir)
+      val isNew = col("doc_id") % 3 === 2
+      val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(
+        MinHash.shingleSets(docs, 5).filter(col("c") > 0)))
+      val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
+      val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
+      val matches = (0 until 16)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      def verified(cand: DataFrame): DataFrame = cand
+        .join(s1, col("d1") === col("s1_doc"))
+        .join(s2, col("d2") === col("s2_doc"))
+        .select(col("d1"), col("d2"), matches.as("m"))
+        .filter(col("m") >= 14)
+        .select("d1", "d2")
+      // yesterday's state: the label forest over the old corpus
+      val oldPairs = verified(
+        MinHash.candidatesPaired(sig.filter(col("doc_id") % 3 =!= 2)))
+      val forest = graft.ops.ConnectedComponents
+        .stars(docs.filter(!isNew).select("doc_id"), oldPairs)
+        .filter(col("id") =!= col("lbl"))
+        .select(col("id").as("d1"), col("lbl").as("d2"))
+      // today's ingest: candidates involving the batch only
+      val newKeys = MinHash.bandPairKeys(sig.filter(isNew))
+        .toDF("d1", "bp", "k")
+      val allKeys = MinHash.bandPairKeys(sig).toDF("d2", "bp2", "k2")
+      val batchPairs = verified(
+        newKeys.join(allKeys,
+          col("bp") === col("bp2") && col("k") === col("k2") &&
+            col("d1") =!= col("d2"))
+          .select("d1", "d2").distinct())
+      graft.ops.ConnectedComponents
+        .stars(docs.select("doc_id"), forest.union(batchPairs))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+
     // X36 — canonical-doc selection: the step that makes dedup a
     // PIPELINE rather than a report. x12 identifies near-dup clusters;
     // x36 chooses each cluster's survivor — the longest member

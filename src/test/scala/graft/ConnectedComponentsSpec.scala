@@ -167,6 +167,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     sp.catalog.clearCache()
   }
 
+  test("x80 incremental maintenance == x12 full recompute on sf0.001") {
+    // the whole incremental claim: forest ∪ batch-pairs must label
+    // every doc exactly as the full-corpus recompute does
+    val full = SparkEntry.queries("x12_dedup_clusters")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = SparkEntry.queries("x80_incremental_clusters")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.nonEmpty && inc == full)
+    releaseLabelSnapshots()
+    spark.catalog.clearCache()
+  }
+
   test("x12 clusters are consistent with the l2 pair set on sf0.001") {
     val clusters = SparkEntry.queries("x12_dedup_clusters")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
