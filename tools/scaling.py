@@ -365,6 +365,20 @@ COMMENTARY = """\
   corpus, not its square. Measured at the top step: x79 2.94x per 10x
   data against x3's 15.6x on the same corpus and the same verify
   threshold — the fixed-width flag, retired by construction.
+
+- **x80_incremental_clusters (round 11, --only merge).** x12's answer
+  produced as a daily-ingest pipeline produces it: yesterday's label
+  FOREST (linear in docs) plus only the pairs involving today's batch
+  (asymmetric banding — batch keys x corpus keys), re-starred; gated
+  against x12's verbatim full-corpus oracle. The row's in-suite cost
+  is DELIBERATELY not x12's: it pays the full sig scan, the old-side
+  pair set (recomputed in-run to stay self-contained — a deployment
+  reads the x12 artifact instead), the asymmetric batch join, AND two
+  star loops, so it runs ~2-4x x12 at every sf. What the curve is for:
+  the INCREMENTAL component — batch banding + verify + a star loop
+  whose old side is one already-collapsed forest round — tracks the
+  batch, so the decade ratio should sit at or below x12's even while
+  the row carries the extra self-containment work.
 """
 
 
