@@ -880,8 +880,167 @@ object CurationQueries {
           sum("n_phone").cast("long").as("phones"),
           sum(length(col("t")) - length(col("clean"))).cast("long").as("chars_redacted"))
         .orderBy("lang")
-    }
+    },
+
+    // X82 — QUALITY-CLASSIFIER TRAINING: a fastText-shaped linear spam
+    // classifier trained with full-batch gradient descent entirely
+    // inside the engine, in exact integer fixed point — the
+    // trained-model analogue of x29/x30/x46 (k-means, BPE, bigram LM):
+    // the TRAINING ALGORITHM is the operator under test and the oracle
+    // replays every epoch as CTEs, so the learned weights and the
+    // learning CURVE are hash-gated, not just asserted. FIXTURE
+    // (x58/x21 discipline): the corpus carries no spam, so a planted
+    // one is injected IN-PLAN identically in both engines — doc_id % 5
+    // docs get a 3x-repeated 8-token boilerplate appended; the label is
+    // the plant, the FEATURES are generic quality stats (duplicate-
+    // bigram ppt, en-stopword ppt, capped token count) that the plant
+    // only shifts statistically, so the model has to LEARN the
+    // boundary (epoch 1 predicts the majority class; recall climbs to
+    // ~1 by epoch 3 with ~0 false positives — the spec pins the
+    // trajectory). ARITHMETIC: features are mean-centered (integer
+    // means) and x20-scaled; logit z = (w·x) DIV 1000 in micro-units;
+    // hard-sigmoid p = clamp(z DIV 4 + 500000, 0, 10^6); error
+    // e = p − y·10^6; gradient g_j = Σ e·x_j (exact BIGINT — |e·x| ≤
+    // 2·10^10 per row, safe past 10^8 docs; rescale e DIV 10 beyond);
+    // update w_j ← w_j − g_j DIV (n·50) for the bias, DIV (n·1000) for
+    // the x20-scaled features. Both engines' DIV truncates toward
+    // zero, so every epoch is bit-identical. SCALE SHAPE: one linear
+    // feature-extraction pass (native token-bigram expr, no explode),
+    // cached; then 7 one-row aggregates over it (epoch k's gradient
+    // pass also scores epoch k-1's confusion — fused, KMeans-style
+    // driver loop holding only the 4-weight vector). Output: 6 rows
+    // (epoch, w0..w3, tp, fp, fn, tn), all BIGINT.
+    Q(
+      "x82_quality_classifier", {
+        val spamSql = ClassifierSpam.replaceAll("'", "''")
+        val stop = TextQueries.sqlList(TextQueries.stopEn)
+        val epochs = (1 to ClassifierEpochs).map { k =>
+          s"""e$k AS (SELECT y, c1, c2, c3,
+             |    LEAST(1000000, GREATEST(0,
+             |      ((w.w0*1000 + w.w1*c1 + w.w2*c2 + w.w3*c3) // 1000) // 4 + 500000))
+             |      - y*1000000 AS e
+             |  FROM f CROSS JOIN w${k - 1} w),
+             |g$k AS (SELECT CAST(SUM(e) AS BIGINT)*1000 AS g0,
+             |    CAST(SUM(e*c1) AS BIGINT) AS g1, CAST(SUM(e*c2) AS BIGINT) AS g2,
+             |    CAST(SUM(e*c3) AS BIGINT) AS g3 FROM e$k),
+             |w$k AS (SELECT w.w0 - g.g0 // (mn.n*50) AS w0,
+             |    w.w1 - g.g1 // (mn.n*1000) AS w1,
+             |    w.w2 - g.g2 // (mn.n*1000) AS w2,
+             |    w.w3 - g.g3 // (mn.n*1000) AS w3
+             |  FROM w${k - 1} w CROSS JOIN g$k g CROSS JOIN mn),
+             |z$k AS (SELECT f.y,
+             |    (w.w0*1000 + w.w1*c1 + w.w2*c2 + w.w3*c3) // 1000 AS z
+             |  FROM f CROSS JOIN w$k w),
+             |p$k AS (SELECT CAST($k AS BIGINT) AS epoch, w.w0, w.w1, w.w2, w.w3,
+             |    s.tp, s.fp, s.fn, s.tn FROM w$k w CROSS JOIN
+             |   (SELECT CAST(SUM(CASE WHEN y=1 AND z>=0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |      CAST(SUM(CASE WHEN y=0 AND z>=0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |      CAST(SUM(CASE WHEN y=1 AND z<0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             |      CAST(SUM(CASE WHEN y=0 AND z<0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             |    FROM z$k) s)""".stripMargin
+        }.mkString(",\n")
+        val union = (1 to ClassifierEpochs).map(k => s"SELECT * FROM p$k")
+          .mkString(" UNION ALL ")
+        s"""WITH d AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0 THEN text || '$spamSql' ELSE text END AS text,
+           |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS y FROM documents),
+           |t AS (SELECT doc_id, y,
+           |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM d),
+           |b AS (SELECT doc_id, y, toks,
+           |    [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS bgs FROM t),
+           |f0 AS (SELECT doc_id, y,
+           |    (1000*(len(bgs) - len(list_distinct(bgs)))) // greatest(len(bgs), 1) AS x1,
+           |    (1000*len(list_filter(toks, x -> x IN ($stop)))) // greatest(len(toks), 1) AS x2,
+           |    least(len(toks), 1000) AS x3 FROM b),
+           |mn AS (SELECT CAST(SUM(x1) AS BIGINT) // count(*) AS m1,
+           |    CAST(SUM(x2) AS BIGINT) // count(*) AS m2,
+           |    CAST(SUM(x3) AS BIGINT) // count(*) AS m3,
+           |    CAST(count(*) AS BIGINT) AS n FROM f0),
+           |f AS (SELECT y, 20*(x1 - m1) AS c1, 20*(x2 - m2) AS c2,
+           |    20*(x3 - m3) AS c3 FROM f0 CROSS JOIN mn),
+           |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+           |    CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+           |$epochs
+           |SELECT epoch, w0, w1, w2, w3, tp, fp, fn, tn FROM ($union)
+           |ORDER BY epoch""".stripMargin
+      }
+    ) { (spark, dir) => trainClassifier(spark, dir) }
   )
+
+  /** x82's planted boilerplate (3 repeats of an 8-token phrase — high
+    * duplicate-bigram ratio, zero en-stopwords) and epoch count.
+    * (defs, not vals: referenced while the registry Seq above is still
+    * initializing — a val here would read as null at that point.) */
+  private[llm] def ClassifierSpam: String =
+    " buy now click here free offer limited deal" * 3
+  private[llm] def ClassifierEpochs = 6
+
+  /** x82's engine path — also exercised head-to-head by the spec. */
+  private[llm] def trainClassifier(
+      spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions
+    val planted = col("doc_id") % 5 === 0
+    val f0 = Tables.fanOut(Tables(spark, dir, "documents"))
+      .select(col("doc_id"),
+        when(planted, concat(col("text"), lit(ClassifierSpam)))
+          .otherwise(col("text")).as("text"),
+        when(planted, 1L).otherwise(0L).as("y"))
+      .select(col("y"), wsTokens(col("text")).as("toks"))
+      .select(col("y"), col("toks"),
+        ShingleExpressions.tokenNgrams(col("toks"), 2).as("bgs"))
+      .select(col("y"),
+        size(col("toks")).cast("long").as("ntok"),
+        size(filter(col("toks"),
+          x => x.isin(TextQueries.stopEn: _*))).cast("long").as("nstop"),
+        size(col("bgs")).cast("long").as("nbg"),
+        size(array_distinct(col("bgs"))).cast("long").as("ndbg"))
+      .select(col("y"),
+        expr("(1000 * (nbg - ndbg)) DIV greatest(nbg, 1)").as("x1"),
+        expr("(1000 * nstop) DIV greatest(ntok, 1)").as("x2"),
+        least(col("ntok"), lit(1000L)).as("x3"))
+    // integer feature means — one bounded row to the driver (the
+    // KMeans-loop precedent: driver state is the model, never the data)
+    val mr = f0.agg(sum("x1"), sum("x2"), sum("x3"), count(lit(1))).head()
+    val n = mr.getLong(3)
+    val m = (0 to 2).map(j => mr.getLong(j) / n)
+    val cf = CacheScope.cacheEager(f0.select(col("y"),
+      (lit(20L) * (col("x1") - m(0))).as("c1"),
+      (lit(20L) * (col("x2") - m(1))).as("c2"),
+      (lit(20L) * (col("x3") - m(2))).as("c3")))
+    var w = Array(0L, 0L, 0L, 0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    var prev: Option[(Array[Long])] = None
+    (1 to ClassifierEpochs + 1).foreach { k =>
+      val lin = s"(${w(0)}L * 1000L + ${w(1)}L * c1 + ${w(2)}L * c2 + ${w(3)}L * c3)"
+      val zc = expr(s"$lin DIV 1000L")
+      val ec = expr(s"LEAST(1000000L, GREATEST(0L, " +
+        s"($lin DIV 1000L) DIV 4L + 500000L)) - y * 1000000L")
+      // fused pass: epoch k's gradient + epoch k-1's confusion, one agg
+      val r = cf.select(col("y"), col("c1"), col("c2"), col("c3"),
+          zc.as("z"), ec.as("e"))
+        .agg(sum("e").as("s0"), sum(col("e") * col("c1")).as("s1"),
+          sum(col("e") * col("c2")).as("s2"), sum(col("e") * col("c3")).as("s3"),
+          sum(when(col("y") === 1 && col("z") >= 0, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("y") === 0 && col("z") >= 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1 && col("z") < 0, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("y") === 0 && col("z") < 0, 1L).otherwise(0L)).as("tn"))
+        .head()
+      prev.foreach { pw =>
+        out += ((k - 1L, pw(0), pw(1), pw(2), pw(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      }
+      if (k <= ClassifierEpochs) {
+        val g = Array(r.getLong(0) * 1000L, r.getLong(1), r.getLong(2), r.getLong(3))
+        w = Array(w(0) - g(0) / (n * 50L), w(1) - g(1) / (n * 1000L),
+          w(2) - g(2) / (n * 1000L), w(3) - g(3) / (n * 1000L))
+        prev = Some(w.clone())
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("epoch", "w0", "w1", "w2", "w3", "tp", "fp", "fn", "tn")
+      .orderBy("epoch")
+  }
 
   /** The simhash token hash (8-char right-space-padded base-31 fold,
     * mod 2^32) as a Column — x57's per-token feature hash. */

@@ -1593,6 +1593,85 @@ object SimilarityQueries {
         }
         .toDF("qid", "rk", "nid", "rel4")
       picks.orderBy("qid", "rk")
+    },
+
+    // X81 — MATRYOSHKA TRUNCATION RECALL: how much of the exact
+    // full-dimension top-5 survives when vectors are truncated to
+    // their first 16 / 32 of 64 dimensions? The standard embedding
+    // cost dial next to x37's nprobe (cells searched) and x16's
+    // scalar quantization (bits per dimension): matryoshka-style
+    // prefix truncation cuts BOTH index bytes and per-candidate FLOPs
+    // by the dimension ratio, and this row MEASURES what that buys
+    // back in recall, per query, as exact integers. Three cosine legs
+    // (d=64 ground truth, d=32, d=16) are computed in ONE pass over a
+    // single broadcast-join scan — the projection emits all three
+    // fixed-point sims per (query, candidate) — then three qid-window
+    // top-5s reuse the one exchange. Output: the ground-truth id
+    // checksum plus hits@5 for each truncated leg, 20 all-BIGINT rows.
+    // SCALE SHAPE: identical to l3's declared brute-force baseline
+    // (query side fixed at 20 and broadcast; corpus side one linear
+    // scan), so the truncation dial adds no new asymptotics — it
+    // divides the constant. Ranking uses ten-thousandth fixed-point
+    // sims (x75's c4 discipline) so the cross-engine order is integer-
+    // exact.
+    Q(
+      "x81_matryoshka_recall", {
+        def leg(d: Int, nm: String) =
+          s"""p$nm AS (SELECT q.vec_id AS qid, x.vec_id AS nid,
+             |    CAST(round(list_dot_product(q.v[1:$d], x.v[1:$d])
+             |      / (sqrt(list_dot_product(q.v[1:$d], q.v[1:$d]))
+             |         * sqrt(list_dot_product(x.v[1:$d], x.v[1:$d]))) * 10000) AS BIGINT) AS rel
+             |  FROM e q JOIN e x ON x.vec_id <> q.vec_id WHERE q.vec_id < 20),
+             |t$nm AS (SELECT qid, nid FROM (SELECT qid, nid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+             |  FROM p$nm) WHERE rn <= 5)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |${leg(64, "64")},
+           |${leg(32, "32")},
+           |${leg(16, "16")},
+           |gt AS (SELECT qid, CAST(SUM(nid) AS BIGINT) AS gt_sum FROM t64 GROUP BY 1),
+           |h32 AS (SELECT a.qid, count(*) AS h FROM t64 a JOIN t32 b
+           |  ON b.qid = a.qid AND b.nid = a.nid GROUP BY 1),
+           |h16 AS (SELECT a.qid, count(*) AS h FROM t64 a JOIN t16 b
+           |  ON b.qid = a.qid AND b.nid = a.nid GROUP BY 1)
+           |SELECT gt.qid, gt.gt_sum,
+           |  CAST(COALESCE(h32.h, 0) AS BIGINT) AS hits_d32,
+           |  CAST(COALESCE(h16.h, 0) AS BIGINT) AS hits_d16
+           |FROM gt LEFT JOIN h32 ON h32.qid = gt.qid
+           |LEFT JOIN h16 ON h16.qid = gt.qid ORDER BY gt.qid""".stripMargin
+      }
+    ) { (spark, dir) =>
+      val e = vectors(spark, dir)
+      val q = e.filter(col("vec_id") < 20).toDF("qid", "qv")
+      val x = e.toDF("nid", "xv")
+      def relAt(d: Int): Column = {
+        val (a, b) =
+          if (d == 64) (col("qv"), col("xv"))
+          else (slice(col("qv"), 1, d), slice(col("xv"), 1, d))
+        round(dot(a, b) / (l2norm(a) * l2norm(b)) * 10000).cast("long")
+      }
+      // one scan, all three fixed-point sims per candidate pair
+      val scored = CacheScope.cacheEager(
+        broadcast(q).join(x, col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            relAt(64).as("rel64"), relAt(32).as("rel32"), relAt(16).as("rel16")))
+      def top5(relCol: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col(relCol).desc, col("nid"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5).select("qid", "nid")
+      }
+      val t64 = top5("rel64")
+      val gt = t64.groupBy("qid").agg(sum("nid").as("gt_sum"))
+      def hits(t: DataFrame, nm: String): DataFrame =
+        t64.join(t, Seq("qid", "nid")).groupBy("qid")
+          .agg(count(lit(1)).as(nm))
+      gt.join(hits(top5("rel32"), "h32"), Seq("qid"), "left")
+        .join(hits(top5("rel16"), "h16"), Seq("qid"), "left")
+        .select(col("qid"), col("gt_sum"),
+          coalesce(col("h32"), lit(0L)).as("hits_d32"),
+          coalesce(col("h16"), lit(0L)).as("hits_d16"))
+        .orderBy("qid")
     }
   )
 }

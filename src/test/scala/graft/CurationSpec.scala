@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Invariants of the curation surface (CurationQueries) beyond the
@@ -172,5 +173,31 @@ class CurationSpec extends AnyFunSuite {
     val got = SparkEntry.queries("x57_dsir_weights")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == exp, s"first diff=${got.zip(exp).find(p => p._1 != p._2)}")
+  }
+
+  test("x82: confusion conserves the corpus, recall climbs to ~1, spam weight learned positive") {
+    val rows = SparkEntry.queries("x82_quality_classifier")(spark, sf0001)
+      .orderBy("epoch").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 6L).toSeq)
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val nPos = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).count()
+    rows.foreach { r =>
+      val (tp, fp, fn, tn) =
+        (r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(tp + fp + fn + tn == n, r.toString)
+      assert(tp + fn == nPos, r.toString)
+    }
+    // the learning curve: recall never falls between epochs and ends
+    // near-perfect; false positives stay rare (< 1% of negatives)
+    val tps = rows.map(_.getLong(5))
+    assert(tps.zip(tps.tail).forall { case (a, b) => b >= a }, tps.toSeq)
+    assert(tps.last >= (nPos * 95) / 100, s"final recall ${tps.last}/$nPos")
+    assert(rows.last.getLong(6) * 100 <= (n - nPos), "fp rate")
+    // the duplicate-bigram feature (the plant's signature) is the
+    // dominant positive weight by the final epoch
+    val wFinal = (1 to 4).map(rows.last.getLong)
+    assert(wFinal(1) > 0 && wFinal(1) == wFinal.tail.max, wFinal.toString)
   }
 }

@@ -92,4 +92,25 @@ class GraphLinkageSpec extends AnyFunSuite {
     // every customer with at least one order appears exactly once
     assert(got.size == base.select("ck").distinct().count())
   }
+
+  test("x83: one row per nation, ASIA seeds at 0, frontier contiguous") {
+    val rows = SparkEntry.queries("x83_trade_hops")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 25)
+    // exactly the 5 ASIA nations sit at hop 0
+    val asia = spark.read.parquet(s"$sf0001/nation.parquet")
+      .join(spark.read.parquet(s"$sf0001/region.parquet")
+        .filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.filter(_._2 == 0L).map(_._1).toSet == asia)
+    // hops are -1 (unreachable) or a BFS level; reached levels are
+    // contiguous (a node at level d implies some node at level d-1)
+    val hops = rows.map(_._2)
+    assert(hops.forall(h => h >= -1L && h <= 25L))
+    val reached = hops.filter(_ > 0L).toSet
+    reached.foreach(d => assert(d == 1L || reached.contains(d - 1)))
+    // the top-2-partners graph always has edges, so something is 1 hop out
+    assert(hops.count(_ == 1L) >= 1)
+  }
 }

@@ -149,4 +149,19 @@ class MergeRerankSpec extends AnyFunSuite {
       s"streamed vs batch-model mismatch: missing=${(exp -- got).take(5)} " +
         s"extra=${(got -- exp).take(5)}")
   }
+
+  test("x81: 20 query rows, hits bounded by 5, wider prefix recalls more in aggregate") {
+    val rows = SparkEntry.queries("x81_matryoshka_recall")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    assert(rows.map(_._1).toSeq == (0L until 20L).toSeq)
+    rows.foreach { case (_, gtSum, h32, h16) =>
+      assert(gtSum > 0)
+      assert(h32 >= 0 && h32 <= 5 && h16 >= 0 && h16 <= 5)
+    }
+    // per-query inversions happen (truncation is lossy in both
+    // directions), but across the query set the 32-dim prefix must
+    // recover at least as much of the exact top-5 as the 16-dim one
+    assert(rows.map(_._3).sum >= rows.map(_._4).sum)
+  }
 }
