@@ -266,6 +266,51 @@ object AnnIndex {
     graft.core.Fs.copyAppliedLedger(spark, from, to, "codes.parquet")
   }
 
+  /** MERGE two shard artifacts that share one published codebook
+    * generation into a single serving artifact — the consolidation
+    * move a sharded ingest runs (per-region/per-pipeline encoders all
+    * code against the same versioned codebooks and land separate
+    * artifacts; serving wants one). Semantics: codebooks must be
+    * BIT-IDENTICAL (codes are meaningless across quantizers — a shard
+    * encoded against other codebooks must be re-encoded, not merged;
+    * checked here against the bounded centroid tables and refused),
+    * live-code sets must be DISJOINT by vec_id (shards partition the
+    * id space; a collision means a routing bug upstream, refused
+    * rather than silently deduped), and each shard's tombstones are
+    * applied to ITS rows during the merge — so a takedown broadcast
+    * to every shard holds in the merged artifact no matter which
+    * shard physically held the vector. The merged artifact is a fresh
+    * compacted generation (bin-packed, cell-clustered, tombstone-free)
+    * with NO applied-epoch ledger: the source shards' streaming epoch
+    * ids are per-pipeline counters that would collide in one ledger,
+    * so neither source stream may resume into the merge — exactly the
+    * new-generation pointer-swap contract compact already documents.
+    * Cost: two bounded centroid reads + one disjointness semi-join +
+    * one distributed rewrite of the union. */
+  def mergeShards(spark: SparkSession, a: String, b: String, to: String): Unit = {
+    def bookKey(path: String) =
+      spark.read.parquet(s"$path/centroids.parquet").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toVector))
+        .sortBy(t => (t._1, t._2)).toVector
+    require(bookKey(a) == bookKey(b),
+      s"mergeShards: codebooks differ between $a and $b — re-encode, don't merge")
+    val la = liveCodes(spark, a)
+    val lb = liveCodes(spark, b)
+    val clash = la.select("vec_id")
+      .join(lb.select("vec_id"), "vec_id").limit(1).count()
+    require(clash == 0L,
+      s"mergeShards: shards share vec_ids — the id space must be partitioned")
+    spark.read.parquet(s"$a/centroids.parquet")
+      .coalesce(1).sortWithinPartitions("space", "cid")
+      .write.mode("overwrite").parquet(s"$to/centroids.parquet")
+    val bytes = graft.core.Fs.layoutBytes(spark, s"$a/codes.parquet") +
+      graft.core.Fs.layoutBytes(spark, s"$b/codes.parquet")
+    la.unionByName(lb)
+      .repartition(graft.core.Fs.packTarget(bytes), col("cell"))
+      .sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").parquet(s"$to/codes.parquet")
+  }
+
   /** Load a cell-partitioned index generation ([[compactPartitioned]]).
     * The partition column is declared LONG in the read schema (not
     * left to directory-name type inference, which would narrow it to

@@ -698,6 +698,43 @@ object SimilarityQueries {
         e.filter(col("vec_id") % 10 =!= 3), 20)
     },
 
+    // B25 — SHARD MERGE: two ingest pipelines encode against the SAME
+    // published codebook generation (trained once on the first half of
+    // the corpus) and land separate artifacts partitioned by vec_id
+    // parity; a takedown list (vec_id % 10 = 3) is broadcast to BOTH
+    // shards — landing as a tombstone on each, though the targeted
+    // rows physically live only in the odd shard — and
+    // AnnIndex.mergeShards consolidates the two into one fresh
+    // serving generation (codebook-parity-checked, id-disjointness-
+    // checked, per-shard tombstones applied during the rewrite, no
+    // epoch ledger carried — per-pipeline epoch counters would collide
+    // in one ledger, so neither source stream may resume into the
+    // merge). The search over the merged artifact gates against b11's
+    // VERBATIM oracle: however the corpus was sharded, the merged
+    // index must equal the single-pipeline build+append+delete one —
+    // the sharding-independence contract, s14's chunking-independence
+    // applied across ARTIFACTS instead of across micro-batches.
+    Q(
+      "b25_ann_index_shard_merge", ivfPqDeleteSql
+    ) { (spark, dir) =>
+      val e = CacheScope.cacheEager(vectors(spark, dir))
+      val half = e.count() / 2
+      val built = AnnIndex.build(e.filter(col("vec_id") < half))
+      val pa = graft.streaming.TempWork.dir("graft_b25_shard_a")
+      val pb = graft.streaming.TempWork.dir("graft_b25_shard_b")
+      AnnIndex.save(spark, built.copy(codes = AnnIndex.encode(
+        e.filter(col("vec_id") % 2 === 0), built.coarse, built.pq)), pa)
+      AnnIndex.save(spark, built.copy(codes = AnnIndex.encode(
+        e.filter(col("vec_id") % 2 === 1), built.coarse, built.pq)), pb)
+      val takedown = e.filter(col("vec_id") % 10 === 3).select("vec_id")
+      AnnIndex.delete(spark, takedown, pa)
+      AnnIndex.delete(spark, takedown, pb)
+      val merged = graft.streaming.TempWork.dir("graft_b25_merged")
+      AnnIndex.mergeShards(spark, pa, pb, merged)
+      AnnIndex.searchTop5(AnnIndex.load(spark, merged),
+        e.filter(col("vec_id") % 10 =!= 3), 20)
+    },
+
     // B12 — the MASKED serve path: b11's lifecycle up to the delete,
     // searched WITHOUT compacting — the state a production index is
     // in between a takedown and the next OPTIMIZE pass, when deleted

@@ -180,6 +180,50 @@ object StreamOps {
     events.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** S18: TWO stateful operators chained in one streaming query —
+    * watermark-scoped dedup feeding the finalized hourly aggregate.
+    * This is the shape a real ingest pipeline wants (drop replays,
+    * THEN count), and it only became expressible when multi-stateful
+    * queries landed; before that the dedup and the aggregate had to be
+    * separate queries with a sink between them. State: the dedup holds
+    * ids inside the 30-minute horizon, the aggregate holds open
+    * windows — both bounded by the watermark, independent of history. */
+  def dedupedHourly(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(fixed(col("value"), 10000)) / 10000.0).as("val"))
+      .select(epochUs(col("w.start")).as("ws_us"), col("event_type"),
+        col("cnt"), col("val"))
+
+  /** S19: stream-stream LEFT SEMI interval join — "which events found
+    * a same-user successor within the hour", emitting the LEFT row
+    * once on its first match and nothing on eviction. Same bounded
+    * ~90-minute per-side state as eventPairs; the semi flavor is what
+    * a funnel trigger wants (fire on the first continuation, don't
+    * enumerate all of them). Emission is match-driven (no
+    * watermark-finalization term in the oracle): a left row either
+    * meets a match — possibly in a later micro-batch, the join buffers
+    * it until the right watermark passes ts1 + 1h — or silently
+    * expires, so the emitted set equals the batch semi join however
+    * the arrival was chunked. */
+  def eventsWithPair(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("u1"), col("ts").as("ts1"),
+        col("event_id").as("id1"), col("event_type"))
+    val r = right.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("u2"), col("ts").as("ts2"), col("event_id").as("id2"))
+    l.join(r,
+      col("u1") === col("u2") &&
+        col("ts2") >= col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR") &&
+        col("id1") < col("id2"),
+      "left_semi")
+      .select(col("u1").as("user_id"), col("id1"),
+        epochUs(col("ts1")).as("ts_us"), col("event_type"))
+  }
+
   /** Custom state machine via mapGroupsWithState: per-user session
     * counting with the same 30-minute-gap rule as session_window, but
     * with explicit user-managed state — the KeyValueGroupedDataset
@@ -287,6 +331,85 @@ object StreamOps {
             out.iterator
           }
       }
+  }
+
+  /** [[completedSessions]]' session logic re-expressed on the
+    * transformWithState API (the arbitrary-state surface that
+    * supersedes flatMapGroupsWithState): named typed state via a
+    * StatefulProcessorHandle instead of one opaque GroupState blob,
+    * explicit registered/deleted event-time TIMERS instead of the
+    * single setTimeoutTimestamp slot, and a separate
+    * handleExpiredTimer callback for the watermark-driven close.
+    * Requires the RocksDB state store provider (the API's contract);
+    * the s20 runner sets it on its child session. Emission semantics
+    * are IDENTICAL to completedSessions by construction — s20 gates
+    * that claim against s6's verbatim oracle. */
+  class SessionCloseProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, _}
+    @transient private var open: ValueState[OpenSession] = _
+    private val gapUs = 30L * 60 * 1000000
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      var cur = if (open.exists()) Some(open.get()) else None
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val t = micros(e.ts)
+        cur match {
+          case Some(s) if t - s.lastTsUs >= gapUs =>
+            out += SessionOut(uid, s.startUs, s.lastTsUs, s.events)
+            cur = Some(OpenSession(t, t, 1L))
+          case Some(s) =>
+            // min/max — the completedSessions late-event rule
+            cur = Some(OpenSession(math.min(s.startUs, t),
+              math.max(s.lastTsUs, t), s.events + 1))
+          case None =>
+            cur = Some(OpenSession(t, t, 1L))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // one live timer per key: drop stale ones, arm the gap close
+        // (clamped above the current watermark, as the API requires
+        // event-time timers to be)
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(
+          math.max(s.lastTsUs / 1000 + gapUs / 1000,
+            timers.getCurrentWatermarkInMs + 1))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        open.clear()
+        Iterator.single(SessionOut(uid, s.startUs, s.lastTsUs, s.events))
+      }
+    }
+  }
+
+  /** S20: completed sessions via transformWithState — see
+    * [[SessionCloseProcessor]]. */
+  def completedSessionsTws(events: Dataset[Event]): Dataset[SessionOut] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[SessionOut]
+    events.withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** Streaming twin of x54's trailing-window anomaly detection: flag

@@ -13,6 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
+  /** s6's completed-session oracle — sessions finalized either by a
+    * successor session (sid < last_sid) or by the terminal watermark
+    * passing end + gap. Shared VERBATIM by s20, whose
+    * transformWithState processor must emit the identical set. */
+  private val completedSessionsSql =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |g AS (SELECT user_id, sid, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+      |    count(*) AS n_ev
+      |  FROM s GROUP BY 1, 2),
+      |g2 AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM g),
+      |m AS (SELECT (epoch_us(max(ts)) // 1000) - 1800000 AS wm_ms FROM events)
+      |SELECT user_id, start_us, end_us, n_ev FROM g2, m
+      |WHERE sid < last_sid OR wm_ms > (end_us // 1000) + 1800000
+      |ORDER BY user_id, start_us""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // S1 — tumbling 1-hour window.
@@ -233,23 +255,7 @@ object StreamingQueries {
     // single-start arrival mechanics, same semantics as the old
     // write-poll-write-poll loop).
     Q(
-      "s6_completed_sessions",
-      """WITH o AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (SELECT user_id, ts,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM o),
-        |g AS (SELECT user_id, sid, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
-        |    count(*) AS n_ev
-        |  FROM s GROUP BY 1, 2),
-        |g2 AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM g),
-        |m AS (SELECT (epoch_us(max(ts)) // 1000) - 1800000 AS wm_ms FROM events)
-        |SELECT user_id, start_us, end_us, n_ev FROM g2, m
-        |WHERE sid < last_sid OR wm_ms > (end_us // 1000) + 1800000
-        |ORDER BY user_id, start_us""".stripMargin
+      "s6_completed_sessions", completedSessionsSql
     ) { (spark, dir) =>
       val events = Tables(spark, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -729,6 +735,178 @@ object StreamingQueries {
       spark.read.parquet(out)
         .select("event_id", "user_id", "ts_us", "v")
         .orderBy("event_id")
+    },
+
+    // S18 — CHAINED STATEFUL OPERATORS, oracle-gated end to end: s7's
+    // replay-bearing arrival (chunk 2 re-sends a 15-minute slice,
+    // inside the watermark so the late filter can't save us) runs
+    // through ONE streaming query that stacks dropDuplicatesWithin-
+    // Watermark UNDER the finalized hourly aggregate — the
+    // multi-stateful pipeline shape (dedup, then count) that
+    // previously required two queries and an intermediate sink. The
+    // oracle is s5's finalized-window aggregate over the RAW events
+    // table: it only hash-matches if the dedup stage suppressed every
+    // replayed row BEFORE it reached the aggregate (a leaked replay
+    // inflates cnt and val in its hour), while the aggregate still
+    // finalizes exactly the windows at or below the terminal
+    // watermark. State: both operators bounded by the 30-minute
+    // horizon — ids in the dedup, open windows in the agg — however
+    // long the feed runs.
+    Q(
+      "s18_stream_dedup_hourly",
+      """WITH m AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 1800000000 AS wm_us FROM events),
+        |agg AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type, count(*) AS cnt,
+        |    SUM(CAST(round(value*10000) AS BIGINT)) / 10000.0 AS val
+        |  FROM events GROUP BY 1, 2)
+        |SELECT ws_us, event_type, cnt, val FROM agg, m
+        |WHERE ws_us + 3600000000 <= wm_us
+        |ORDER BY ws_us, event_type""".stripMargin
+    ) { (spark, dir) =>
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = TempWork.dir("graft_s18_in")
+      val out = TempWork.dir("graft_s18_out")
+      val ckpt = TempWork.dir("graft_s18_ck")
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val minMs = b.getTimestamp(0).getTime
+      val midMs = minMs + (b.getTimestamp(1).getTime - minMs) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      // s7's replay horizon: duplicates land inside the watermark
+      val overlapMs = math.min(900000L, (midMs - minMs) / 4)
+      val repl = lit(new java.sql.Timestamp(midMs - overlapMs))
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= repl).repartition(4).write.mode("append").parquet(in)
+      // Child session with narrowed state width — see s5.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", chunk1.toString).parquet(in)
+      try {
+        val q = StreamOps.dedupedHourly(stream).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
+      spark.read.parquet(out)
+        .select("ws_us", "event_type", "cnt", "val")
+        .orderBy("ws_us", "event_type")
+    },
+
+    // S19 — stream-stream LEFT SEMI interval join, oracle-gated end to
+    // end: s8's pair join with the cardinality a funnel trigger wants —
+    // each event emitted ONCE if any same-user successor lands within
+    // the hour, never enumerated per match. Emission is match-driven
+    // (the left row may wait buffered across micro-batches until its
+    // successor arrives), so the emitted set equals the batch
+    // EXISTS-semi join with no watermark-finalization term, however
+    // the arrival was chunked — which is what makes it hashable.
+    // State: the same bounded ~90-minute slice per side as s8.
+    Q(
+      "s19_stream_semi_pairs",
+      """SELECT a.user_id AS user_id, a.event_id AS id1,
+        |  epoch_us(a.ts) AS ts_us, a.event_type AS event_type
+        |FROM events a WHERE EXISTS (
+        |  SELECT 1 FROM events b
+        |  WHERE b.user_id = a.user_id AND b.ts >= a.ts
+        |    AND b.ts <= a.ts + INTERVAL 1 HOUR AND a.event_id < b.event_id)
+        |ORDER BY id1""".stripMargin
+    ) { (spark, dir) =>
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = TempWork.dir("graft_s19_in")
+      val out = TempWork.dir("graft_s19_out")
+      val ckpt = TempWork.dir("graft_s19_ck")
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val midMs = b.getTimestamp(0).getTime +
+        (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= mid).repartition(4).write.mode("append").parquet(in)
+      // Child session with narrowed state width — see s5.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", chunk1.toString).parquet(in)
+      try {
+        val q = StreamOps.eventsWithPair(stream, stream).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
+      spark.read.parquet(out)
+        .select("user_id", "id1", "ts_us", "event_type")
+        .orderBy("id1")
+    },
+
+    // S20 — TRANSFORMWITHSTATE: s6's completed-session emitter
+    // re-expressed on the arbitrary-state API that supersedes
+    // flatMapGroupsWithState — named typed ValueState through a
+    // StatefulProcessorHandle, explicit registered/deleted event-time
+    // timers instead of the single timeout slot, a dedicated
+    // handleExpiredTimer callback for the watermark-driven close, and
+    // the RocksDB state store provider the API requires (set on the
+    // child session; production would run it for the spill behavior
+    // alone — state lives off-heap/on-disk instead of in executor
+    // heap). Gated against s6's VERBATIM oracle: the migration claim
+    // ("the new API emits the identical session set") is hash-checked,
+    // not asserted — the same one-oracle-two-engine-paths discipline
+    // as b7/x33. Arrival is s6's two-chunk time split, so the timer
+    // close fires mid-stream for chunk-1 tails and at the terminal
+    // no-data batch for the rest.
+    Q(
+      "s20_completed_sessions_tws", completedSessionsSql
+    ) { (spark, dir) =>
+      val events = Tables(spark, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val in = TempWork.dir("graft_s20_in")
+      val out = TempWork.dir("graft_s20_out")
+      val ckpt = TempWork.dir("graft_s20_ck")
+      val b = events.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+      val midMs = b.getTimestamp(0).getTime +
+        (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) / 2
+      val mid = lit(new java.sql.Timestamp(midMs))
+      events.filter(col("ts") < mid).repartition(4).write.mode("append").parquet(in)
+      val chunk1 = TempWork.stampOlder(in)
+      events.filter(col("ts") >= mid).repartition(4).write.mode("append").parquet(in)
+      // Child session with narrowed state width — see s5 — plus the
+      // RocksDB provider transformWithState requires.
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = {
+        import ss.implicits._
+        ss.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", chunk1.toString).parquet(in).as[Event]
+      }
+      try {
+        val q = StreamOps.completedSessionsTws(stream).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      } finally {
+        TempWork.delete(in)
+        TempWork.delete(ckpt)
+      }
+      spark.read.parquet(out)
+        .select("user_id", "start_us", "end_us", "n_ev")
+        .orderBy("user_id", "start_us")
     }
   )
 }

@@ -650,4 +650,56 @@ class AnnIndexSpec extends AnyFunSuite {
       assert(AnnIndex.load(spark, path).codes.count() == all.count())
     } finally rmDir(path)
   }
+
+  test("mergeShards: refusals, tombstones applied per shard, merged == single-pipeline") {
+    val all = vecs
+    val half = all.count() / 2
+    val built = AnnIndex.build(all.filter(col("vec_id") < half))
+    val pa = java.nio.file.Files.createTempDirectory("graft_merge_a").toString
+    val pb = java.nio.file.Files.createTempDirectory("graft_merge_b").toString
+    val pm = java.nio.file.Files.createTempDirectory("graft_merge_m").toString
+    val pSingle = java.nio.file.Files.createTempDirectory("graft_merge_s").toString
+    try {
+      AnnIndex.save(spark, built.copy(codes = AnnIndex.encode(
+        all.filter(col("vec_id") % 2 === 0), built.coarse, built.pq)), pa)
+      AnnIndex.save(spark, built.copy(codes = AnnIndex.encode(
+        all.filter(col("vec_id") % 2 === 1), built.coarse, built.pq)), pb)
+      // refusal 1: different codebooks (trained on a different slice)
+      val other = AnnIndex.build(all.filter(col("vec_id") >= half))
+      val pOther = java.nio.file.Files.createTempDirectory("graft_merge_o").toString
+      try {
+        AnnIndex.save(spark, other, pOther)
+        intercept[IllegalArgumentException] {
+          AnnIndex.mergeShards(spark, pa, pOther, pm)
+        }
+      } finally rmDir(pOther)
+      // refusal 2: overlapping vec_id spaces (a shard merged with itself)
+      intercept[IllegalArgumentException] {
+        AnnIndex.mergeShards(spark, pa, pa, pm)
+      }
+      // takedown broadcast to both shards; rows live only in the odd one
+      val takedown = all.filter(col("vec_id") % 10 === 3).select("vec_id")
+      AnnIndex.delete(spark, takedown, pa)
+      AnnIndex.delete(spark, takedown, pb)
+      AnnIndex.mergeShards(spark, pa, pb, pm)
+      // merged generation is tombstone-free and physically excludes them
+      assert(!graft.core.Fs.exists(spark, s"$pm/tombstones.parquet"))
+      val mergedIds = spark.read.parquet(s"$pm/codes.parquet")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val wantIds = all.filter(col("vec_id") % 10 =!= 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(mergedIds == wantIds)
+      // sharding-independence: the merged search equals the
+      // single-pipeline artifact's (same codebooks, same survivors)
+      AnnIndex.save(spark, built.copy(codes = AnnIndex.encode(
+        all, built.coarse, built.pq)), pSingle)
+      AnnIndex.delete(spark, takedown, pSingle)
+      val q = all.filter(col("vec_id") % 10 =!= 3)
+      val got = AnnIndex.searchTop5(AnnIndex.load(spark, pm), q, 20)
+        .collect().map(_.toString).sorted.toSeq
+      val want = AnnIndex.searchTop5(AnnIndex.load(spark, pSingle), q, 20)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got.nonEmpty && got == want)
+    } finally { rmDir(pa); rmDir(pb); rmDir(pm); rmDir(pSingle) }
+  }
 }

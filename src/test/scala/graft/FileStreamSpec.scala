@@ -292,4 +292,93 @@ class FileStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want,
       s"gated s9 emitted ${got.size} rows, batch join says ${want.size}")
   }
+
+  test("s18: chained dedup+agg suppresses a non-empty replay before the aggregate") {
+    val sp = spark
+    val events = Tables(sp, sf0001, "events")
+    // s7's arrival arithmetic: prove the fixture actually replays rows
+    val b = events.agg(org.apache.spark.sql.functions.min("ts").as("mn"),
+      org.apache.spark.sql.functions.max("ts").as("mx")).head()
+    val minMs = b.getTimestamp(0).getTime
+    val maxMs = b.getTimestamp(1).getTime
+    val midMs = minMs + (maxMs - minMs) / 2
+    val overlapMs = math.min(900000L, (midMs - minMs) / 4)
+    val replayed = events.filter(
+      col("ts") >= new java.sql.Timestamp(midMs - overlapMs) &&
+        col("ts") < new java.sql.Timestamp(midMs)).count()
+    assert(replayed > 0, "fixture replays nothing — the s18 test proves nothing")
+
+    val got = SparkEntry.queries("s18_stream_dedup_hourly")(sp, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    // batch model: hourly aggregate over the DISTINCT events, windows
+    // finalized by the terminal watermark (ms-floored max ts - 30 min)
+    val wmUs = (maxMs * 1000L) - 1800000000L
+    val want = StreamOps.tumblingWithWatermark(
+        events.select("event_id", "ts", "user_id", "event_type", "value"))
+      .filter(col("ws_us") + 3600000000L <= wmUs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      s"gated s18 emitted ${got.size} finalized rows, batch says ${want.size}")
+  }
+
+  test("s19: streamed semi join == batch semi join over the full arrival") {
+    val sp = spark
+    val events = Tables(sp, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val got = SparkEntry.queries("s19_stream_semi_pairs")(sp, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val l = events.select(col("user_id").as("u1"), col("ts").as("ts1"),
+      col("event_id").as("id1"), col("event_type"))
+    val r = events.select(col("user_id").as("u2"), col("ts").as("ts2"),
+      col("event_id").as("id2"))
+    val semi = l.join(r,
+      col("u1") === col("u2") && col("ts2") >= col("ts1") &&
+        col("ts2") <= col("ts1") + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR") &&
+        col("id1") < col("id2"), "left_semi")
+    val want = semi
+      .select(col("u1").as("user_id"), col("id1"),
+        graft.core.Cols.epochUs(col("ts1")).as("ts_us"), col("event_type"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      s"gated s19 emitted ${got.size} rows, batch semi says ${want.size}")
+  }
+
+  test("s19 buffering path: a left row whose ONLY successor arrives a micro-batch later still emits") {
+    // The corpus is too dense to exercise the wait (every chunk-1
+    // event with a cross-boundary successor also has a same-chunk
+    // one — measured zero eligible rows at sf0.001 AND sf0.01), so
+    // the buffered-emission contract is pinned on a hand-built
+    // arrival: e1's only qualifying successor e2 lands in batch 1.
+    val sp = spark
+    import sp.implicits._
+    val in = Files.createTempDirectory("graft_s19buf_in").toString
+    val ckpt = Files.createTempDirectory("graft_s19buf_ck").toString
+    val out = Files.createTempDirectory("graft_s19buf_out").toString
+    def ev(id: Long, user: Long, tMin: Long) =
+      (id, new java.sql.Timestamp(1700000000000L + tMin * 60000L), user, "view", 1.0)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    // chunk 1: e1 (user 7) alone; e10/e11 (user 8) pair in-chunk
+    Seq(ev(1L, 7L, 0L), ev(10L, 8L, 1L), ev(11L, 8L, 5L))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    graft.streaming.TempWork.stampOlder(in)
+    // chunk 2: e2, user 7's only successor, 10 min after e1
+    Seq(ev(2L, 7L, 10L), ev(20L, 9L, 200L))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    val ss = sp.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = sp.read.parquet(in).schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = StreamOps.eventsWithPair(stream, stream).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = sp.read.parquet(out).select("id1").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // e1 emitted despite its match arriving a batch later; e10 emitted
+    // in-batch; e11/e2/e20 have no successor and never emit
+    assert(got == Seq(1L, 10L), s"emitted $got")
+  }
 }

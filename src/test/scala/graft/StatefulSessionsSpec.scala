@@ -68,4 +68,40 @@ class StatefulSessionsSpec extends AnyFunSuite {
         s"expected one merged 4-event session, got ${got.mkString(", ")}")
     } finally q.stop()
   }
+
+  test("s20 (transformWithState) emits the identical session set to s6 (flatMapGroupsWithState)") {
+    val a = SparkEntry.queries("s6_completed_sessions")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val b = SparkEntry.queries("s20_completed_sessions_tws")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b,
+      s"API migration changed the emitted set: s6=${a.size} rows, s20=${b.size} rows")
+  }
+
+  test("SessionCloseProcessor handles the same late in-watermark merge as completedSessions") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sp.sqlContext
+    def ev(id: Long, hhmm: String) = Event(id,
+      java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 1L, "click", 1.0)
+    val ss = sp.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Event](1)(implicitly, ss.sqlContext)
+    val q = StreamOps.completedSessionsTws(stream.toDS()).writeStream
+      .format("memory").queryName("late_merge_tws")
+      .outputMode("append").start()
+    try {
+      stream.addData(ev(1, "10:00"), ev(2, "10:10")); q.processAllAvailable()
+      stream.addData(ev(3, "10:05")); q.processAllAvailable()
+      stream.addData(ev(4, "10:36")); q.processAllAvailable()
+      stream.addData(ev(5, "23:59")); q.processAllAvailable()
+      val got = ss.table("late_merge_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val us = (hhmm: String) =>
+        java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00").getTime * 1000L
+      assert(got.toSeq == Seq((1L, us("10:00"), us("10:36"), 4L)),
+        s"expected one merged 4-event session, got ${got.mkString(", ")}")
+    } finally q.stop()
+  }
 }
