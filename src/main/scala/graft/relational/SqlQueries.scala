@@ -185,6 +185,49 @@ object SqlQueries {
           sum("v10k").as("sum_10k"),
           min("v10k").as("min_10k"), max("v10k").as("max_10k"))
         .orderBy("metric")
+    },
+
+    // R29 — the ANSI FILTER-clause aggregate battery plus the boolean
+    // and conditional aggregates (count_if, bool_and, bool_or) — the
+    // "pivoted metrics in one pass" idiom every reporting query uses
+    // instead of N self-joins: each aggregate sees its own predicate
+    // slice while the table is scanned ONCE. All money flows through
+    // exact integer cents (the Cols.fixed discipline); booleans are
+    // CAST to BIGINT on both engines (value-identical, and the gate
+    // never has to trust boolean type rendering); the per-group argmax
+    // order key packs (cents, orderkey) into one BIGINT — cents ≤
+    // ~6·10^7 × 10^8 + key < 2^63 — so max() is deterministic without
+    // struct comparison semantics. One scan, one partial-agged shuffle
+    // on 5 priorities at any scale.
+    Q(
+      "r29_filtered_aggs",
+      """WITH o AS (SELECT o_orderpriority, o_orderstatus, o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE cents > 10000000) AS n_big,
+        |  CAST(COALESCE(SUM(cents) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS cents_f,
+        |  CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
+        |  CAST(bool_and(cents > 0) AS BIGINT) AS all_pos,
+        |  CAST(bool_or(o_orderstatus = 'P') AS BIGINT) AS any_p,
+        |  CAST(max(cents * 100000000 + o_orderkey) % 100000000 AS BIGINT) AS top_orderkey
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (spark, dir) =>
+      Tables.fanOut(Tables(spark, dir, "orders"))
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("o_orderkey"),
+          fixed(col("o_totalprice"), 100L).as("cents"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("count(*) FILTER (WHERE cents > 10000000)").as("n_big"),
+          expr("CAST(COALESCE(SUM(cents) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT)")
+            .as("cents_f"),
+          expr("count_if(o_orderstatus = 'O')").as("n_open"),
+          expr("CAST(bool_and(cents > 0) AS BIGINT)").as("all_pos"),
+          expr("CAST(bool_or(o_orderstatus = 'P') AS BIGINT)").as("any_p"),
+          expr("CAST(max(cents * 100000000L + o_orderkey) % 100000000L AS BIGINT)")
+            .as("top_orderkey"))
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -25,6 +25,24 @@ object ExportQueries {
 
   val NumShards = 16
 
+  /** x84's rendezvous-hash shard pick over an n-shard ring, as ONE
+    * expression string both engines parse: per-shard weight is the
+    * MID-SQUARE mix h = w² mod P with w = ((doc_id % P) · 2654435761
+    * + s · 40503) mod P, P = 2^31−1 — the square is what decorrelates
+    * the weight from the shard index (an affine-in-s weight makes
+    * argmax ≡ the largest shard: measured 500/500 docs on one cell
+    * before the fix). Argmax folds through greatest() on packed
+    * (h·32 + 31−s) BIGINTs — ties to the smaller shard id; w² ≤ 2^62
+    * and the pack ≤ 2^36, both far inside int64. Row-local: no
+    * explode, no join, pure codegen. */
+  private def hrwShardSql(n: Int): String = {
+    val encoded = (0 until n).map { s =>
+      val w = s"(((doc_id % 2147483647) * 2654435761 + $s * 40503) % 2147483647)"
+      s"((($w * $w) % 2147483647) * 32 + ${31 - s})"
+    }.mkString(", ")
+    s"CAST(31 - (greatest($encoded) % 32) AS BIGINT)"
+  }
+
   val all: Seq[Q] = Seq(
 
     // X40 — shard-and-export round trip. The shard id is a multiplicative
@@ -59,6 +77,42 @@ object ExportQueries {
           min("doc_id").as("first_doc"),
           max("doc_id").as("last_doc"))
         .orderBy("shard")
+    },
+
+    // X84 — RENDEZVOUS (highest-random-weight) SHARD REBALANCE: the
+    // data-placement move x40's mod-N routing cannot make cheaply.
+    // Growing a mod-N ring 16 → 24 reassigns ~2/3 of all documents
+    // (every doc whose id lands differently mod the new N); HRW
+    // hashing reassigns EXACTLY the docs whose new argmax is one of
+    // the 8 added shards — expected 8/24 = 1/3 moved, and (the
+    // property this row gates) ZERO movement between two OLD shards:
+    // a doc either keeps its shard or moves to a new one, never
+    // old → old. The emitted movement matrix makes that visible as
+    // data — any (old ≠ new, new < 16) row would hash-fail the gate
+    // at spec time and be a routing bug. ARITHMETIC: per (doc, shard)
+    // weight h = ((doc_id % 2^31-1) · 2654435761 + shard · 40503)
+    // % 2^31-1, argmax taken by packing (h, 31−shard) into one BIGINT
+    // (h·32 + 31−s, ties to the smaller shard) and folding greatest()
+    // over the ring's literal columns — row-local codegen, no explode,
+    // no shuffle until the bounded ≤ 16×24 matrix groupBy. Both
+    // engines evaluate the same generated expression text.
+    Q(
+      "x84_rendezvous_rebalance", {
+        s"""WITH m AS (SELECT doc_id,
+           |    ${hrwShardSql(16)} AS old_shard,
+           |    ${hrwShardSql(24)} AS new_shard
+           |  FROM documents)
+           |SELECT old_shard, new_shard, count(*) AS n_docs
+           |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }
+    ) { (spark, dir) =>
+      Tables.fanOut(Tables(spark, dir, "documents"))
+        .select(col("doc_id"),
+          expr(hrwShardSql(16)).as("old_shard"),
+          expr(hrwShardSql(24)).as("new_shard"))
+        .groupBy("old_shard", "new_shard")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("old_shard", "new_shard")
     },
 
     // X59 — Z-ORDER data layout: interleave the bits of two scan

@@ -86,4 +86,47 @@ class ExportRoundTripSpec extends AnyFunSuite {
     assert(run("b3_csv_roundtrip").collect().toSeq == b3direct)
     RoundTripQueries.all.size // touch the object so an unregistered Q fails loud
   }
+
+  test("x84: HRW rebalance never moves a doc between two OLD shards, ~1/3 move to new ones") {
+    val rows = SparkEntry.queries("x84_rendezvous_rebalance")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (o, n, _) =>
+      assert(o >= 0 && o < 16 && n >= 0 && n < 24, s"shard out of ring: ($o, $n)")
+      // THE rendezvous property: a doc keeps its shard or moves to an
+      // ADDED one — old -> different-old movement cannot happen
+      assert(o == n || n >= 16, s"old->old movement: $o -> $n")
+    }
+    val total = rows.map(_._3).sum
+    val moved = rows.filter(r => r._1 != r._2).map(_._3).sum
+    assert(total == Tables(spark, sf0001, "documents").count())
+    // expected moved fraction = 8/24; allow a generous band
+    assert(moved * 100 >= total * 20 && moved * 100 <= total * 48,
+      s"moved $moved of $total — outside the 8/24 band")
+    // every old shard is populated (the mid-square mix is not degenerate)
+    assert(rows.map(_._1).distinct.length == 16)
+  }
+
+  test("r29: filtered aggregates equal independently computed slices") {
+    import graft.core.Cols._
+    val got = SparkEntry.queries("r29_filtered_aggs")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val o = Tables(spark, sf0001, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("o_orderkey"),
+        fixed(col("o_totalprice"), 100L).as("cents"))
+    got.foreach { r =>
+      val p = r.getString(0)
+      val slice = o.filter(col("o_orderpriority") === p)
+      assert(r.getLong(1) == slice.count())
+      assert(r.getLong(2) == slice.filter(col("cents") > 10000000L).count())
+      val fSum = slice.filter(col("o_orderstatus") === "F")
+        .agg(coalesce(sum("cents"), lit(0L))).head().getLong(0)
+      assert(r.getLong(3) == fSum)
+      assert(r.getLong(4) == slice.filter(col("o_orderstatus") === "O").count())
+      // top_orderkey is the key of the group's (cents, key)-max row
+      val top = slice.orderBy(col("cents").desc, col("o_orderkey").desc)
+        .select("o_orderkey").head().getLong(0)
+      assert(r.getLong(7) == top, s"priority $p argmax")
+    }
+  }
 }
