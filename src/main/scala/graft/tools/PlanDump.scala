@@ -142,7 +142,18 @@ object PlanDump {
     // physically present in the directory) appear nowhere in the
     // plan — no anti-join node at all, because v1 recorded no
     // tombstones and loadAt masks only what the pinned version knew.
-    "b23_dedup_index_pinned_read")
+    "b23_dedup_index_pinned_read",
+    // round 11b: x81's matryoshka dial — ONE broadcast-join scan emits
+    // all three fixed-point sim legs (64/32/16-dim) in a single
+    // projection; the three top-5 windows share the qid exchange of
+    // the cached scored set. x84's rendezvous rebalance — the whole
+    // 16+24-shard argmax is one codegen'd greatest() projection over
+    // packed literals (no explode, no join); the only exchange is the
+    // bounded <= 16x24 matrix groupBy. (x82 is absent like s14/s17:
+    // its builder runs the 7-pass training loop eagerly; each pass's
+    // plan is one partial+final HashAggregate over the cached
+    // centered-feature projection.)
+    "x81_matryoshka_recall", "x84_rendezvous_rebalance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -379,6 +379,24 @@ COMMENTARY = """\
   whose old side is one already-collapsed forest round — tracks the
   batch, so the decade ratio should sit at or below x12's even while
   the row carries the extra self-containment work.
+
+- **Round-11 second wave (--only merge): all nine new rows sit at or
+  under 2.8x per 10x data at the top step.** x84 (1.11x) and x81
+  (1.17x) are row-local projections — the rendezvous argmax is one
+  greatest() fold, the matryoshka legs one broadcast-join scan — so
+  they track the scan. x82 (1.29x) is seven one-row aggregate passes
+  over the cached feature projection: pass-launch overhead dominates
+  until the corpus is much larger; the per-pass term is linear by
+  construction. b25 (1.18x) is dominated by the fixed artifact-chain
+  cost (two shard builds + merge rewrite) at these sizes; the merge
+  rewrite itself is the linear term. x83 (1.65x) pays the linear edge
+  extraction; its BFS loop is bounded by the nation graph and never
+  grows. The streaming rows carry the documented micro-batch floor:
+  s18 1.58x, s20 1.84x, and s19 2.56x — s19's state (a ~90-minute
+  slice per side) and its emitted set both grow with the event
+  volume, so its ratio converging toward linear is the join doing
+  real per-row work, not a blowup; nothing in the wave approaches the
+  10x flag line.
 """
 
 
