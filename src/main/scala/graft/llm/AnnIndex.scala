@@ -288,6 +288,15 @@ object AnnIndex {
     * Cost: two bounded centroid reads + one disjointness semi-join +
     * one distributed rewrite of the union. */
   def mergeShards(spark: SparkSession, a: String, b: String, to: String): Unit = {
+    // a parquet source cannot be overwritten mid-read (compact's
+    // contract), and a dirty destination would leave a STALE tombstone
+    // or ledger artifact next to the fresh codes — served masked or
+    // replay-refusing for reasons the merge never wrote. Refuse both.
+    require(to != a && to != b,
+      "mergeShards: destination must be a NEW generation directory, not a source")
+    require(!graft.core.Fs.exists(spark, s"$to/codes.parquet") &&
+        !graft.core.Fs.exists(spark, s"$to/tombstones.parquet"),
+      s"mergeShards: $to already holds artifact files — merge into a fresh directory")
     def bookKey(path: String) =
       spark.read.parquet(s"$path/centroids.parquet").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toVector))

@@ -1002,6 +1002,7 @@ object CurationQueries {
     // KMeans-loop precedent: driver state is the model, never the data)
     val mr = f0.agg(sum("x1"), sum("x2"), sum("x3"), count(lit(1))).head()
     val n = mr.getLong(3)
+    require(n > 0, "trainClassifier: empty documents corpus")
     val m = (0 to 2).map(j => mr.getLong(j) / n)
     val cf = CacheScope.cacheEager(f0.select(col("y"),
       (lit(20L) * (col("x1") - m(0))).as("c1"),

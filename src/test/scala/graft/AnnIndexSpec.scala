@@ -677,6 +677,10 @@ class AnnIndexSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         AnnIndex.mergeShards(spark, pa, pa, pm)
       }
+      // refusal 3: destination is a source / already holds artifact files
+      intercept[IllegalArgumentException] {
+        AnnIndex.mergeShards(spark, pa, pb, pa)
+      }
       // takedown broadcast to both shards; rows live only in the odd one
       val takedown = all.filter(col("vec_id") % 10 === 3).select("vec_id")
       AnnIndex.delete(spark, takedown, pa)
