@@ -187,6 +187,40 @@ object SqlQueries {
         .orderBy("metric")
     },
 
+    // R30 — LATERAL correlated subquery join: "for each customer, its
+    // top-3 orders" stated as the ANSI LATERAL form (the parser/
+    // analyzer surface r17 exercises, extended to correlation in the
+    // FROM clause — what an application generates when the per-row
+    // subquery is the natural spelling). Catalyst DECORRELATES the
+    // correlated ORDER BY ... LIMIT into a per-key window under the
+    // hood, so the plan is the same rank-filter shape as r20's
+    // TopKPerKey oracle — stated here from the other direction: the
+    // SQL surface in, the decorrelated plan out. Slice: MACHINERY
+    // customers with c_custkey % 10 = 0 (bounded output, still
+    // hundreds of rows at the gate SF); all-integer cents; full
+    // ordering inside the LIMIT so the top-3 is deterministic.
+    Q(
+      "r30_lateral_topk",
+      """SELECT c.c_custkey, t.o_orderkey, t.cents
+        |FROM customer c, LATERAL (
+        |  SELECT o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, o.o_orderkey LIMIT 3) t
+        |WHERE c.c_mktsegment = 'MACHINERY' AND c.c_custkey % 10 = 0
+        |ORDER BY c.c_custkey, cents DESC, t.o_orderkey""".stripMargin
+    ) { (spark, dir) =>
+      Seq("customer", "orders")
+        .foreach(t => Tables(spark, dir, t).createOrReplaceTempView(s"graft_$t"))
+      spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.cents
+          |FROM graft_customer c, LATERAL (
+          |  SELECT o.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM graft_orders o WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY cents DESC, o.o_orderkey LIMIT 3) t
+          |WHERE c.c_mktsegment = 'MACHINERY' AND c.c_custkey % 10 = 0
+          |ORDER BY c.c_custkey, cents DESC, t.o_orderkey""".stripMargin)
+    },
+
     // R29 — the ANSI FILTER-clause aggregate battery plus the boolean
     // and conditional aggregates (count_if, bool_and, bool_or) — the
     // "pivoted metrics in one pass" idiom every reporting query uses

@@ -107,6 +107,28 @@ class ExportRoundTripSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == 16)
   }
 
+  test("r30: LATERAL top-3 equals the window-rank computation") {
+    import graft.core.Cols._
+    val got = SparkEntry.queries("r30_lateral_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    val o = Tables(spark, sf0001, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        fixed(col("o_totalprice"), 100L).as("cents"))
+    val c = Tables(spark, sf0001, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 10 === 0)
+      .select("c_custkey")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("cents").desc, col("o_orderkey"))
+    val want = o.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 3)
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, -t._3, t._2))
+    assert(got == want, s"lateral=${got.size} window=${want.size}")
+  }
+
   test("r29: filtered aggregates equal independently computed slices") {
     import graft.core.Cols._
     val got = SparkEntry.queries("r29_filtered_aggs")(spark, sf0001).collect()
