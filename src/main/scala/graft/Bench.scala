@@ -278,10 +278,25 @@ object Bench {
     // sbt, whose log prefixes make stdout unparseable as bare JSON.
     Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), line + "\n")
     spark.stop()
-    // FINAL stdout line, tagged so the driver can extract the JSON from
-    // an sbt-wrapped log without relying on the repo-side bench.json
+    // FINAL stdout lines, tagged so the driver can extract JSON from an
+    // sbt-wrapped log without relying on the repo-side bench.json
     // (VERDICT r10 task 5: BENCH_r{9,10}.json carried parsed: null).
-    // After spark.stop() so no listener/shutdown chatter follows it.
+    // After spark.stop() so no listener/shutdown chatter follows them.
     println("BENCH-JSON: " + line)
+    // The full line is ~30 KB and the driver keeps only a 2000-char log
+    // tail, which truncated it every round (VERDICT r11 task 2) — so
+    // the LAST line is a < 200-char digest that survives any tail:
+    // suite total, row count, failures, the slowest row, and how many
+    // rows still breach their BASELINE.md gate after the re-run pass.
+    val failed = results.count(_._2 < 0)
+    val (maxName, maxS, _) = results
+      .filter(_._2 >= 0)
+      .foldLeft(("none", 0.0, "")) { (m, r) => if (r._2 > m._2) r else m }
+    val breaches = results.count { case (n, m, _) =>
+      m >= 0 && gates.get(n).exists(m > _)
+    }
+    println("BENCH-SUMMARY: " +
+      f"""{"total":$total%.1f,"rows":${results.size},"failed":$failed,""" +
+      f""""max_row":"$maxName","max_s":$maxS%.2f,"breaches":$breaches,"sf":"$sfDir"}""")
   }
 }

@@ -189,6 +189,17 @@ private[graft] object Fs {
     f.exists(p)
   }
 
+  /** Canonical fully-qualified form of a path — scheme + authority
+    * attached, `.`/`..`/doubled/trailing slashes collapsed — so two
+    * spellings of one directory compare EQUAL. Identity guards
+    * (mergeShards' destination-is-a-source refusal) must compare
+    * canonical forms: a literal string check lets `dir/` or `./dir`
+    * alias its way past the refusal (ADVICE r11). */
+  def qualified(spark: SparkSession, path: String): String = {
+    val (f, p) = fs(spark, path)
+    f.makeQualified(p).toString
+  }
+
   /** Recursively delete a file or directory (no-op when absent) — the
     * reclamation primitive of rollback/vacuum maintenance: everything
     * it removes is either derivable (staged work, replayable batches)

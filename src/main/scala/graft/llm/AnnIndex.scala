@@ -289,14 +289,23 @@ object AnnIndex {
     * one distributed rewrite of the union. */
   def mergeShards(spark: SparkSession, a: String, b: String, to: String): Unit = {
     // a parquet source cannot be overwritten mid-read (compact's
-    // contract), and a dirty destination would leave a STALE tombstone
-    // or ledger artifact next to the fresh codes — served masked or
-    // replay-refusing for reasons the merge never wrote. Refuse both.
-    require(to != a && to != b,
+    // contract), and a dirty destination would leave a STALE artifact
+    // piece next to the fresh codes: a tombstone set masks rows the
+    // merge never deleted, a leftover `_applied/batch-N` ledger makes a
+    // later appendIdempotent silently SKIP epoch N (data loss), and a
+    // stale `manifest/` lets loadAt resolve a bogus snapshot. Refuse
+    // all of it. Identity compares CANONICAL paths (ADVICE r11: a
+    // trailing slash or relative spelling of a source must not slip
+    // past a literal string check and be overwritten mid-read).
+    val toQ = graft.core.Fs.qualified(spark, to)
+    require(toQ != graft.core.Fs.qualified(spark, a) &&
+        toQ != graft.core.Fs.qualified(spark, b),
       "mergeShards: destination must be a NEW generation directory, not a source")
-    require(!graft.core.Fs.exists(spark, s"$to/codes.parquet") &&
-        !graft.core.Fs.exists(spark, s"$to/tombstones.parquet"),
-      s"mergeShards: $to already holds artifact files — merge into a fresh directory")
+    Seq("codes.parquet", "tombstones.parquet", "centroids.parquet",
+      "_applied", "manifest").foreach { piece =>
+      require(!graft.core.Fs.exists(spark, s"$to/$piece"),
+        s"mergeShards: $to already holds $piece — merge into a fresh directory")
+    }
     def bookKey(path: String) =
       spark.read.parquet(s"$path/centroids.parquet").collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toVector))

@@ -56,6 +56,42 @@ object DedupQueries {
       .filter(col("matches") >= 14)
   }
 
+  /** The ~190-char template every member of the planted skew cluster
+    * shares (x21/x85) — boilerplate-by-construction: exact dedup can
+    * never collapse the members (each carries a unique suffix) and
+    * every band-pair bucket must absorb the full cluster. */
+  private val skewTemplate = "the quick brown fox jumps over the lazy dog while " +
+    "the patient cat watches from the warm stone wall and the small " +
+    "bird sings in the tall green tree beside the quiet river "
+
+  /** The planted TEMPLATE-corpus fixture shared by x21 (skew stress,
+    * rows-only) and x85 (capped candidate generation, GATED):
+    * `nTemplate` docs that are [[skewTemplate]] plus a tiny per-doc
+    * suffix, then mutually-distinct docs of id-hashed pseudo-words up
+    * to `nTotal`. Deterministic, no RNG; every formula is restated
+    * verbatim in [[templateCorpusSql]] so DuckDB generates the
+    * IDENTICAL corpus and the fixture can gate. */
+  private[llm] def templateCorpus(
+      spark: SparkSession, nTemplate: Long, nTotal: Long): DataFrame =
+    spark.range(nTotal).select(
+      col("id").as("doc_id"),
+      when(col("id") < nTemplate, concat(lit(skewTemplate), lit("copy "), col("id")))
+        .otherwise(concat_ws(" ",
+          transform(sequence(lit(1), lit(30)),
+            i => concat(lit("w"), pmod(col("id") * 2654435761L + i * 40503L, lit(99991L))))))
+        .as("text"))
+
+  /** [[templateCorpus]] as a DuckDB CTE (no WITH prefix): same ids,
+    * same CASE split, same base-31-free word hash — `%` equals Spark's
+    * `pmod` here because every operand is non-negative. */
+  private def templateCorpusSql(nTemplate: Long, nTotal: Long): String =
+    s"""corpus AS (SELECT id AS doc_id,
+       |  CASE WHEN id < $nTemplate THEN '${skewTemplate}copy ' || CAST(id AS VARCHAR)
+       |  ELSE array_to_string(list_transform(generate_series(1, 30),
+       |    i -> 'w' || CAST((id*2654435761 + i*40503) % 99991 AS VARCHAR)), ' ')
+       |  END AS text
+       |  FROM range(0, $nTotal) t(id))""".stripMargin
+
   /** Shared oracle CTE tail producing the l2 pair set: agree(d1, d2,
     * matches) over the oracleSig(5) signatures. Also used by x24's
     * cross-snapshot near-dup oracle (CurationQueries). */
@@ -681,18 +717,9 @@ object DedupQueries {
         "DedupSpec ('x21 skew stress') asserts the exact cluster " +
         "histogram — one 1,000-doc template cluster, singletons intact"),
       run = (spark: SparkSession, dir: String) => {
-        val template = "the quick brown fox jumps over the lazy dog while " +
-          "the patient cat watches from the warm stone wall and the small " +
-          "bird sings in the tall green tree beside the quiet river "
         // 1,000 near-identical docs (template + short unique suffix) +
         // 4,000 mutually-distinct docs of id-hashed pseudo-words.
-        val docsDf = spark.range(5000).select(
-          col("id").as("doc_id"),
-          when(col("id") < 1000, concat(lit(template), lit("copy "), col("id")))
-            .otherwise(concat_ws(" ",
-              transform(sequence(lit(1), lit(30)),
-                i => concat(lit("w"), pmod(col("id") * 2654435761L + i * 40503L, lit(99991L))))))
-            .as("text"))
+        val docsDf = templateCorpus(spark, 1000, 5000)
         val sets = CacheScope.cache(
           MinHash.shingleSets(Tables.fanOut(docsDf), 9).filter(col("c") > 0))
         val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(sets))
@@ -717,6 +744,91 @@ object DedupQueries {
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
           .orderBy("cluster_size")
       }),
+
+    // X85 — BOUNDED candidate generation on a planted template
+    // mega-cluster, GATED (VERDICT r11 task 1: x21 stresses the skew
+    // but is rows-only; this row puts the bounded-work RULE itself
+    // under the DuckDB oracle). Same fixture as x21 — 1,000-member
+    // template cluster + 4,000 distinct docs, generated in-plan AND
+    // regenerated verbatim by the oracle's corpus CTE — but candidates
+    // come from MinHash.candidatesCapped: within each band-pair bucket
+    // every member pairs with the bucket's MINIMUM doc_id only (the
+    // rare-anchor representative), so candidate volume is Σ(n_bucket−1)
+    // — LINEAR where candidatesPaired's self-join is Σ n_bucket²
+    // (C(1000,2) ≈ 500k pairs on this fixture; 10¹² on a 10⁶-member
+    // boilerplate cluster at 100 TB). The oracle restates the capped
+    // rule exactly (anch/cand CTEs), and the output carries the
+    // candidate-volume AUDIT as columns: cand_capped = Σ(b−1) vs
+    // cand_uncapped = Σ C(b,2) computed from bucket sizes alone (the
+    // join-output row counts the two rules would pay — the audit
+    // itself is O(buckets), no pair is materialized to count it). The
+    // cluster histogram doubles as the RECALL audit: the capped star
+    // still recovers the full 1,000-doc cluster and leaves the 4,000
+    // distinct docs singletons (DedupSpec pins the expected histogram —
+    // capping may not fragment the planted cluster). SCALE SHAPE: one
+    // (bp,k) partial agg for anchors + one co-partitioned join back +
+    // a star-shaped verified set stars() collapses in one round;
+    // nothing anywhere is quadratic in cluster size.
+    Q(
+      "x85_capped_neardup",
+      s"""WITH RECURSIVE ${templateCorpusSql(1000, 5000)},
+         |${MinHash.oracleSigCtes(9, "corpus")},
+         |bks AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bk
+         |  FROM sig GROUP BY 1, 2),
+         |bpk AS (SELECT x.doc_id, 4*x.band + y.band AS bp, x.bk || '|' || y.bk AS k
+         |  FROM bks x JOIN bks y ON x.doc_id = y.doc_id AND x.band < y.band),
+         |anch AS (SELECT bp, k, min(doc_id) AS d1 FROM bpk GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.d1, p.doc_id AS d2
+         |  FROM bpk p JOIN anch a ON a.bp = p.bp AND a.k = p.k
+         |  WHERE p.doc_id <> a.d1),
+         |ver AS (SELECT c.d1, c.d2 FROM cand c
+         |  JOIN sig s1 ON s1.doc_id = c.d1
+         |  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.i = s1.i AND s2.mh = s1.mh
+         |  GROUP BY 1, 2 HAVING count(*) >= 14),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM ver UNION ALL SELECT d2, d1 FROM ver),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |cl AS (SELECT doc_id, min(r) AS c FROM reach GROUP BY 1),
+         |hist AS (SELECT cnt AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM (SELECT c, count(*) AS cnt FROM cl GROUP BY 1) u GROUP BY 1),
+         |audit AS (SELECT CAST(SUM(b - 1) AS BIGINT) AS cand_capped,
+         |    CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS cand_uncapped
+         |  FROM (SELECT count(*) AS b FROM bpk GROUP BY bp, k) s)
+         |SELECT cluster_size, n_clusters, cand_capped, cand_uncapped
+         |FROM hist CROSS JOIN audit ORDER BY cluster_size""".stripMargin
+    ) { (spark, dir) =>
+      val docsDf = templateCorpus(spark, 1000, 5000)
+      val sets = CacheScope.cache(
+        MinHash.shingleSets(Tables.fanOut(docsDf), 9).filter(col("c") > 0))
+      val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(sets))
+      // keys feed three consumers (anchors, join-back, audit) — cache
+      // the 6-rows/doc projection, not the pair set.
+      val keys = CacheScope.cacheEager(MinHash.bandPairKeys(sig))
+      val cand = MinHash.candidatesCappedFromKeys(keys)
+      val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
+      val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
+      val matches = (0 until 16)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val pairs = cand
+        .join(s1, col("d1") === col("s1_doc"))
+        .join(s2, col("d2") === col("s2_doc"))
+        .select(col("d1"), col("d2"), matches.as("m"))
+        .filter(col("m") >= 14)
+        .select("d1", "d2")
+      val cc = graft.ops.ConnectedComponents.stars(
+        docsDf.select("doc_id"), pairs)
+      val audit = keys.groupBy("bp", "k").agg(count(lit(1)).as("b"))
+        .agg(sum(col("b") - 1).cast("long").as("cand_capped"),
+          sum(expr("b * (b - 1) div 2")).cast("long").as("cand_uncapped"))
+      cc.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(audit))
+        .orderBy("cluster_size")
+    },
 
     // X55 — cross-document BLOCK dedup (the C4 / RefinedWeb "line
     // dedup" pass, re-expressed over this corpus's newline-free docs

@@ -138,6 +138,40 @@ object MinHash {
       .select("d1", "d2").distinct()
   }
 
+  /** CAPPED candidate pairs (d1 < d2) over precomputed band-pair key
+    * rows — the bounded-work variant for TEMPLATE corpora (boilerplate
+    * pages, license headers), where one near-dup cluster floods its
+    * band buckets and the all-pairs-within-bucket join goes quadratic
+    * in cluster size (VERDICT r11: Σ n_bucket² is the one scale cliff
+    * the star-CC switch did not fix — a 10⁶-member boilerplate cluster
+    * is 10¹² candidate pairs). Rule: within each (bp, k) bucket, every
+    * member pairs with the bucket's MINIMUM doc_id (the rare-anchor
+    * representative — x52's posting-probe trick generalized), so
+    * candidate volume is Σ (n_bucket − 1): LINEAR in bucket occupancy,
+    * and the verified pair set is star-shaped per bucket — exactly the
+    * shape ConnectedComponents.stars collapses in one round. The cap
+    * trades the pairwise ≥14/16 losslessness guarantee for bounded
+    * work: two docs agreeing ≥14 still share a band-pair bucket
+    * (pigeonhole), so each is candidate-paired with that bucket's
+    * anchor, and the CLUSTER is recovered whenever members verify
+    * against the anchor (true for template clusters by construction —
+    * x85's planted fixture gates exactly that, with the capped rule
+    * restated verbatim in its DuckDB oracle and the candidate-volume
+    * audit emitted as output columns). Plan shape: one (bp, k) partial
+    * aggregate for the anchors + one co-partitioned join back — the
+    * hot bucket costs one 10⁶-row scan, never a 10¹²-row join. */
+  def candidatesCappedFromKeys(keys: DataFrame): DataFrame = {
+    val anchors = keys.groupBy("bp", "k").agg(min("doc_id").as("d1"))
+    keys.join(anchors, Seq("bp", "k"))
+      .filter(col("doc_id") =!= col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** [[candidatesCappedFromKeys]] over a signature table. */
+  def candidatesCapped(sig: DataFrame): DataFrame =
+    candidatesCappedFromKeys(bandPairKeys(sig))
+
   /** The C(4,2) = 6 compound band-pair keys per doc: (doc_id, bp, k).
     * `candidatesPaired` self-joins these; asymmetric consumers (x24's
     * incremental batch-vs-base dedup) join a filtered slice against
@@ -181,11 +215,16 @@ object MinHash {
        |        FROM $table, unnest(generate_series(1, length(text)-${n - 1})) t(pos)) u)""".stripMargin
   }
 
-  def oracleSig(n: Int): String = {
+  def oracleSig(n: Int): String = "WITH " + oracleSigCtes(n, "documents")
+
+  /** The sh/seeds/sig CTE chain WITHOUT the WITH prefix, parameterized
+    * over the corpus table/CTE name — for oracles whose corpus is
+    * itself a planted-fixture CTE (x85's template corpus). */
+  def oracleSigCtes(n: Int, table: String): String = {
     val seedVals = seeds.zipWithIndex
       .map { case ((a, b), i) => s"($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
       .mkString(", ")
-    s"""WITH ${oracleShingles(n)},
+    s"""${oracleShingles(n, table)},
        |seeds(i, a, b) AS (VALUES $seedVals),
        |sig AS (SELECT doc_id, i, min((a*(h % 2147483647)+b) % 2147483647) AS mh
        |        FROM sh CROSS JOIN seeds GROUP BY 1, 2)""".stripMargin

@@ -229,10 +229,15 @@ object SqlQueries {
     // exact integer cents (the Cols.fixed discipline); booleans are
     // CAST to BIGINT on both engines (value-identical, and the gate
     // never has to trust boolean type rendering); the per-group argmax
-    // order key packs (cents, orderkey) into one BIGINT — cents ≤
-    // ~6·10^7 × 10^8 + key < 2^63 — so max() is deterministic without
-    // struct comparison semantics. One scan, one partial-agged shuffle
-    // on 5 priorities at any scale.
+    // order key packs (cents, orderkey) into one BIGINT with a 10^11
+    // multiplier — BOTH bounds documented (ADVICE r11): overflow needs
+    // cents × 10^11 + key < 2^63, and TPC-H cents ≤ ~6·10^7 gives
+    // 6·10^18 < 9.2·10^18; unpack needs o_orderkey < 10^11, and
+    // orderkeys reach SF·6·10^6, so the pack is exact through SF ≈
+    // 16,000 (the old 10^8 multiplier silently corrupted the argmax
+    // from SF ≈ 17). max() is deterministic without struct comparison
+    // semantics. One scan, one partial-agged shuffle on 5 priorities
+    // at any scale.
     Q(
       "r29_filtered_aggs",
       """WITH o AS (SELECT o_orderpriority, o_orderstatus, o_orderkey,
@@ -244,7 +249,7 @@ object SqlQueries {
         |  CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
         |  CAST(bool_and(cents > 0) AS BIGINT) AS all_pos,
         |  CAST(bool_or(o_orderstatus = 'P') AS BIGINT) AS any_p,
-        |  CAST(max(cents * 100000000 + o_orderkey) % 100000000 AS BIGINT) AS top_orderkey
+        |  CAST(max(cents * 100000000000 + o_orderkey) % 100000000000 AS BIGINT) AS top_orderkey
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (spark, dir) =>
       Tables.fanOut(Tables(spark, dir, "orders"))
@@ -259,7 +264,7 @@ object SqlQueries {
           expr("count_if(o_orderstatus = 'O')").as("n_open"),
           expr("CAST(bool_and(cents > 0) AS BIGINT)").as("all_pos"),
           expr("CAST(bool_or(o_orderstatus = 'P') AS BIGINT)").as("any_p"),
-          expr("CAST(max(cents * 100000000L + o_orderkey) % 100000000L AS BIGINT)")
+          expr("CAST(max(cents * 100000000000L + o_orderkey) % 100000000000L AS BIGINT)")
             .as("top_orderkey"))
         .orderBy("o_orderpriority")
     }

@@ -681,6 +681,31 @@ class AnnIndexSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         AnnIndex.mergeShards(spark, pa, pb, pa)
       }
+      // refusal 3b: an ALIASED spelling of a source (trailing slash,
+      // doubled separator) is still the source — the identity guard
+      // compares canonical paths, not strings (ADVICE r11)
+      intercept[IllegalArgumentException] {
+        AnnIndex.mergeShards(spark, pa, pb, pa + "/")
+      }
+      intercept[IllegalArgumentException] {
+        AnnIndex.mergeShards(spark, pa, pb, pb.replaceFirst("/graft_", "//graft_"))
+      }
+      // refusal 3c: a reused destination carrying only a stale ledger
+      // or manifest (no codes/tombstones) is NOT fresh — a leftover
+      // _applied/batch-N would make a later appendIdempotent silently
+      // skip epoch N, and a stale manifest/ poisons loadAt (ADVICE r11)
+      val pStale = java.nio.file.Files.createTempDirectory("graft_merge_stale").toString
+      try {
+        graft.core.Fs.touch(spark, s"$pStale/_applied/batch-7")
+        intercept[IllegalArgumentException] {
+          AnnIndex.mergeShards(spark, pa, pb, pStale)
+        }
+        graft.core.Fs.delete(spark, s"$pStale/_applied")
+        graft.core.Fs.touch(spark, s"$pStale/manifest/v00001.parquet")
+        intercept[IllegalArgumentException] {
+          AnnIndex.mergeShards(spark, pa, pb, pStale)
+        }
+      } finally rmDir(pStale)
       // takedown broadcast to both shards; rows live only in the odd one
       val takedown = all.filter(col("vec_id") % 10 === 3).select("vec_id")
       AnnIndex.delete(spark, takedown, pa)

@@ -142,6 +142,26 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("x85 capped candidates: recall intact on the planted mega-cluster, volume linear") {
+    // The RECALL audit behind the gated row: capping candidates to one
+    // anchor pair per bucket member may not fragment the planted
+    // 1000-doc template cluster or merge any of the 4000 distinct docs
+    // — and the audit columns must show the capped rule's candidate
+    // volume is a small multiple of corpus size where the uncapped
+    // bucket-pair count is quadratic in cluster size (>= C(1000,2)).
+    val rows = SparkEntry.queries("x85_capped_neardup")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.map(t => (t._1, t._2)) == Seq((1L, 4000L), (1000L, 1L)),
+      s"capped cluster-size histogram diverged: $rows")
+    val (capped, uncapped) = (rows.head._3, rows.head._4)
+    assert(capped <= 6L * 5000L,
+      s"capped candidate volume $capped exceeds the 6-buckets/doc linear bound")
+    assert(uncapped >= 999L * 1000L / 2,
+      s"uncapped bucket-pair count $uncapped lost the quadratic template term")
+    spark.catalog.clearCache()
+  }
+
   test("x36 canonical selection: clusters partition the corpus, survivor is the longest member") {
     import org.apache.spark.sql.functions._
     val sp = spark
