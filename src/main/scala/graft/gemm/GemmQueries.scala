@@ -67,6 +67,54 @@ object GemmQueries {
         .groupBy((col("i") % 2).as("i_blk"), (col("j") % 4).as("j_blk"))
         .agg(sum("v").cast("long").as("blk_sum"))
         .orderBy("i_blk", "j_blk")
+    },
+
+    // GEMM3 — blocked GEMM at a shape that PUNISHES a naive physical
+    // choice (VERDICT r11 task 5): 1024x1024x1024 integer, 2^30
+    // multiply-adds. gemm1/2 pin the reference's own m=128,n=128,k=512
+    // (main.rs:13-14), small enough that the flat coordinate join
+    // (A ⋈ B on k, 67M joined rows) is harmless; at 1024³ that join
+    // materializes 1.07G rows through 1024 join keys — the shape where
+    // the execution has to go BLOCKED, as the reference's set_gemm
+    // tiling does (outer_product.rs:146-169). The run is
+    // BlockGemm.multiply: Grid.blockSizes/closestFactor (the
+    // closest_factor port, util.rs:21-61) picks the near-square result
+    // grid from the session's parallelism, each block-pair product is
+    // a LOCAL dense multiply (the CrossPOp, outer_product.rs:193-208,
+    // as in-memory arithmetic instead of a shuffled row join), and the
+    // block add-reduce (the VecOp tier, outer_product.rs:286-352) is
+    // one k-keyed shuffle of BLOCKS, not of 10^9 elements. GATE: the
+    // 8x8 grid of 128-edge block checksums — and the ORACLE restates
+    // it through the rank-factored identity Σ_{i∈I,j∈J} C(i,j) =
+    // Σ_k (Σ_{i∈I} A(i,k))·(Σ_{j∈J} B(k,j)), which DuckDB evaluates in
+    // O((m+n)·k) without ever forming the 2^30 product terms — the
+    // oracle stays cheap at any shape while the Spark side does the
+    // real multiply. Exactness: block sums ≤ 128²·81·1024 ≈ 1.4·10^9
+    // < 2^53, so the double-valued BlockMatrix path is integer-exact.
+    // SCALE SHAPE: FLOPs scale as n³ while shuffled bytes scale as
+    // n²·(n/kEdge) block replicas — the blocked plan's decade curve is
+    // arithmetic-bound (SCALING.md gemm3 legs), where the flat join's
+    // is shuffle-bound and ~8x steeper per doubling.
+    Q(
+      "gemm3_blocked_checksum",
+      """WITH a AS (SELECT i, kk, (i*5 + kk*17) % 10 AS a
+        |    FROM range(0, 1024) t1(i), range(0, 1024) t2(kk)),
+        |b AS (SELECT kk, j, (kk*3 + j*7) % 10 AS b
+        |    FROM range(0, 1024) t3(kk), range(0, 1024) t4(j)),
+        |ar AS (SELECT i // 128 AS ib, kk, SUM(a) AS sa FROM a GROUP BY 1, 2),
+        |br AS (SELECT kk, j // 128 AS jb, SUM(b) AS sb FROM b GROUP BY 1, 2)
+        |SELECT ib, jb, CAST(SUM(sa * sb) AS BIGINT) AS blk_sum
+        |FROM ar JOIN br USING (kk) GROUP BY 1, 2 ORDER BY ib, jb""".stripMargin
+    ) { (spark, _) =>
+      val n = 1024L
+      val a = spark.range(n * n).selectExpr(
+        s"id div $n AS i", s"id % $n AS j", s"(id div $n * 5 + id % $n * 17) % 10 AS v")
+      val b = spark.range(n * n).selectExpr(
+        s"id div $n AS i", s"id % $n AS j", s"(id div $n * 3 + id % $n * 7) % 10 AS v")
+      BlockGemm.multiply(spark, a, b)
+        .groupBy(expr("i div 128").as("ib"), expr("j div 128").as("jb"))
+        .agg(sum("v").cast("long").as("blk_sum"))
+        .orderBy("ib", "jb")
     }
   )
 }

@@ -183,11 +183,13 @@ object DedupIndex {
   }
 
   /** This artifact's manifest coordinates for the shared versioned-
-    * snapshot layer ([[graft.core.Snapshots]]): two data-file kinds —
-    * the signature rows and the id-only tombstones. */
+    * snapshot layer ([[graft.core.Snapshots]]): three data-file kinds —
+    * the signature rows, the id-only tombstones, and the cluster label
+    * FOREST generations ([[saveForest]]). */
   private val SnapshotDirs = Seq(
     "rows" -> "rows.parquet",
-    "tombstones" -> "tombstones.parquet")
+    "tombstones" -> "tombstones.parquet",
+    "forest" -> "forest.parquet")
 
   /** Record the artifact's CURRENT file sets as snapshot `version` —
     * AnnIndex.snapshot's contract on the dedup artifact, same shared
@@ -253,6 +255,101 @@ object DedupIndex {
   def expire(spark: SparkSession, path: String, keepLast: Int): Unit =
     graft.core.Snapshots.expire(spark, path, keepLast,
       SnapshotDirs.map(_._1).toSet, SnapshotDirs.map(_._2))
+
+  /** The (doc_id, mh0..mh15) signature view of loaded index rows —
+    * docs too short to shingle (NULL lanes) dropped, exactly the
+    * in-plan `filter(c > 0)` discipline (an all-NULL signature would
+    * share one band key with every other and pair quadratically). */
+  def sigOf(idx: DataFrame): DataFrame =
+    idx.filter(col("mh0").isNotNull)
+      .select(col("doc_id") +: (0 until 16).map(i => col(s"mh$i")): _*)
+
+  /** Resolve the indexed corpus's near-dup cluster LABELS from its
+    * persisted signatures alone — x12's answer computed off the
+    * artifact, no corpus text touched: banded candidates, >= 14/16
+    * verify, star contraction. Output (id, lbl): lbl is the cluster's
+    * minimum doc_id; id = lbl rows are the canonicals. This is the
+    * day-0 producer of the forest [[saveForest]] persists. */
+  def clusterLabels(idx: DataFrame): DataFrame = {
+    val sig = graft.core.CacheScope.cacheEager(sigOf(idx))
+    val pairs = MinHash.agreeAtLeast(MinHash.candidatesPaired(sig), sig, sig, 14)
+    graft.ops.ConnectedComponents.stars(idx.select("doc_id"), pairs)
+  }
+
+  /** Persist cluster labels as forest GENERATION `gen` —
+    * `{path}/forest.parquet/gen-{gen}/`, one (id, lbl) row per indexed
+    * doc (n rows: the label forest, never the quadratic pair set).
+    * Generations are the append-only discipline the shared snapshot
+    * layer requires: a maintenance run writes a NEW gen directory and
+    * the next [[snapshot]] records it; files of older generations are
+    * never rewritten, so every pinned manifest keeps serving its as-of
+    * forest ([[loadForestAt]] reads a version's LATEST recorded gen).
+    * Callers use fresh gen numbers per run (the batch-id contract). */
+  def saveForest(spark: SparkSession, labels: DataFrame, path: String,
+      gen: Int): Unit = {
+    val Array(idCol, lblCol) = labels.columns.take(2)
+    labels.select(col(idCol).as("id"), col(lblCol).as("lbl"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/forest.parquet/gen-$gen")
+  }
+
+  private val ForestGen = """forest\.parquet/gen-(\d+)/.*""".r
+
+  /** Load the label forest AS OF snapshot `version`: of the forest
+    * generations that manifest records, the LATEST one — older gens
+    * stay pinned only because earlier manifests reference them. One
+    * bounded manifest collect + one pruned scan of that gen's files. */
+  def loadForestAt(spark: SparkSession, path: String, version: Int): DataFrame = {
+    val forest = graft.core.Snapshots.entries(spark, path, version)
+      .collect { case ("forest", f) => f }
+    val gens = forest.flatMap {
+      case ForestGen(g) => Some(g.toInt)
+      case _ => None
+    }
+    require(gens.nonEmpty, s"snapshot v$version at $path records no forest generation")
+    val latest = gens.max
+    val files = forest
+      .filter(_.contains(s"forest.parquet/gen-$latest/"))
+      .map(f => graft.core.Snapshots.resolve(path, f))
+    spark.read.parquet(files: _*)
+  }
+
+  /** MAINTAIN cluster labels from the persisted state — the deployed
+    * shape of x80's incremental maintenance (VERDICT r11 task 3: the
+    * gated x80 row recomputes yesterday's forest in-run to stay
+    * self-contained; a deployment reads it from this artifact).
+    * Per-ingest inputs are EXACTLY three: the batch's text (one linear
+    * scan for its signatures), the pinned index rows (signature lanes
+    * — old-corpus text is never touched), and the pinned label forest
+    * (n rows — the old quadratic pair bulk is never re-formed).
+    * Candidates are ASYMMETRIC banding, batch keys x (index ∪ batch)
+    * keys, so candidate volume scales with the batch; connectivity of
+    * (forest ∪ batch pairs) equals connectivity of (old pairs ∪ batch
+    * pairs) because the star forest preserves old components by
+    * construction — which is why b26 gates this maintained answer
+    * against x12's verbatim full-recompute oracle. Batch doc_ids must
+    * be disjoint from indexed ones (the ingest contract). */
+  def maintainClusters(spark: SparkSession, path: String, version: Int,
+      batch: DataFrame): DataFrame = {
+    val idx = loadAt(spark, path, version)
+    val iSig = sigOf(idx)
+    val bSig = graft.core.CacheScope.cacheEager(
+      MinHash.signaturesFromSets(
+        MinHash.shingleSets(batch, 5).filter(col("c") > 0)))
+    val allSig = iSig.unionByName(bSig)
+    val cand = MinHash.bandPairKeys(bSig).toDF("d1", "bp", "k")
+      .join(MinHash.bandPairKeys(allSig).toDF("d2", "bp2", "k2"),
+        col("bp") === col("bp2") && col("k") === col("k2") &&
+          col("d1") =!= col("d2"))
+      .select("d1", "d2").distinct()
+    val batchPairs = MinHash.agreeAtLeast(cand, bSig, allSig, 14)
+    val forest = loadForestAt(spark, path, version)
+    graft.ops.ConnectedComponents.stars(
+      idx.select("doc_id").unionByName(batch.select("doc_id")),
+      forest.filter(col("id") =!= col("lbl"))
+        .select(col("id").as("d1"), col("lbl").as("d2"))
+        .unionByName(batchPairs))
+  }
 
   /** Dedup an incoming batch (doc_id, lang, text) against a LOADED
     * index: per language, how many incoming docs are exact duplicates

@@ -92,6 +92,25 @@ object DedupQueries {
        |  END AS text
        |  FROM range(0, $nTotal) t(id))""".stripMargin
 
+  /** The full-corpus cluster-resolution oracle shared VERBATIM by x12
+    * (full recompute), x80 (incremental maintenance) and b26 (artifact-
+    * fed maintenance): signatures + >= 14/16 agreement pairs + a
+    * recursive-CTE connected-components fixpoint + min-id labels. Three
+    * engine paths, one SQL answer — the gate that makes the incremental
+    * and artifact-fed paths answer-invisible. */
+  private[llm] def clusterOracleSql: String =
+    s"""${MinHash.oracleSig(5).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |$agreeSql,
+       |pairs AS (SELECT d1, d2 FROM agree WHERE matches >= 14),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r)
+       |SELECT doc_id, min(r) AS cluster_id,
+       |  CAST(CASE WHEN doc_id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Shared oracle CTE tail producing the l2 pair set: agree(d1, d2,
     * matches) over the oracleSig(5) signatures. Also used by x24's
     * cross-snapshot near-dup oracle (CurationQueries). */
@@ -550,18 +569,7 @@ object DedupQueries {
     // states the same fixpoint as a recursive reachability CTE —
     // label-set equality is algorithm-independent.
     Q(
-      "x12_dedup_clusters",
-      s"""${MinHash.oracleSig(5).replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |$agreeSql,
-         |pairs AS (SELECT d1, d2 FROM agree WHERE matches >= 14),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
-         |reach(doc_id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r)
-         |SELECT doc_id, min(r) AS cluster_id,
-         |  CAST(CASE WHEN doc_id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
-         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      "x12_dedup_clusters", clusterOracleSql
     ) { (spark, dir) =>
       val pairs = minhashPairs(spark, dir).select("d1", "d2")
       val nodes = MinHash.docs(spark, dir).select("doc_id")
@@ -595,18 +603,7 @@ object DedupQueries {
     // in-run here to keep the gated row self-contained — a deployment
     // reads them from the x12 artifact.)
     Q(
-      "x80_incremental_clusters",
-      s"""${MinHash.oracleSig(5).replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |$agreeSql,
-         |pairs AS (SELECT d1, d2 FROM agree WHERE matches >= 14),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
-         |reach(doc_id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r)
-         |SELECT doc_id, min(r) AS cluster_id,
-         |  CAST(CASE WHEN doc_id = min(r) THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
-         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      "x80_incremental_clusters", clusterOracleSql
     ) { (spark, dir) =>
       val docs = MinHash.docs(spark, dir)
       val isNew = col("doc_id") % 3 === 2
@@ -641,6 +638,41 @@ object DedupQueries {
           .select("d1", "d2").distinct())
       graft.ops.ConnectedComponents
         .stars(docs.select("doc_id"), forest.union(batchPairs))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+
+    // B26 — x80's DEPLOYED shape (VERDICT r11 task 3): the label forest
+    // is read from the persisted dedup-index artifact, not recomputed
+    // in-run. Day 0 builds the index over the old corpus (doc_id % 3
+    // != 2), resolves its clusters FROM THE ARTIFACT's signature lanes
+    // (DedupIndex.clusterLabels — old text read once, at indexing),
+    // persists the (id, lbl) forest as generation 1 and snapshots —
+    // the forest is n rows through core.Snapshots' manifest layer,
+    // never the quadratic pair set. The INGEST then calls
+    // DedupIndex.maintainClusters: batch text scanned once for its
+    // signatures, asymmetric banding against the pinned index lanes,
+    // star loop over (loaded forest ∪ batch pairs). The gate is x12's
+    // VERBATIM full-corpus oracle — three paths (full recompute,
+    // in-run incremental, artifact-fed), one answer. The per-ingest
+    // plan touches NO old-corpus text and NO old pair set —
+    // DedupIndexSpec proves it the strong way: it DELETES the old
+    // corpus files before the ingest and the maintained answer must
+    // still equal the full recompute. Per-ingest cost is batch-linear
+    // plus two pruned artifact scans — the 100 TB daily-ingest shape,
+    // now with the state it actually deploys with.
+    Q(
+      "b26_forest_fed_clusters", clusterOracleSql
+    ) { (spark, dir) =>
+      val docs = MinHash.docs(spark, dir)
+      val isNew = col("doc_id") % 3 === 2
+      val path = graft.streaming.TempWork.dir("graft_b26_dedupidx")
+      DedupIndex.save(spark, DedupIndex.index(docs.filter(!isNew)), path)
+      DedupIndex.saveForest(spark,
+        DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
+      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.maintainClusters(spark, path, 1, docs.filter(isNew))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
         .orderBy("doc_id")

@@ -172,6 +172,29 @@ object MinHash {
   def candidatesCapped(sig: DataFrame): DataFrame =
     candidatesCappedFromKeys(bandPairKeys(sig))
 
+  /** Keep the candidate pairs whose signatures agree on >= `threshold`
+    * of the 16 lanes — the exact-verify step every banded consumer runs
+    * after candidate generation. `cand`'s first column joins `left`'s
+    * doc_id, its second joins `right`'s (the two sides differ for
+    * asymmetric batch-vs-corpus consumers); both sides must be wide
+    * (doc_id, mh0..mh15) tables. Two doc_id-keyed 1:1 joins + a
+    * row-local lane count — cost tracks the candidate set. */
+  def agreeAtLeast(cand: DataFrame, left: DataFrame, right: DataFrame,
+      threshold: Int): DataFrame = {
+    val Array(c1, c2) = cand.columns.take(2)
+    val s1 = left.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
+    val s2 = right.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
+    val matches = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(s1, col(c1) === col("s1_doc"))
+      .join(s2, col(c2) === col("s2_doc"))
+      .select(col(c1), col(c2), matches.as("m"))
+      .filter(col("m") >= threshold)
+      .select(c1, c2)
+  }
+
   /** The C(4,2) = 6 compound band-pair keys per doc: (doc_id, bp, k).
     * `candidatesPaired` self-joins these; asymmetric consumers (x24's
     * incremental batch-vs-base dedup) join a filtered slice against

@@ -299,6 +299,46 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally rmrf(path)
   }
 
+  test("b26 forest-fed maintenance: ingest runs with the old corpus text GONE") {
+    // The deployed-shape contract behind the gated b26 row: the ingest
+    // reads ONLY the batch text + the pinned artifact (signature rows
+    // and label forest). Proven the strong way — the old corpus's
+    // parquet is physically deleted between day 0 and the ingest, so
+    // any dependence on old text (or on re-forming old pairs from it)
+    // would throw FileNotFound instead of answering; the answer must
+    // still equal the full recompute over old ∪ batch.
+    val all = docs.select("doc_id", "lang", "text")
+    val isNew = col("doc_id") % 3 === 2
+    val oldDir = java.nio.file.Files.createTempDirectory("graft_b26_old").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_b26_batch").toString
+    val path = java.nio.file.Files.createTempDirectory("graft_b26_art").toString
+    try {
+      all.filter(!isNew).write.mode("overwrite").parquet(oldDir)
+      all.filter(isNew).write.mode("overwrite").parquet(batchDir)
+      val expected = DedupIndex.clusterLabels(DedupIndex.index(all))
+        .orderBy("id").collect().toSeq
+      spark.catalog.clearCache()
+      DedupIndex.save(spark,
+        DedupIndex.index(spark.read.parquet(oldDir)), path)
+      DedupIndex.saveForest(spark,
+        DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
+      DedupIndex.snapshot(spark, path, 1)
+      spark.catalog.clearCache()
+      rmrf(oldDir) // day-0 text is gone; only the artifact remains
+      val got = DedupIndex
+        .maintainClusters(spark, path, 1, spark.read.parquet(batchDir))
+        .orderBy("id").collect().toSeq
+      assert(got.nonEmpty && got == expected)
+      // the pinned forest read resolves generation 1 from the manifest
+      assert(DedupIndex.loadForestAt(spark, path, 1).count() ==
+        all.filter(!isNew).count())
+    } finally {
+      rmrf(batchDir); rmrf(path)
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(oldDir))) rmrf(oldDir)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("b13/b14 artifact paths and in-plan x24 agree row for row") {
     val x24 = SparkEntry.queries("x24_snapshot_dedup")(spark, sf0001)
       .collect().toSeq
