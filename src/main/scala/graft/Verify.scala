@@ -9,6 +9,29 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // StreamingJoinHelper logs a benign WARN **with a full
+    // INTERNAL_ERROR stack trace** whenever a stream-stream join
+    // carries a non-time conjunct it cannot turn into a state-eviction
+    // constraint (s8/s19's `id1 < id2`): the join is still planned
+    // correctly with the time-range constraint alone. Those ~90 stack
+    // lines per run land in the driver's correctness log and read as
+    // failures (VERDICT r11 task 6) — raise just that category to
+    // ERROR so the artifact stays grep-clean; real planner errors
+    // still surface.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.StreamingJoinHelper",
+      org.apache.logging.log4j.Level.ERROR)
+    // The replay-proof rows (s15/s16/s17's foreachBatch ingestion)
+    // INJECT a crash and restart the stream — that is the test. The
+    // stream engine logs each injected death as an ERROR stack trace
+    // ("terminated with error ... injected post-commit crash"), which
+    // also pollutes the artifact. Quiet the category in THIS main
+    // only: a genuinely failing query still surfaces through the
+    // `[verify] <name> failed` line below, because nothing here
+    // swallows the exception itself.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      org.apache.logging.log4j.Level.FATAL)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated query filter (builder iteration aid —
     // the driver never sets it, so its runs always dump the full
