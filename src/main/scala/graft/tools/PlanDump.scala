@@ -153,7 +153,23 @@ object PlanDump {
     // its builder runs the 7-pass training loop eagerly; each pass's
     // plan is one partial+final HashAggregate over the cached
     // centered-feature projection.)
-    "x81_matryoshka_recall", "x84_rendezvous_rebalance")
+    "x81_matryoshka_recall", "x84_rendezvous_rebalance",
+    // round 12: x85's capped candidate generation — the thing to read
+    // is the shape between the band-pair key projection and the
+    // verify joins: ONE partial+final HashAggregate pair (the per-
+    // bucket min-id anchors) and one co-partitioned join back on
+    // (bp, k), in place of candidatesPaired's bucket self-join — the
+    // plan's join output is Σ(b−1) rows by construction, which is the
+    // entire bounded-work claim in physical form. b26's forest-fed
+    // maintenance — the star rounds run eagerly, so the printed plan
+    // is the final label assembly, and it carries the isolation claim
+    // directly: the node set unions the ARTIFACT's rows.parquet scan
+    // (ReadSchema = doc_id alone) with a documents scan whose
+    // ReadSchema is ALSO doc_id alone (batch-id filter above it) —
+    // no text column is read anywhere in the dumped plan, because the
+    // only text the whole ingest ever scanned (eagerly, in the star
+    // rounds) was the batch slice's.
+    "x85_capped_neardup", "b26_forest_fed_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
