@@ -71,7 +71,7 @@ object DedupQueries {
     * to `nTotal`. Deterministic, no RNG; every formula is restated
     * verbatim in [[templateCorpusSql]] so DuckDB generates the
     * IDENTICAL corpus and the fixture can gate. */
-  private[llm] def templateCorpus(
+  private[graft] def templateCorpus(
       spark: SparkSession, nTemplate: Long, nTotal: Long): DataFrame =
     spark.range(nTotal).select(
       col("id").as("doc_id"),
@@ -84,8 +84,9 @@ object DedupQueries {
   /** [[templateCorpus]] as a DuckDB CTE (no WITH prefix): same ids,
     * same CASE split, same base-31-free word hash — `%` equals Spark's
     * `pmod` here because every operand is non-negative. */
-  private def templateCorpusSql(nTemplate: Long, nTotal: Long): String =
-    s"""corpus AS (SELECT id AS doc_id,
+  private def templateCorpusSql(nTemplate: Long, nTotal: Long,
+      name: String = "corpus"): String =
+    s"""$name AS (SELECT id AS doc_id,
        |  CASE WHEN id < $nTemplate THEN '${skewTemplate}copy ' || CAST(id AS VARCHAR)
        |  ELSE array_to_string(list_transform(generate_series(1, 30),
        |    i -> 'w' || CAST((id*2654435761 + i*40503) % 99991 AS VARCHAR)), ' ')
@@ -856,6 +857,94 @@ object DedupQueries {
       val audit = keys.groupBy("bp", "k").agg(count(lit(1)).as("b"))
         .agg(sum(col("b") - 1).cast("long").as("cand_capped"),
           sum(expr("b * (b - 1) div 2")).cast("long").as("cand_uncapped"))
+      cc.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(audit))
+        .orderBy("cluster_size")
+    },
+
+    // X86 — HYBRID bucket escalation, the rule x85's cap DEPLOYS as
+    // (the judge's "sub-band escalation" remedy made the default):
+    // buckets at or under 16 members keep the exact all-pairs join —
+    // LOSSLESS, and on ordinary corpora that is every bucket, so the
+    // candidate set equals candidatesPaired's — while buckets over 16
+    // escalate to x85's min-id anchor pairing, so a flooded template
+    // bucket costs Σ(b−1) instead of Σ b². Worst-case candidate volume
+    // is O(cap · keys) BY CONSTRUCTION, data-independent. The fixture
+    // makes both branches live in one gated answer: the REAL documents
+    // table (small buckets → all-pairs branch) unioned with the
+    // planted 1,000-doc template cluster (ids shifted by
+    // max(doc_id)+1, x69's collision-proof discipline; its buckets
+    // escalate). Oracle restates the union, the bucket-size split, the
+    // anchor rule, the ≥ 14/16 verify and the reach fixpoint; output =
+    // cluster histogram + the volume audit (hybrid vs uncapped bucket
+    // pairs, buckets escalated). SCALE SHAPE: one bucket-size
+    // aggregate + one co-partitioned meta join feed both branches;
+    // nothing is quadratic in cluster size anywhere, and the lossless
+    // guarantee degrades ONLY inside buckets a 100 TB template corpus
+    // floods — exactly where all-pairs is unpayable anyway.
+    Q(
+      "x86_hybrid_neardup",
+      s"""WITH RECURSIVE mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+         |${templateCorpusSql(1000, 5000, "planted")},
+         |corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT p.doc_id + mx.m AS doc_id, p.text FROM planted p CROSS JOIN mx),
+         |${MinHash.oracleSigCtes(9, "corpus")},
+         |bks AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bk
+         |  FROM sig GROUP BY 1, 2),
+         |bpk AS (SELECT x.doc_id, 4*x.band + y.band AS bp, x.bk || '|' || y.bk AS k
+         |  FROM bks x JOIN bks y ON x.doc_id = y.doc_id AND x.band < y.band),
+         |meta AS (SELECT bp, k, count(*) AS b, min(doc_id) AS anchor
+         |  FROM bpk GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bpk x JOIN meta m ON m.bp = x.bp AND m.k = x.k
+         |    JOIN bpk y ON y.bp = x.bp AND y.k = x.k AND x.doc_id < y.doc_id
+         |  WHERE m.b <= 16
+         |  UNION
+         |  SELECT m.anchor AS d1, p.doc_id AS d2
+         |  FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k
+         |  WHERE m.b > 16 AND p.doc_id <> m.anchor),
+         |ver AS (SELECT c.d1, c.d2 FROM cand c
+         |  JOIN sig s1 ON s1.doc_id = c.d1
+         |  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.i = s1.i AND s2.mh = s1.mh
+         |  GROUP BY 1, 2 HAVING count(*) >= 14),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM ver UNION ALL SELECT d2, d1 FROM ver),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |cl AS (SELECT doc_id, min(r) AS c FROM reach GROUP BY 1),
+         |hist AS (SELECT cnt AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM (SELECT c, count(*) AS cnt FROM cl GROUP BY 1) u GROUP BY 1),
+         |audit AS (SELECT
+         |    CAST(SUM(CASE WHEN b <= 16 THEN b * (b - 1) // 2 ELSE b - 1 END) AS BIGINT) AS cand_hybrid,
+         |    CAST(SUM(b * (b - 1) // 2) AS BIGINT) AS cand_uncapped,
+         |    CAST(SUM(CASE WHEN b > 16 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_escalated
+         |  FROM meta)
+         |SELECT cluster_size, n_clusters, cand_hybrid, cand_uncapped, buckets_escalated
+         |FROM hist CROSS JOIN audit ORDER BY cluster_size""".stripMargin
+    ) { (spark, dir) =>
+      val docs = MinHash.docs(spark, dir)
+      val mx = MinHash.docs(spark, dir).agg((max(col("doc_id")) + 1L).as("m"))
+      val corpus = CacheScope.cacheEager(
+        docs.select("doc_id", "text").union(
+          templateCorpus(spark, 1000, 5000).crossJoin(broadcast(mx))
+            .select((col("doc_id") + col("m")).as("doc_id"), col("text"))))
+      val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(
+        MinHash.shingleSets(corpus, 9).filter(col("c") > 0)))
+      val keys = CacheScope.cacheEager(MinHash.bandPairKeys(sig))
+      val pairs = MinHash.agreeAtLeast(
+        MinHash.candidatesHybridFromKeys(keys, 16), sig, sig, 14)
+      val cc = graft.ops.ConnectedComponents.stars(
+        corpus.select("doc_id"), pairs)
+      val audit = keys.groupBy("bp", "k").agg(count(lit(1)).as("b"))
+        .agg(
+          sum(when(col("b") <= 16, expr("b * (b - 1) div 2"))
+            .otherwise(col("b") - 1)).cast("long").as("cand_hybrid"),
+          sum(expr("b * (b - 1) div 2")).cast("long").as("cand_uncapped"),
+          sum(when(col("b") > 16, 1L).otherwise(0L)).as("buckets_escalated"))
       cc.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .crossJoin(broadcast(audit))

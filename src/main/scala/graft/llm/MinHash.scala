@@ -172,6 +172,33 @@ object MinHash {
   def candidatesCapped(sig: DataFrame): DataFrame =
     candidatesCappedFromKeys(bandPairKeys(sig))
 
+  /** HYBRID candidate pairs — the deployable form of the cap (x86):
+    * buckets at or under `cap` members keep the exact all-pairs join
+    * (lossless, and bounded by cap·Σb rows), buckets OVER it escalate
+    * to the anchor rule. Ordinary corpora see pure all-pairs behavior
+    * (every bucket is small — candidate set identical to
+    * [[candidatesPaired]]'s); a template mega-cluster's flooded
+    * buckets switch to Σ(b−1) anchor pairs, so worst-case work is
+    * O(cap · keys) by construction instead of Σ b². One bucket-size
+    * aggregate + one co-partitioned meta join-back feed both
+    * branches. */
+  def candidatesHybridFromKeys(keys: DataFrame, cap: Int): DataFrame = {
+    val meta = keys.groupBy("bp", "k")
+      .agg(count(lit(1)).as("b"), min("doc_id").as("anchor"))
+    val sized = keys.join(meta, Seq("bp", "k"))
+    val small = sized.filter(col("b") <= cap)
+    val smallPairs = small.select(col("bp"), col("k"), col("doc_id").as("d1"))
+      .join(small.select(col("bp").as("bp2"), col("k").as("k2"),
+        col("doc_id").as("d2")),
+        col("bp") === col("bp2") && col("k") === col("k2") &&
+          col("d1") < col("d2"))
+      .select("d1", "d2")
+    val largePairs = sized.filter(col("b") > cap)
+      .filter(col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("d1"), col("doc_id").as("d2"))
+    smallPairs.unionByName(largePairs).distinct()
+  }
+
   /** Keep the candidate pairs whose signatures agree on >= `threshold`
     * of the 16 lanes — the exact-verify step every banded consumer runs
     * after candidate generation. `cand`'s first column joins `left`'s

@@ -162,6 +162,43 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("x86 hybrid escalation: lossless at cap=infinity, planted cluster recalled at cap=16") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.MinHash
+    // Equivalence leg: with a cap no bucket reaches, the hybrid rule
+    // IS the all-pairs rule — candidate sets must be IDENTICAL, on a
+    // corpus where the planted template cluster makes that set large
+    // (~C(1000,2)) and non-trivial.
+    val corpus = MinHash.docs(spark, sf0001).select("doc_id", "text")
+      .union(graft.llm.DedupQueries.templateCorpus(spark, 1000, 5000)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val sig = MinHash.signaturesFromSets(
+      MinHash.shingleSets(corpus, 9).filter(col("c") > 0)).cache()
+    val keys = MinHash.bandPairKeys(sig).cache()
+    try {
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hybrid = pairSet(MinHash.candidatesHybridFromKeys(keys, Int.MaxValue))
+      val paired = pairSet(MinHash.candidatesPaired(sig))
+      assert(hybrid.size > 400000, s"planted cluster missing: ${hybrid.size}")
+      assert(hybrid == paired)
+      // Escalation leg: at cap=16 the flooded buckets switch to anchor
+      // pairs and the gated row's histogram must still recover the
+      // full 1,000-doc planted cluster, with the audit showing real
+      // escalation and a bounded candidate count.
+      val rows = SparkEntry.queries("x86_hybrid_neardup")(spark, sf0001)
+        .collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .contains((1000L, 1L)), "planted 1000-doc cluster fragmented")
+      assert(rows.head.getLong(4) > 0, "no bucket escalated")
+      assert(rows.head.getLong(2) < rows.head.getLong(3) / 10,
+        "hybrid volume not meaningfully below the uncapped quadratic")
+    } finally {
+      sig.unpersist(false); keys.unpersist(false)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("x36 canonical selection: clusters partition the corpus, survivor is the longest member") {
     import org.apache.spark.sql.functions._
     val sp = spark
