@@ -25,6 +25,13 @@ object BlockGemm {
     * outer_product.rs:162-167). */
   def multiply(spark: SparkSession, a: DataFrame, b: DataFrame,
       blockSize: Int = 0): DataFrame = {
+    // BlockMatrix caches live at the RDD layer, invisible to the
+    // DataFrame cache manager — register every persist this call
+    // creates with the enclosing CacheScope (no-op outside one), so a
+    // registry query using the block path releases its blocks after
+    // materialization like every DataFrame intermediate (the
+    // GraftFacadeSpec leak contract).
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     def toBlock(df: DataFrame, rows: Int, cols: Int): BlockMatrix = {
       val entries = df.rdd.map(r =>
         MatrixEntry(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
@@ -53,6 +60,10 @@ object BlockGemm {
       }
     val c = toBlock(a, aRows, aCols).multiply(toBlock(b, bRows, bCols))
       .toCoordinateMatrix()
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => persistedBefore(id) }
+      .values
+      .foreach(r => graft.core.CacheScope.release(() => { r.unpersist(false); () }))
     val sp = spark
     import sp.implicits._
     c.entries.map(e => (e.i, e.j, e.value)).toDF("i", "j", "v")

@@ -29,6 +29,9 @@ if "--only" in args:
     i = args.index("--only")
     ONLY = args[i + 1]
     del args[i:i + 2]
+REWRITE_ONLY = "--rewrite" in args
+if REWRITE_ONLY:
+    args.remove("--rewrite")
 RUNS = args[0] if args else "3"
 SFS = ["0.001", "0.01", "0.1", "1.0"]
 
@@ -397,12 +400,51 @@ COMMENTARY = """\
   volume, so its ratio converging toward linear is the join doing
   real per-row work, not a blowup; nothing in the wave approaches the
   10x flag line.
+
+- **Round-12 rows (--only merge, measured 2026-08-16).** x85 is
+  sf-INVARIANT by construction (its 5,000-doc template fixture is
+  generated in-plan, like x21): legs 3.25/2.40/2.10/2.47 are one
+  fixed workload under varying ambient load. Its claim is the VOLUME
+  audit in the gated output, not the curve: 5,607 capped candidate
+  rows vs 636,348 uncapped bucket pairs on the same buckets — the
+  113x that becomes ~10^6x on a 10^6-member boilerplate cluster,
+  because capped volume is Σ(b−1) against Σ C(b,2). x86 unions the
+  REAL corpus (growing 10x per step) with that fixed planted cluster
+  and still steps 1.02/1.01/1.47: the lossless all-pairs branch pays
+  the corpus's small buckets linearly, the escalated branch stays
+  fixed-cost, and worst case is O(cap·keys) whatever the data does —
+  the deployable dedup-candidate rule for template-heavy corpora.
+  b26 (4.03/4.17/6.63/31.2, 4.7x top step) is DELIBERATELY a whole
+  lifecycle in one row: day-0 index build over 2/3 of the corpus
+  (sha-256 + signatures + artifact write), label-forest resolution +
+  forest write + snapshot, THEN the deployed per-ingest maintain. The
+  day-0 terms are corpus-linear one-time costs a deployment amortizes
+  across every future batch; the per-ingest component — batch
+  signatures, asymmetric banding against the pinned lanes, one star
+  loop over (forest ∪ batch pairs) — tracks the batch, which is why
+  x80 (same maintenance, no artifact writes) steps lower while both
+  gate against the identical full-recompute oracle. gemm3 is a FIXED
+  1024³ multiply (ratios ~1, ambient noise): its scale evidence is
+  the blocked-vs-flat contrast measured warm in one session —
+  blocked 1.81/2.14/3.84 s at 512/1024/2048 against the flat
+  coordinate join's 1.18/3.66/13.98 s, identical checksums at every
+  shape. The flat join materializes n³ joined rows (8x per doubling —
+  shuffle-bound); the blocked path does the same arithmetic inside
+  local dense block products and shuffles only n²-scale block
+  replicas, so its doubling ratio (1.8x at the top step) tracks
+  FLOPs amortized over fixed overhead, not join-row volume.
 """
 
 
 def main():
     res = {}
     for sf in SFS:
+        if REWRITE_ONLY:
+            # commentary/format-only rewrite from the cached last-run
+            # artifacts — no bench invocation, no numbers change
+            with open(f"/tmp/bench_sf{sf}.json") as f:
+                res[sf] = json.load(f)
+            continue
         print(f"running full suite at sf{sf} (median of {RUNS}) ...")
         res[sf] = bench(sf)
         print(f"  total {res[sf]['value']:.1f}s")
