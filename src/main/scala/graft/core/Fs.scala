@@ -158,11 +158,17 @@ private[graft] object Fs {
     * of the applied-batch evidence: a batch that committed its data
     * (atomic rename) but crashed before its marker is still visible
     * here, so ledger carries can heal it. */
-  def listBatchDirs(spark: SparkSession, dir: String): Seq[String] = {
+  def listBatchDirs(spark: SparkSession, dir: String): Seq[String] =
+    listPrefixedDirs(spark, dir, "batch-")
+
+  /** Immediate subdirectories of `dir` whose name carries `prefix` —
+    * the commit-unit naming shared by atomic batch directories
+    * (`batch-{id}`) and forest generations (`gen-{n}`). */
+  def listPrefixedDirs(spark: SparkSession, dir: String, prefix: String): Seq[String] = {
     val (f, p) = fs(spark, dir)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .map(_.getPath.getName).sorted.toSeq
   }
 

@@ -194,6 +194,14 @@ object Snapshots {
         Fs.delete(spark, s"$path/_applied/$b")
       }
     }
+    // forest generations follow the same commit-unit discipline but
+    // carry no applied-epoch marker: an emptied gen-N is simply gone
+    // (a rolled-back maintenance run's gen must not linger as an empty
+    // directory next to the retained generations)
+    Fs.listPrefixedDirs(spark, dir, "gen-").foreach { g =>
+      if (Fs.listDataFiles(spark, s"$dir/$g").isEmpty)
+        Fs.delete(spark, s"$dir/$g")
+    }
     if (Fs.listDataFiles(spark, dir).isEmpty) Fs.delete(spark, dir)
   }
 }

@@ -679,6 +679,48 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // B27 — the DAILY LOOP b26 closes over two ingests: day 1's
+    // maintenance output is not a report, it is the NEXT state. Day 0
+    // indexes a third of the corpus and persists forest gen-1 /
+    // snapshot v1; day 1 maintains labels for its batch FROM v1, then
+    // commits its own evolution — batch index rows APPENDED (one
+    // linear scan, no old file rewritten), the maintained labels
+    // persisted as forest gen-2, snapshot v2 recorded; day 2 maintains
+    // from v2 — whose manifest now pins gen-2 as the latest forest and
+    // the grown row set — and its answer gates against x12's VERBATIM
+    // full-corpus oracle. What this adds over b26: the maintain loop
+    // COMPOSES (day 2 trusts a forest that was itself produced by
+    // maintenance, not by a full resolve), and the multi-generation
+    // forest path is exercised for real — v1 keeps serving gen-1
+    // forever while the directory holds gen-2 (DedupIndexSpec pins
+    // that pairing). SCALE SHAPE: every day pays batch-linear work
+    // plus two pruned artifact scans; no day ever re-pairs a previous
+    // day's corpus — the 100 TB crawl cadence, end to end.
+    Q(
+      "b27_forest_daily_chain", clusterOracleSql
+    ) { (spark, dir) =>
+      val docs = MinHash.docs(spark, dir)
+      val path = graft.streaming.TempWork.dir("graft_b27_dedupidx")
+      // day 0: index + resolve + persist
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 3 === 0)), path)
+      DedupIndex.saveForest(spark,
+        DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
+      DedupIndex.snapshot(spark, path, 1)
+      // day 1: maintain from v1, then commit the evolved state
+      val batch1 = docs.filter(col("doc_id") % 3 === 1)
+      val labels1 = DedupIndex.maintainClusters(spark, path, 1, batch1)
+      DedupIndex.append(spark, DedupIndex.index(batch1), path)
+      DedupIndex.saveForest(spark, labels1, path, gen = 2)
+      DedupIndex.snapshot(spark, path, 2)
+      // day 2: maintain from v2 (gen-2 forest, grown rows)
+      DedupIndex.maintainClusters(spark, path, 2,
+          docs.filter(col("doc_id") % 3 === 2))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+
     // X36 — canonical-doc selection: the step that makes dedup a
     // PIPELINE rather than a report. x12 identifies near-dup clusters;
     // x36 chooses each cluster's survivor — the longest member

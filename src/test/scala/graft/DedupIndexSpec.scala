@@ -339,6 +339,35 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("forest generations: v1 keeps serving gen-1 while the directory holds gen-2") {
+    // The multi-generation contract behind b27's daily chain: a forest
+    // write is a NEW generation directory, so a pinned manifest keeps
+    // serving its as-of forest bit-exactly after later maintenance
+    // runs land — and the current version always resolves the LATEST
+    // recorded generation.
+    val sp = spark
+    import sp.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_forest_gen").toString
+    try {
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
+      val gen1 = Seq((0L, 0L), (2L, 0L)).toDF("id", "lbl")
+      DedupIndex.saveForest(spark, gen1, path, gen = 1)
+      DedupIndex.snapshot(spark, path, 1)
+      val gen2 = Seq((0L, 0L), (2L, 0L), (4L, 0L), (6L, 6L)).toDF("id", "lbl")
+      DedupIndex.saveForest(spark, gen2, path, gen = 2)
+      DedupIndex.snapshot(spark, path, 2)
+      def rows(v: Int) = DedupIndex.loadForestAt(spark, path, v)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows(1) == Set((0L, 0L), (2L, 0L)))
+      assert(rows(2) == Set((0L, 0L), (2L, 0L), (4L, 0L), (6L, 6L)))
+      // rollback to v1 physically reclaims gen-2 and v1 still serves
+      DedupIndex.rollback(spark, path, 1)
+      assert(rows(1) == Set((0L, 0L), (2L, 0L)))
+      assert(!graft.core.Fs.exists(spark, s"$path/forest.parquet/gen-2"))
+    } finally rmrf(path)
+  }
+
   test("b13/b14 artifact paths and in-plan x24 agree row for row") {
     val x24 = SparkEntry.queries("x24_snapshot_dedup")(spark, sf0001)
       .collect().toSeq
