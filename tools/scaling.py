@@ -433,6 +433,16 @@ COMMENTARY = """\
   local dense block products and shuffles only n²-scale block
   replicas, so its doubling ratio (1.8x at the top step) tracks
   FLOPs amortized over fixed overhead, not join-row volume.
+
+- **b27_forest_daily_chain (--only merge).** Two b26 cadences chained
+  — day 1 maintains from v1, commits its labels as forest gen-2, day 2
+  maintains from v2 — so the row carries roughly double b26's
+  artifact-chain cost (6.81/8.74/9.97/34.0 s) while stepping LOWER at
+  the top decade (3.42x vs b26's 4.71x): the day-0 resolve covers only
+  a third of the corpus here, and each maintenance day is
+  batch-linear. What the row is for is composition, not speed: day 2
+  trusts a forest produced BY maintenance, and the answer still
+  hash-matches the full recompute.
 """
 
 
