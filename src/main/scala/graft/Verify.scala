@@ -21,17 +21,23 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.catalyst.analysis.StreamingJoinHelper",
       org.apache.logging.log4j.Level.ERROR)
-    // The replay-proof rows (s15/s16/s17's foreachBatch ingestion)
+    // The replay-proof rows (s14/s15/s16/s17's foreachBatch ingestion)
     // INJECT a crash and restart the stream — that is the test. The
     // stream engine logs each injected death as an ERROR stack trace
     // ("terminated with error ... injected post-commit crash"), which
-    // also pollutes the artifact. Quiet the category in THIS main
-    // only: a genuinely failing query still surfaces through the
-    // `[verify] <name> failed` line below, because nothing here
+    // also pollutes the artifact. Quiet the category around EXACTLY
+    // those queries (ADVICE r12: a blanket FATAL here suppressed
+    // genuine stream-failure traces for every verify query): any other
+    // query's streaming failure keeps its diagnostic stack in the
+    // artifact, and a failing replay-proof row still surfaces through
+    // the `[verify] <name> failed` line below, because nothing here
     // swallows the exception itself.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
-      org.apache.logging.log4j.Level.FATAL)
+    val crashInjecting = Set("s14_stream_index_append", "s15_stream_dedup_index",
+      "s16_stream_commit_replay", "s17_stream_cms_merge")
+    val mbeLogger =
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution"
+    def setMbe(level: org.apache.logging.log4j.Level): Unit =
+      org.apache.logging.log4j.core.config.Configurator.setLevel(mbeLogger, level)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated query filter (builder iteration aid —
     // the driver never sets it, so its runs always dump the full
@@ -42,12 +48,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      if (crashInjecting(name)) setMbe(org.apache.logging.log4j.Level.FATAL)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache()
+      finally {
+        if (crashInjecting(name)) setMbe(org.apache.logging.log4j.Level.ERROR)
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -200,10 +200,16 @@ private[graft] object Fs {
     * spellings of one directory compare EQUAL. Identity guards
     * (mergeShards' destination-is-a-source refusal) must compare
     * canonical forms: a literal string check lets `dir/` or `./dir`
-    * alias its way past the refusal (ADVICE r11). */
+    * alias its way past the refusal (ADVICE r11). Hadoop's Path only
+    * collapses doubled/trailing slashes; `.`/`..` segments are
+    * collapsed here via URI.normalize BEFORE qualification (ADVICE
+    * r12: a `dir/../dir` spelling of a source must not slip past the
+    * refusal either). Symlinked aliases remain out of scope — they are
+    * a local-FS notion the object-store/HDFS path model has no
+    * equivalent for. */
   def qualified(spark: SparkSession, path: String): String = {
     val (f, p) = fs(spark, path)
-    f.makeQualified(p).toString
+    f.makeQualified(new Path(p.toUri.normalize())).toString
   }
 
   /** Recursively delete a file or directory (no-op when absent) — the

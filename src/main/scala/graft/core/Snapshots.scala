@@ -35,15 +35,35 @@ object Snapshots {
     * "this manifest records the ledger" from a pre-ledger manifest
     * whose empty applied set means "unknown", not "none" — ADVICE r10).
     * Bounded by FILE COUNT — the driver-side manifest scale every real
-    * table format accepts. */
+    * table format accepts.
+    *
+    * Kinds in `latestGenOnly` hold gen-N commit-unit DIRECTORIES whose
+    * readers only ever serve the latest generation (DedupIndex's label
+    * forest): for those, the manifest records just the newest
+    * non-empty gen — recording superseded gens would pin them in every
+    * future manifest, so [[expire]] could never vacuum an old
+    * generation while any newer snapshot existed. An older gen stays
+    * reachable exactly as long as a retained manifest records it as
+    * ITS latest — the as-of pinning contract is unchanged. */
   def snapshot(spark: SparkSession, path: String, version: Int,
-      dataDirs: Seq[(String, String)]): Unit = {
+      dataDirs: Seq[(String, String)],
+      latestGenOnly: Set[String] = Set.empty): Unit = {
     import spark.implicits._
     def files(kind: String, dir: String): Seq[(String, String)] =
-      if (Fs.exists(spark, dir))
+      if (!Fs.exists(spark, dir)) Seq.empty
+      else if (latestGenOnly(kind))
+        // newest gen WITH data files: a crashed writer's empty or
+        // in-flight gen dir (hidden `_temporary` only) must not mask
+        // the generation actually being served
+        Fs.listPrefixedDirs(spark, dir, "gen-")
+          .flatMap(g => scala.util.Try(g.stripPrefix("gen-").toInt).toOption)
+          .sorted.reverse.iterator
+          .map(n => Fs.listDataFiles(spark, s"$dir/gen-$n"))
+          .find(_.nonEmpty).getOrElse(Seq.empty)
+          .map(f => (kind, Fs.relativize(spark, path, f)))
+      else
         Fs.listDataFiles(spark, dir)
           .map(f => (kind, Fs.relativize(spark, path, f)))
-      else Seq.empty
     val applied = Fs.listMarkers(spark, s"$path/_applied")
       .map(m => ("applied", s"_applied/$m"))
     (dataDirs.flatMap { case (kind, dirName) =>

@@ -55,10 +55,31 @@ object DedupIndex {
 
   /** Append a new slice's index rows — the incremental form: cost is
     * one linear scan of the new slice plus its append write; existing
-    * artifact files are untouched and a reload sees the union. */
-  def append(spark: SparkSession, rows: DataFrame, path: String): Unit =
+    * artifact files are untouched and a reload sees the union.
+    * REFUSES a batch whose doc_ids are already indexed (VERDICT r12
+    * task 3): a colliding append would make the artifact's id set a
+    * multiset — duplicate band keys double-count candidates and
+    * [[maintainClusters]] would silently mislabel. The guard is one
+    * doc_id-pruned columnar scan + a limit(1) semi-join (the
+    * AnnIndex.mergeShards vec_id pattern) against the RAW row set —
+    * tombstoned ids stay refused too, because the tombstone would mask
+    * the re-added row as well (ids are never reused; a re-crawled doc
+    * gets a new id). Streaming replays never reach this check: they go
+    * through [[appendIdempotent]], whose epoch ledger skips a
+    * re-delivered batch before any data write. */
+  def append(spark: SparkSession, rows: DataFrame, path: String): Unit = {
+    if (graft.core.Fs.exists(spark, s"$path/rows.parquet")) {
+      val indexed = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$path/rows.parquet").select("doc_id")
+      val clash = rows.select("doc_id")
+        .join(indexed, Seq("doc_id"), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"append: batch doc_ids overlap the indexed corpus at $path — " +
+          "ingest batches must be id-disjoint from the index")
+    }
     rows.sortWithinPartitions("doc_id")
       .write.mode("append").parquet(s"$path/rows.parquet")
+  }
 
   /** ATOMICALLY commit one batch's index rows as a whole batch
     * DIRECTORY: stage under a private `{path}/_staging/batch-{id}-
@@ -205,7 +226,15 @@ object DedupIndex {
     * Root-relative paths + the applied-epoch ledger sentinel, per
     * [[graft.core.Snapshots.snapshot]]. */
   def snapshot(spark: SparkSession, path: String, version: Int): Unit =
-    graft.core.Snapshots.snapshot(spark, path, version, SnapshotDirs)
+    graft.core.Snapshots.snapshot(spark, path, version, SnapshotDirs,
+      // forest gens are SERVE-STATE, not history: [[loadForestAt]] only
+      // ever reads a manifest's latest generation, so recording the
+      // superseded ones would pin them in every future manifest and
+      // defeat retention — expire could never vacuum an old gen while
+      // any newer snapshot existed (VERDICT r12 task 4). Older gens
+      // stay reachable exactly as long as a RETAINED manifest records
+      // them as its own latest — the as-of contract b27/b29 pin.
+      latestGenOnly = Set("forest"))
 
   /** The committed snapshot versions, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Int] =
@@ -269,10 +298,24 @@ object DedupIndex {
     * artifact, no corpus text touched: banded candidates, >= 14/16
     * verify, star contraction. Output (id, lbl): lbl is the cluster's
     * minimum doc_id; id = lbl rows are the canonicals. This is the
-    * day-0 producer of the forest [[saveForest]] persists. */
+    * day-0 producer of the forest [[saveForest]] persists.
+    *
+    * Candidates come from the HYBRID bucket rule at
+    * [[MinHash.DefaultCap]] (VERDICT r12 task 1 — the x86-gated rule
+    * deployed where it will actually run): ordinary buckets keep the
+    * exact all-pairs join, template-flooded ones escalate to the
+    * anchor star, so the day-0 resolve is O(cap · keys) worst-case
+    * instead of Σ b² — the difference between a payable and an
+    * unpayable build on a boilerplate-heavy 100 TB corpus. At the
+    * correctness-gate scales no real-corpus bucket exceeds the cap, so
+    * the answer is bit-identical to the uncapped resolve (b26/b27 gate
+    * it against x12's verbatim full-recompute oracle); the flooded
+    * regime is gated by b28. */
   def clusterLabels(idx: DataFrame): DataFrame = {
     val sig = graft.core.CacheScope.cacheEager(sigOf(idx))
-    val pairs = MinHash.agreeAtLeast(MinHash.candidatesPaired(sig), sig, sig, 14)
+    val pairs = MinHash.agreeAtLeast(
+      MinHash.candidatesHybridFromKeys(MinHash.bandPairKeys(sig), MinHash.DefaultCap),
+      sig, sig, 14)
     graft.ops.ConnectedComponents.stars(idx.select("doc_id"), pairs)
   }
 
@@ -284,13 +327,22 @@ object DedupIndex {
     * the next [[snapshot]] records it; files of older generations are
     * never rewritten, so every pinned manifest keeps serving its as-of
     * forest ([[loadForestAt]] reads a version's LATEST recorded gen).
-    * Callers use fresh gen numbers per run (the batch-id contract). */
+    * Fresh gen numbers are ENFORCED, not asked for (ADVICE r12): a
+    * reused gen would silently rewrite files of a supposedly
+    * append-only generation out from under every pinned manifest that
+    * references it. A crashed run's partial gen dir must be deleted
+    * explicitly before retrying the same number. */
   def saveForest(spark: SparkSession, labels: DataFrame, path: String,
       gen: Int): Unit = {
+    val genDir = s"$path/forest.parquet/gen-$gen"
+    require(!graft.core.Fs.exists(spark, genDir),
+      s"saveForest: $genDir already exists — generations are append-only " +
+        "commit units; use a fresh gen number (or delete a crashed run's " +
+        "partial directory explicitly before retrying it)")
     val Array(idCol, lblCol) = labels.columns.take(2)
     labels.select(col(idCol).as("id"), col(lblCol).as("lbl"))
       .sortWithinPartitions("id")
-      .write.mode("overwrite").parquet(s"$path/forest.parquet/gen-$gen")
+      .write.mode("overwrite").parquet(genDir)
   }
 
   private val ForestGen = """forest\.parquet/gen-(\d+)/.*""".r
@@ -322,26 +374,39 @@ object DedupIndex {
     * scan for its signatures), the pinned index rows (signature lanes
     * — old-corpus text is never touched), and the pinned label forest
     * (n rows — the old quadratic pair bulk is never re-formed).
-    * Candidates are ASYMMETRIC banding, batch keys x (index ∪ batch)
-    * keys, so candidate volume scales with the batch; connectivity of
-    * (forest ∪ batch pairs) equals connectivity of (old pairs ∪ batch
-    * pairs) because the star forest preserves old components by
-    * construction — which is why b26 gates this maintained answer
-    * against x12's verbatim full-recompute oracle. Batch doc_ids must
-    * be disjoint from indexed ones (the ingest contract). */
+    * Candidates are ASYMMETRIC HYBRID banding at
+    * [[MinHash.DefaultCap]] ([[MinHash.candidatesHybridAsymFromKeys]],
+    * VERDICT r12 task 1): batch keys probe (index ∪ batch) buckets,
+    * ordinary buckets keep the exact all-pairs join, template-flooded
+    * ones escalate to the anchor star — so per-ingest candidate volume
+    * is O(cap · batch-keys) plus Σ(b−1) over escalated buckets,
+    * data-independently, where the raw band join paid bucket-size work
+    * per batch key (the x85/x86 cliff, now closed on the path that
+    * will actually see 100 TB; b28 gates the flooded lifecycle with
+    * the volume audit). Connectivity of (forest ∪ batch pairs) equals
+    * connectivity of (old pairs ∪ batch pairs) because the star forest
+    * preserves old components by construction — which is why b26 gates
+    * this maintained answer against x12's verbatim full-recompute
+    * oracle. Batch doc_ids must be disjoint from indexed ones — the
+    * ingest contract, ENFORCED by a doc_id-pruned limit(1) semi-join
+    * (VERDICT r12 task 3: a colliding ingest fails fast here instead
+    * of silently mislabeling). */
   def maintainClusters(spark: SparkSession, path: String, version: Int,
       batch: DataFrame): DataFrame = {
     val idx = loadAt(spark, path, version)
+    val clash = batch.select("doc_id")
+      .join(idx.select("doc_id"), Seq("doc_id"), "left_semi").limit(1).count()
+    require(clash == 0L,
+      "maintainClusters: batch doc_ids overlap the indexed corpus — ingest " +
+        "batches must be id-disjoint from the index (tombstone or re-id " +
+        "re-crawled documents first); a colliding ingest would mislabel")
     val iSig = sigOf(idx)
     val bSig = graft.core.CacheScope.cacheEager(
       MinHash.signaturesFromSets(
         MinHash.shingleSets(batch, 5).filter(col("c") > 0)))
     val allSig = iSig.unionByName(bSig)
-    val cand = MinHash.bandPairKeys(bSig).toDF("d1", "bp", "k")
-      .join(MinHash.bandPairKeys(allSig).toDF("d2", "bp2", "k2"),
-        col("bp") === col("bp2") && col("k") === col("k2") &&
-          col("d1") =!= col("d2"))
-      .select("d1", "d2").distinct()
+    val cand = MinHash.candidatesHybridAsymFromKeys(
+      MinHash.bandPairKeys(bSig), MinHash.bandPairKeys(allSig), MinHash.DefaultCap)
     val batchPairs = MinHash.agreeAtLeast(cand, bSig, allSig, 14)
     val forest = loadForestAt(spark, path, version)
     graft.ops.ConnectedComponents.stars(
@@ -364,9 +429,16 @@ object DedupIndex {
     * deliberately NOT cached — at production scale the index is far
     * bigger than executor storage, and two pruned columnar scans of a
     * compact artifact are the right price. Candidate generation is
-    * ASYMMETRIC banding (batch keys x index keys), so within-index
-    * pairs are never formed and candidate volume scales with the
-    * batch, not the corpus. */
+    * ASYMMETRIC HYBRID banding at [[MinHash.DefaultCap]] (batch keys
+    * probe index-side buckets; VERDICT r12 task 1): within-index pairs
+    * are never formed, ordinary buckets keep the exact batch×bucket
+    * join so candidate volume scales with the batch, and an
+    * index-side bucket a template corpus floods costs each batch key
+    * ONE anchor pair instead of bucket-size work. A batch doc in an
+    * escalated bucket is flagged near-dup through the bucket's anchor
+    * — for template floods the anchor is cluster-representative by
+    * construction (the x85/x86 gates); the adversarial bound on what
+    * escalation can miss is x87's measured chain fixture. */
   def dedupBatch(batch: DataFrame, idx: DataFrame): DataFrame = {
     val bh = batch.select(col("doc_id"), col("lang"),
       sha2(col("text"), 256).as("h"))
@@ -377,10 +449,9 @@ object DedupIndex {
         MinHash.shingleSets(batch, 5).filter(col("c") > 0)))
     val iSig = idx.filter(col("mh0").isNotNull)
       .select(col("doc_id") +: (0 until 16).map(i => col(s"mh$i")): _*)
-    val cand = MinHash.bandPairKeys(bSig).toDF("d_new", "bp", "k")
-      .join(MinHash.bandPairKeys(iSig).toDF("d_base", "bp2", "k2"),
-        col("bp") === col("bp2") && col("k") === col("k2"))
-      .select("d_new", "d_base").distinct()
+    val cand = MinHash.candidatesHybridAsymFromKeys(
+      MinHash.bandPairKeys(bSig), MinHash.bandPairKeys(iSig), MinHash.DefaultCap)
+      .toDF("d_new", "d_base")
     val s1 = bSig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
     val s2 = iSig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
     val matches = (0 until 16)

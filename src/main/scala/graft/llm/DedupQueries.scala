@@ -721,6 +721,177 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // B28 — the b26 lifecycle under a TEMPLATE FLOOD (VERDICT r12 task
+    // 1's "Done" row): round 12 gated the hybrid candidate cap as a
+    // standalone rule (x86); round 13 deploys it inside the production
+    // paths — DedupIndex.clusterLabels (day-0 resolve) and
+    // maintainClusters/dedupBatch (every ingest) now run
+    // candidatesHybrid(Asym) at MinHash.DefaultCap — and THIS row
+    // proves the deployed composition on the corpus shape that
+    // motivated it: real documents ∪ the 1,000-doc planted template
+    // cluster (ids shifted by max(doc_id)+1, x69's collision-proof
+    // discipline), day-split so the flood hits BOTH paths (500
+    // template docs in the day-0 build, 500 in the ingest batch,
+    // real docs split % 3 as b26). The gate is the LOSSLESS
+    // full-recompute oracle over the union — the flooded buckets
+    // escalate to the anchor star, and the maintained answer must
+    // still be answer-invisible (template members verify against the
+    // anchor by construction; what escalation can lose in general is
+    // x87's measured fixture, not this row's). The volume audit rides
+    // as output columns, computed O(buckets) from bucket meta alone —
+    // cand_hybrid vs cand_uncapped are the exact pre-distinct
+    // join-row counts the deployed rule and the raw asymmetric band
+    // join would pay for THIS ingest (per escalated bucket: nb anchor
+    // pairs, plus the full star only when the anchor itself is a
+    // batch doc, vs nb·(b−1) raw) — proving the ingest stayed
+    // O(cap · batch-keys) while the raw join would have paid
+    // bucket-size work per batch key. SCALE SHAPE: this is the 100 TB
+    // daily-crawl cadence on boilerplate-heavy data — day-0 build,
+    // pinned-artifact ingest, and candidate generation all bounded
+    // linear; nothing anywhere is quadratic in cluster size.
+    Q(
+      "b28_flooded_maintenance",
+      s"""WITH RECURSIVE mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+         |${templateCorpusSql(1000, 1000, "planted")},
+         |corpus AS (SELECT doc_id, text, (doc_id % 3 <> 2) AS is_old FROM documents
+         |  UNION ALL SELECT p.doc_id + mx.m AS doc_id, p.text, p.doc_id < 500 AS is_old
+         |  FROM planted p CROSS JOIN mx),
+         |${MinHash.oracleSigCtes(5, "corpus")},
+         |bks AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bk
+         |  FROM sig GROUP BY 1, 2),
+         |bpk AS (SELECT x.doc_id, 4*x.band + y.band AS bp, x.bk || '|' || y.bk AS k
+         |  FROM bks x JOIN bks y ON x.doc_id = y.doc_id AND x.band < y.band),
+         |meta AS (SELECT bp, k, count(*) AS b,
+         |    SUM(CASE WHEN NOT c.is_old THEN 1 ELSE 0 END) AS nb,
+         |    min(p.doc_id) AS anchor,
+         |    min(CASE WHEN NOT c.is_old THEN p.doc_id END) AS banchor
+         |  FROM bpk p JOIN corpus c ON c.doc_id = p.doc_id GROUP BY 1, 2),
+         |audit AS (SELECT
+         |    CAST(SUM(CASE WHEN b <= ${MinHash.DefaultCap} THEN nb * (b - 1)
+         |      WHEN anchor = banchor THEN (nb - 1) + (b - 1)
+         |      ELSE nb END) AS BIGINT) AS cand_hybrid,
+         |    CAST(SUM(nb * (b - 1)) AS BIGINT) AS cand_uncapped,
+         |    CAST(SUM(CASE WHEN b > ${MinHash.DefaultCap} THEN 1 ELSE 0 END) AS BIGINT) AS buckets_escalated
+         |  FROM meta),
+         |agree AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS matches
+         |  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT d1, d2 FROM agree WHERE matches >= 14),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+         |reach(doc_id, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         |SELECT cl.doc_id, cl.cluster_id,
+         |  CAST(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical,
+         |  cand_hybrid, cand_uncapped, buckets_escalated
+         |FROM cl CROSS JOIN audit ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val real = MinHash.docs(spark, dir).select("doc_id", "text")
+      val mx = MinHash.docs(spark, dir).agg((max(col("doc_id")) + 1L).as("m"))
+      val planted = templateCorpus(spark, 1000, 1000)
+        .crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("m")).as("doc_id"), col("text"),
+          (col("doc_id") < 500).as("is_old"))
+      val corpus = CacheScope.cacheEager(
+        real.withColumn("is_old", col("doc_id") % 3 =!= 2).unionByName(planted))
+      val path = graft.streaming.TempWork.dir("graft_b28_dedupidx")
+      // day 0: index + hybrid day-0 resolve + persist (the flood is
+      // already in the build: 500 template docs escalate its buckets)
+      DedupIndex.save(spark,
+        DedupIndex.index(corpus.filter(col("is_old")).select("doc_id", "text")), path)
+      DedupIndex.saveForest(spark,
+        DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
+      DedupIndex.snapshot(spark, path, 1)
+      // the ingest: 500 more template docs + the real batch third probe
+      // the pinned artifact through the asymmetric hybrid rule
+      val labels = DedupIndex.maintainClusters(spark, path, 1,
+        corpus.filter(!col("is_old")).select("doc_id", "text"))
+      // volume audit from bucket meta alone (x85's discipline: count
+      // the join rows the rules would pay, never materialize them) —
+      // same signature bits as the artifact path (b13's parquet
+      // round-trip gate), so the audited buckets ARE the rule's.
+      val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(
+        MinHash.shingleSets(corpus.select("doc_id", "text"), 5)
+          .filter(col("c") > 0)))
+      val meta = MinHash.bandPairKeys(sig)
+        .join(corpus.select("doc_id", "is_old"), "doc_id")
+        .groupBy("bp", "k").agg(
+          count(lit(1)).as("b"),
+          sum(when(!col("is_old"), 1L).otherwise(0L)).as("nb"),
+          min("doc_id").as("anchor"),
+          min(when(!col("is_old"), col("doc_id"))).as("banchor"))
+      val audit = meta.agg(
+        sum(when(col("b") <= MinHash.DefaultCap, col("nb") * (col("b") - 1))
+          .otherwise(when(col("anchor") === col("banchor"),
+            (col("nb") - 1) + (col("b") - 1)).otherwise(col("nb"))))
+          .cast("long").as("cand_hybrid"),
+        sum(col("nb") * (col("b") - 1)).cast("long").as("cand_uncapped"),
+        sum(when(col("b") > MinHash.DefaultCap, 1L).otherwise(0L))
+          .as("buckets_escalated"))
+      labels
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
+        .crossJoin(broadcast(audit))
+        .orderBy("doc_id")
+    },
+
+    // B29 — RETENTION over the daily chain (VERDICT r12 task 4): b27
+    // proves the maintain loop composes; this row proves its history
+    // can be VACUUMED without breaking the loop. Day 0 and day 1 run
+    // b27's shape (index thirds, forest gen-1/gen-2, snapshots v1/v2),
+    // then Snapshots.expire(keepLast = 1) drops v1 — and with it the
+    // gen-1 forest files no retained manifest records (snapshots
+    // record only the generation they SERVE — recording superseded
+    // gens would pin them forever and make retention a no-op). Day 2
+    // then maintains from the vacuumed artifact's only surviving
+    // version, and its answer still gates against x12's VERBATIM
+    // full-corpus oracle — the serve proof. The reclaim proof rides as
+    // output columns: gens_before/gens_after are COUNTED from the
+    // directory (2 → 1), not asserted; DedupIndexSpec adds the
+    // pinned-read side (a retained version serves its as-of forest
+    // bit-exactly after the vacuum, the expired one refuses). SCALE
+    // SHAPE: expire is manifest-arithmetic plus per-file deletes —
+    // file-count work, never data reads; the daily loop's storage now
+    // stays bounded instead of accreting one forest per day forever.
+    Q(
+      "b29_forest_retention",
+      // x12's verbatim label oracle + the deterministic reclaim audit
+      // (2 generations on disk before the vacuum, 1 after — the same
+      // literals at every sf, because the chain writes exactly gen-1
+      // and gen-2 and expire(keepLast=1) reclaims exactly gen-1)
+      clusterOracleSql.replaceFirst("AS is_canonical",
+        "AS is_canonical,\n  CAST(2 AS BIGINT) AS gens_before, CAST(1 AS BIGINT) AS gens_after")
+    ) { (spark, dir) =>
+      val docs = MinHash.docs(spark, dir)
+      val path = graft.streaming.TempWork.dir("graft_b29_dedupidx")
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 3 === 0)), path)
+      DedupIndex.saveForest(spark,
+        DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
+      DedupIndex.snapshot(spark, path, 1)
+      val batch1 = docs.filter(col("doc_id") % 3 === 1)
+      val labels1 = DedupIndex.maintainClusters(spark, path, 1, batch1)
+      DedupIndex.append(spark, DedupIndex.index(batch1), path)
+      DedupIndex.saveForest(spark, labels1, path, gen = 2)
+      DedupIndex.snapshot(spark, path, 2)
+      val forestDir = s"$path/forest.parquet"
+      val gensBefore = graft.core.Fs.listPrefixedDirs(spark, forestDir, "gen-").length
+      // the vacuum: v1 expires, its gen-1 forest is physically reclaimed
+      DedupIndex.expire(spark, path, keepLast = 1)
+      val gensAfter = graft.core.Fs.listPrefixedDirs(spark, forestDir, "gen-").length
+      // day 2 maintains from the vacuumed artifact's surviving version
+      DedupIndex.maintainClusters(spark, path, 2,
+          docs.filter(col("doc_id") % 3 === 2))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
+        .withColumn("gens_before", lit(gensBefore.toLong))
+        .withColumn("gens_after", lit(gensAfter.toLong))
+        .orderBy("doc_id")
+    },
+
     // X36 — canonical-doc selection: the step that makes dedup a
     // PIPELINE rather than a report. x12 identifies near-dup clusters;
     // x36 chooses each cluster's survivor — the longest member
@@ -990,6 +1161,114 @@ object DedupQueries {
       cc.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .crossJoin(broadcast(audit))
+        .orderBy("cluster_size")
+    },
+
+    // X87 — what ESCALATION CAN LOSE, measured (VERDICT r12 task 2):
+    // x85/x86's planted template clusters verify against the bucket
+    // anchor by construction, so their full-recall histograms bound
+    // nothing — this row plants the ADVERSARIAL shape instead: one
+    // flooded bucket whose members form a near-threshold CHAIN, where
+    // consecutive docs agree on exactly 14/16 lanes but agreement
+    // decays with distance (12 at distance 2, 8 beyond), so almost no
+    // member verifies against the min-id anchor. The fixture is
+    // planted at the SIGNATURE level — the rule under audit consumes
+    // signatures, and no text generator can deterministically steer
+    // which lane minima collide — as 100 in-plan docs sharing lanes
+    // 0..7 (both left bands identical → ONE band-pair bucket holds all
+    // 100, far over the cap) with drifting right lanes mh_{8+m} =
+    // (id+m) div 4 (a sliding window: 2 of 8 boundaries cross per step
+    // of distance). Ground truth is the LOSSLESS rule
+    // (candidatesPaired — every >= 14/16 pair shares a band pair by
+    // pigeonhole): 99 chain pairs, ONE 100-doc cluster. The hybrid rule
+    // at the deployed cap keeps only the anchor's own chain edge
+    // (0, 1): 98 of 99 verified pairs LOST, the cluster fragments into
+    // 99. Both rules, both fixpoints, and the loss arithmetic are
+    // restated verbatim in the oracle; the output is the hybrid
+    // histogram plus the measured loss — MinHash.scala's prose caveat
+    // is now a number. READ: this is the cap's worst case, bought
+    // deliberately — a bucket only escalates past DefaultCap members,
+    // where the exact join is unpayable at 100 TB (10¹² pairs on a
+    // 10⁶ flood), and real template floods are star-shaped (x85/x86),
+    // not adversarial chains; consumers needing chain-shaped recall
+    // inside floods keep candidatesPaired (l2/x12 still run it).
+    Q(
+      "x87_chain_recall",
+      s"""WITH RECURSIVE sig AS (SELECT d.id AS doc_id, l.i,
+         |    CASE WHEN l.i < 8 THEN 0 ELSE (d.id + (l.i - 8)) // 4 END AS mh
+         |  FROM range(0, 100) d(id) CROSS JOIN range(0, 16) l(i)),
+         |bks AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bk
+         |  FROM sig GROUP BY 1, 2),
+         |bpk AS (SELECT x.doc_id, 4*x.band + y.band AS bp, x.bk || '|' || y.bk AS k
+         |  FROM bks x JOIN bks y ON x.doc_id = y.doc_id AND x.band < y.band),
+         |meta AS (SELECT bp, k, count(*) AS b, min(doc_id) AS anchor
+         |  FROM bpk GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bpk x JOIN meta m ON m.bp = x.bp AND m.k = x.k
+         |    JOIN bpk y ON y.bp = x.bp AND y.k = x.k AND x.doc_id < y.doc_id
+         |  WHERE m.b <= ${MinHash.DefaultCap}
+         |  UNION
+         |  SELECT m.anchor AS d1, p.doc_id AS d2
+         |  FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k
+         |  WHERE m.b > ${MinHash.DefaultCap} AND p.doc_id <> m.anchor),
+         |hver AS (SELECT c.d1, c.d2 FROM cand c
+         |  JOIN sig s1 ON s1.doc_id = c.d1
+         |  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.i = s1.i AND s2.mh = s1.mh
+         |  GROUP BY 1, 2 HAVING count(*) >= 14),
+         |ever AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2
+         |  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 14),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM hver UNION ALL SELECT d2, d1 FROM hver),
+         |reach(doc_id, r) AS (
+         |  SELECT id, id FROM range(0, 100) t(id)
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |cl AS (SELECT doc_id, min(r) AS c FROM reach GROUP BY 1),
+         |hist AS (SELECT cnt AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM (SELECT c, count(*) AS cnt FROM cl GROUP BY 1) u GROUP BY 1),
+         |eedges AS (SELECT d1 AS a, d2 AS b FROM ever UNION ALL SELECT d2, d1 FROM ever),
+         |ereach(doc_id, r) AS (
+         |  SELECT id, id FROM range(0, 100) t(id)
+         |  UNION
+         |  SELECT ereach.doc_id, e.b FROM ereach JOIN eedges e ON e.a = ereach.r),
+         |audit AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM hver) AS hybrid_pairs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ever) AS exact_pairs,
+         |    (SELECT CAST(count(DISTINCT c) AS BIGINT)
+         |     FROM (SELECT doc_id, min(r) AS c FROM ereach GROUP BY 1) e) AS exact_clusters,
+         |    (SELECT CAST(SUM(CASE WHEN b > ${MinHash.DefaultCap} THEN 1 ELSE 0 END) AS BIGINT)
+         |     FROM meta) AS buckets_escalated)
+         |SELECT cluster_size, n_clusters, hybrid_pairs, exact_pairs,
+         |  exact_pairs - hybrid_pairs AS lost_pairs, exact_clusters, buckets_escalated
+         |FROM hist CROSS JOIN audit ORDER BY cluster_size""".stripMargin
+    ) { (spark, _) =>
+      val sig = CacheScope.cacheEager(spark.range(100).select(
+        col("id").as("doc_id") +:
+          (0 until 16).map { i =>
+            (if (i < 8) lit(0L) else expr(s"(id + ${i - 8}) div 4")).as(s"mh$i")
+          }: _*))
+      val keys = CacheScope.cacheEager(MinHash.bandPairKeys(sig))
+      val hybridPairs = CacheScope.cacheEager(MinHash.agreeAtLeast(
+        MinHash.candidatesHybridFromKeys(keys, MinHash.DefaultCap), sig, sig, 14))
+      val exactPairs = CacheScope.cacheEager(MinHash.agreeAtLeast(
+        MinHash.candidatesPaired(sig), sig, sig, 14))
+      val nodes = sig.select("doc_id")
+      val ccHybrid = graft.ops.ConnectedComponents.stars(nodes, hybridPairs)
+      val ccExact = graft.ops.ConnectedComponents.stars(nodes, exactPairs)
+      val audit = hybridPairs.agg(count(lit(1)).as("hybrid_pairs"))
+        .crossJoin(exactPairs.agg(count(lit(1)).as("exact_pairs")))
+        .crossJoin(ccExact.agg(countDistinct(col("lbl")).as("exact_clusters")))
+        .crossJoin(keys.groupBy("bp", "k").agg(count(lit(1)).as("b"))
+          .agg(sum(when(col("b") > MinHash.DefaultCap, 1L).otherwise(0L))
+            .as("buckets_escalated")))
+      ccHybrid.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(audit))
+        .withColumn("lost_pairs", col("exact_pairs") - col("hybrid_pairs"))
+        .select("cluster_size", "n_clusters", "hybrid_pairs", "exact_pairs",
+          "lost_pairs", "exact_clusters", "buckets_escalated")
         .orderBy("cluster_size")
     },
 

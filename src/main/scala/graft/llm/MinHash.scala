@@ -172,6 +172,18 @@ object MinHash {
   def candidatesCapped(sig: DataFrame): DataFrame =
     candidatesCappedFromKeys(bandPairKeys(sig))
 
+  /** The bucket-size cap the DEPLOYED dedup paths run with
+    * ([[graft.llm.DedupIndex]] — VERDICT r12 task 1): buckets at or
+    * under it keep the exact all-pairs candidate join (lossless for
+    * the >= 14/16 gate), bigger ones escalate to the min-id anchor
+    * star. 16 is the x86-gated value: at the correctness-gate scales
+    * the real corpus's largest band-pair bucket is 14 members, so
+    * ordinary data never escalates, while a template mega-cluster's
+    * flooded buckets (1,000+ members on the planted fixture) switch to
+    * Σ(b−1) work. What escalation can lose is quantified by the gated
+    * x87 adversarial chain fixture, not just asserted. */
+  val DefaultCap = 16
+
   /** HYBRID candidate pairs — the deployable form of the cap (x86):
     * buckets at or under `cap` members keep the exact all-pairs join
     * (lossless, and bounded by cap·Σb rows), buckets OVER it escalate
@@ -197,6 +209,53 @@ object MinHash {
       .filter(col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("d1"), col("doc_id").as("d2"))
     smallPairs.unionByName(largePairs).distinct()
+  }
+
+  /** HYBRID candidates for the ASYMMETRIC consumers (batch-vs-corpus:
+    * DedupIndex.maintainClusters and dedupBatch) — the x86 rule with
+    * the batch×corpus shape preserved (VERDICT r12 task 1). Both
+    * inputs are (doc_id, bp, k) band-pair key rows; output is distinct
+    * (d1, d2) with d1 always a PROBE doc. Bucket size is measured over
+    * `baseKeys` (the side a template corpus floods — for cluster
+    * maintenance base is index ∪ batch, for batch dedup it is the
+    * index alone):
+    *   - buckets <= cap: exact all-pairs probe×base within the bucket
+    *     (lossless, and bounded by cap rows per probe key — worst-case
+    *     volume O(cap · probe-keys) data-independently);
+    *   - buckets > cap: the min-id anchor star restricted to
+    *     probe-involving pairs — every probe member pairs with the
+    *     bucket's base-side anchor (Σ probe-occupancy rows), and when
+    *     the anchor is ITSELF a probe doc it stars out to the whole
+    *     bucket (Σ(b−1) rows — without this leg a batch doc that
+    *     happens to be a flooded bucket's minimum id would go
+    *     unlabeled even when it verifies against the cluster). Each
+    *     escalated bucket therefore costs at most b−1 candidates —
+    *     linear in occupancy, never C(b,2).
+    * Plan shape: one (bp, k) partial aggregate for bucket meta + three
+    * co-partitioned join-backs feeding a union; nothing anywhere is
+    * quadratic in bucket size. */
+  def candidatesHybridAsymFromKeys(probeKeys: DataFrame, baseKeys: DataFrame,
+      cap: Int): DataFrame = {
+    val meta = baseKeys.groupBy("bp", "k")
+      .agg(count(lit(1)).as("b"), min("doc_id").as("anchor"))
+    val pk = probeKeys.toDF("d1", "bp", "k")
+    val bk = baseKeys.toDF("d2", "bp", "k")
+    val esc = meta.filter(col("b") > cap)
+    val smallPairs = pk
+      .join(bk.join(meta.filter(col("b") <= cap).select("bp", "k"), Seq("bp", "k")),
+        Seq("bp", "k"))
+      .filter(col("d1") =!= col("d2"))
+      .select("d1", "d2")
+    val escProbe = pk.join(esc.select("bp", "k", "anchor"), Seq("bp", "k"))
+      .filter(col("d1") =!= col("anchor"))
+      .select(col("d1"), col("anchor").as("d2"))
+    val probeAnchored = esc
+      .join(probeKeys.select(col("doc_id").as("anchor")).distinct(),
+        Seq("anchor"), "left_semi")
+    val escAnchor = bk.join(probeAnchored.select("bp", "k", "anchor"), Seq("bp", "k"))
+      .filter(col("d2") =!= col("anchor"))
+      .select(col("anchor").as("d1"), col("d2"))
+    smallPairs.unionByName(escProbe).unionByName(escAnchor).distinct()
   }
 
   /** Keep the candidate pairs whose signatures agree on >= `threshold`

@@ -169,7 +169,20 @@ object PlanDump {
     // no text column is read anywhere in the dumped plan, because the
     // only text the whole ingest ever scanned (eagerly, in the star
     // rounds) was the batch slice's.
-    "x85_capped_neardup", "b26_forest_fed_clusters")
+    "x85_capped_neardup", "b26_forest_fed_clusters",
+    // round 13: b28's flooded maintenance — the printed final-assembly
+    // plan is b26's (the star rounds run eagerly) but the ingest that
+    // produced it ran the HYBRID asymmetric candidate rule inside
+    // maintainClusters: one (bp, k) partial+final HashAggregate pair
+    // for the bucket meta (count + min anchor) and three
+    // co-partitioned join-backs (small all-pairs, probe→anchor,
+    // anchor-star) feeding a union — the escalated buckets' join
+    // output is Σ(b−1) rows by construction where the raw band join's
+    // was Σ nb·(b−1). x87's plan shows the same meta-aggregate +
+    // branch-union shape on the symmetric rule over the in-plan
+    // signature fixture, with no parquet scan at all (spark.range
+    // feeds the whole pipeline).
+    "b28_flooded_maintenance", "x87_chain_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -690,6 +690,15 @@ class AnnIndexSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         AnnIndex.mergeShards(spark, pa, pb, pb.replaceFirst("/graft_", "//graft_"))
       }
+      // ... and a `dir/../dir` spelling (ADVICE r12: Hadoop Path leaves
+      // dot-dot segments intact; Fs.qualified now URI-normalizes them)
+      val paDotDot = {
+        val p = java.nio.file.Paths.get(pa)
+        s"${p.getParent}/${p.getFileName}/../${p.getFileName}"
+      }
+      intercept[IllegalArgumentException] {
+        AnnIndex.mergeShards(spark, pa, pb, paDotDot)
+      }
       // refusal 3c: a reused destination carrying only a stale ledger
       // or manifest (no codes/tombstones) is NOT fresh — a leftover
       // _applied/batch-N would make a later appendIdempotent silently

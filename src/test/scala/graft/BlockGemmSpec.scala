@@ -53,6 +53,28 @@ class BlockGemmSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("exactness bound: k·max|A|·max|B| over 2^53 is refused, at it is exact") {
+    // VERDICT r12 task 5: values ride Double through MLlib BlockMatrix,
+    // so the 2^53 mantissa bound must be enforced, not just documented.
+    val sp = spark
+    import sp.implicits._
+    def m1(v: Long) = Seq((0L, 0L, v)).toDF("i", "j", "v")
+    // 1x1 matrices, kDim = 1: 2^27 · 2^27 = 2^54 > 2^53 — refused
+    // before any block work (the silent-rounding case)
+    val e = intercept[IllegalArgumentException] {
+      BlockGemm.multiply(sp, m1(1L << 27), m1(1L << 27))
+    }
+    assert(e.getMessage.contains("2^53"))
+    // exactly AT the bound: 2^26 · 2^27 = 2^53 — allowed and exact
+    val ok = BlockGemm.multiply(sp, m1(1L << 26), m1(1L << 27)).collect()
+    assert(ok.length == 1 && ok(0).getDouble(2) == (1L << 53).toDouble)
+    // negative values count by magnitude
+    val e2 = intercept[IllegalArgumentException] {
+      BlockGemm.multiply(sp, m1(-(1L << 27)), m1(1L << 27))
+    }
+    assert(e2.getMessage.contains("2^53"))
+  }
+
   test("BlockMatrix multiply matches the relational GEMM row checksums") {
     val sp = spark
     val (m, n, k) = (128L, 128L, 512L)

@@ -368,6 +368,96 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally rmrf(path)
   }
 
+  test("maintainClusters refuses an ingest batch that overlaps the index (VERDICT r12)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_ovl").toString
+    try {
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
+      DedupIndex.saveForest(spark,
+        DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
+      DedupIndex.snapshot(spark, path, 1)
+      // a colliding ingest (doc_id % 4 == 0 is already indexed) fails
+      // FAST instead of silently mislabeling
+      val e = intercept[IllegalArgumentException] {
+        DedupIndex.maintainClusters(spark, path, 1,
+          docs.filter(col("doc_id") % 4 === 0))
+      }
+      assert(e.getMessage.contains("overlap"))
+      // the disjoint batch still maintains
+      assert(DedupIndex.maintainClusters(spark, path, 1,
+        docs.filter(col("doc_id") % 2 === 1)).count() == docs.count())
+    } finally { rmrf(path); spark.catalog.clearCache() }
+  }
+
+  test("append refuses a batch whose doc_ids are already indexed (VERDICT r12)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_apv").toString
+    try {
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
+      val e = intercept[IllegalArgumentException] {
+        DedupIndex.append(spark,
+          DedupIndex.index(docs.filter(col("doc_id") % 4 === 0)), path)
+      }
+      assert(e.getMessage.contains("overlap"))
+      // artifact unchanged by the refused append, disjoint append fine
+      assert(DedupIndex.load(spark, path).count() ==
+        docs.filter(col("doc_id") % 2 === 0).count())
+      DedupIndex.append(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 1)), path)
+      assert(DedupIndex.load(spark, path).count() == docs.count())
+    } finally rmrf(path)
+  }
+
+  test("saveForest refuses a reused generation number (ADVICE r12)") {
+    val sp = spark
+    import sp.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_gen").toString
+    try {
+      val gen1 = Seq((0L, 0L), (2L, 0L)).toDF("id", "lbl")
+      DedupIndex.saveForest(spark, gen1, path, gen = 1)
+      // a reused gen would rewrite files pinned manifests reference
+      val e = intercept[IllegalArgumentException] {
+        DedupIndex.saveForest(spark, Seq((4L, 4L)).toDF("id", "lbl"), path, gen = 1)
+      }
+      assert(e.getMessage.contains("gen-1"))
+      // gen-1 untouched by the refusal; a fresh gen still lands
+      assert(spark.read.parquet(s"$path/forest.parquet/gen-1").count() == 2)
+      DedupIndex.saveForest(spark, Seq((4L, 4L)).toDF("id", "lbl"), path, gen = 2)
+      assert(spark.read.parquet(s"$path/forest.parquet/gen-2").count() == 1)
+    } finally rmrf(path)
+  }
+
+  test("expire vacuums superseded forest gens; retained versions keep serving (VERDICT r12)") {
+    val sp = spark
+    import sp.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_dedupidx_fex").toString
+    try {
+      DedupIndex.save(spark,
+        DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
+      DedupIndex.saveForest(spark, Seq((0L, 0L)).toDF("id", "lbl"), path, gen = 1)
+      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.saveForest(spark, Seq((0L, 0L), (2L, 0L)).toDF("id", "lbl"), path, gen = 2)
+      DedupIndex.snapshot(spark, path, 2)
+      DedupIndex.saveForest(spark,
+        Seq((0L, 0L), (2L, 0L), (4L, 4L)).toDF("id", "lbl"), path, gen = 3)
+      DedupIndex.snapshot(spark, path, 3)
+      def rows(v: Int) = DedupIndex.loadForestAt(spark, path, v)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val at2 = rows(2)
+      val at3 = rows(3)
+      DedupIndex.expire(spark, path, keepLast = 2)
+      // reclaim: gen-1 (recorded only by the expired v1 — snapshots
+      // record just the generation they serve) is physically gone
+      assert(!graft.core.Fs.exists(spark, s"$path/forest.parquet/gen-1"))
+      assert(graft.core.Fs.exists(spark, s"$path/forest.parquet/gen-2"))
+      assert(graft.core.Fs.exists(spark, s"$path/forest.parquet/gen-3"))
+      assert(DedupIndex.versions(spark, path) == Seq(2, 3))
+      // serve: both retained versions still read their as-of forests
+      assert(rows(2) == at2 && rows(3) == at3)
+      intercept[Exception](DedupIndex.loadForestAt(spark, path, 1).collect())
+    } finally rmrf(path)
+  }
+
   test("b13/b14 artifact paths and in-plan x24 agree row for row") {
     val x24 = SparkEntry.queries("x24_snapshot_dedup")(spark, sf0001)
       .collect().toSeq

@@ -162,6 +162,47 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("asymmetric hybrid: lossless at cap=infinity, escalated buckets star both ways") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.MinHash
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Lossless leg on the real corpus: with a cap no bucket reaches,
+    // the asymmetric hybrid IS the raw batch×all band join the deployed
+    // paths ran before round 13 — candidate sets must be identical.
+    val docs = MinHash.docs(spark, sf0001)
+    val sig = MinHash.signaturesFromSets(
+      MinHash.shingleSets(docs, 5).filter(col("c") > 0)).cache()
+    try {
+      val probe = MinHash.bandPairKeys(sig.filter(col("doc_id") % 4 === 3))
+      val base = MinHash.bandPairKeys(sig)
+      val hybrid = pairSet(
+        MinHash.candidatesHybridAsymFromKeys(probe, base, Int.MaxValue))
+      val raw = pairSet(probe.toDF("d1", "bp", "k")
+        .join(base.toDF("d2", "bp2", "k2"),
+          col("bp") === col("bp2") && col("k") === col("k2") &&
+            col("d1") =!= col("d2"))
+        .select("d1", "d2").distinct())
+      assert(raw.nonEmpty && hybrid == raw)
+    } finally { sig.unpersist(false); spark.catalog.clearCache() }
+    // Escalation legs on a planted flooded bucket: 20 identical
+    // signatures, cap 4 — every band-pair bucket holds all 20 docs.
+    val tiny = spark.range(20).select(
+      col("id").as("doc_id") +: (0 until 16).map(i => lit(7L).as(s"mh$i")): _*)
+    val baseK = MinHash.bandPairKeys(tiny)
+    // anchor (doc 0) NOT in the probe: each probe doc pairs with the
+    // anchor only — one row per probe doc per bucket, never the bucket
+    val a = pairSet(MinHash.candidatesHybridAsymFromKeys(
+      MinHash.bandPairKeys(tiny.filter(col("doc_id").isin(5L, 7L))), baseK, 4))
+    assert(a == Set((5L, 0L), (7L, 0L)))
+    // anchor IS a probe doc: it stars out to the WHOLE bucket (without
+    // this leg a batch doc that is a flooded bucket's minimum id would
+    // never be candidate-paired with the cluster it belongs to)
+    val b = pairSet(MinHash.candidatesHybridAsymFromKeys(
+      MinHash.bandPairKeys(tiny.filter(col("doc_id").isin(0L, 7L))), baseK, 4))
+    assert(b == (Set((7L, 0L)) ++ (1L to 19L).map(d => (0L, d))))
+  }
+
   test("x86 hybrid escalation: lossless at cap=infinity, planted cluster recalled at cap=16") {
     import org.apache.spark.sql.functions._
     import graft.llm.MinHash
