@@ -437,12 +437,40 @@ COMMENTARY = """\
 - **b27_forest_daily_chain (--only merge).** Two b26 cadences chained
   — day 1 maintains from v1, commits its labels as forest gen-2, day 2
   maintains from v2 — so the row carries roughly double b26's
-  artifact-chain cost (6.81/8.74/9.97/34.0 s) while stepping LOWER at
-  the top decade (3.42x vs b26's 4.71x): the day-0 resolve covers only
-  a third of the corpus here, and each maintenance day is
-  batch-linear. What the row is for is composition, not speed: day 2
-  trusts a forest produced BY maintenance, and the answer still
-  hash-matches the full recompute.
+  artifact-chain cost while stepping LOWER at the top decade: the
+  day-0 resolve covers only a third of the corpus here, and each
+  maintenance day is batch-linear. What the row is for is composition,
+  not speed: day 2 trusts a forest produced BY maintenance, and the
+  answer still hash-matches the full recompute. (Round-12 legs, with
+  the then-uncapped candidate rule: b26 4.03/4.17/6.63/31.2 s — 4.7x
+  top step; b27 6.81/8.74/9.97/34.0 s — 3.4x. Superseded below.)
+
+- **Round-13: the hybrid cap DEPLOYED into the dedup production paths
+  (b26/b27 re-measured; b28/b29/x87 new — measured 2026-08-16).**
+  DedupIndex.clusterLabels/maintainClusters/dedupBatch now generate
+  candidates through the x86 hybrid bucket rule at DefaultCap=16, and
+  the decade curves show what that buys ON REAL DATA, not just on the
+  planted flood: b26's sf1.0 leg fell 31.2 -> 15.1 s and its top step
+  4.71x -> 2.11x; b27 fell 34.0 -> 20.1 s (3.42x -> 1.78x) — at sf1.0
+  the real corpus's band-pair buckets reach the hundreds, so the
+  uncapped day-0 resolve and ingests were paying Σ b² bucket work that
+  the cap now bounds at O(cap·keys), while every gated answer is
+  bit-identical (the gate scales never escalate; the flooded regime is
+  gated by b28). b28 (6.03/4.66/6.84/13.75, top step 2.01x) runs the
+  whole flooded lifecycle — real documents growing 10x per step ∪ the
+  FIXED 1,000-doc planted template cluster — and its curve tracks the
+  real corpus alone because the flood's cost is capped at Σ(b−1)
+  anchor pairs regardless of sf; its gated volume audit (3,208 hybrid
+  vs 2,191,168 raw pre-distinct ingest join rows at the gate scale) is
+  the same claim in exact counts. b29 (8.88/7.42/10.01/20.66, 2.06x)
+  is b27 plus the retention vacuum: expire's cost is manifest
+  arithmetic + per-file deletes, invisible next to the maintenance
+  days, and the 2 -> 1 generation reclaim it gates is sf-independent.
+  x87 (2.73/2.15/2.38/2.90, ratios ~1) is sf-INVARIANT by
+  construction — a fixed 100-doc signature-level fixture; its claim is
+  the measured recall bound in the gated output (98 of 99 verified
+  pairs lost on the adversarial chain, 1 cluster fragments into 99 —
+  the worst case the cap trades for bounded work), not the curve.
 """
 
 
