@@ -314,7 +314,8 @@ object DedupIndex {
   def clusterLabels(idx: DataFrame): DataFrame = {
     val sig = graft.core.CacheScope.cacheEager(sigOf(idx))
     val pairs = MinHash.agreeAtLeast(
-      MinHash.candidatesHybridFromKeys(MinHash.bandPairKeys(sig), MinHash.DefaultCap),
+      MinHash.candidatesHybridChainFromKeys(
+        MinHash.bandPairKeys(sig), sig, MinHash.DefaultCap),
       sig, sig, 14)
     graft.ops.ConnectedComponents.stars(idx.select("doc_id"), pairs)
   }
@@ -405,8 +406,9 @@ object DedupIndex {
       MinHash.signaturesFromSets(
         MinHash.shingleSets(batch, 5).filter(col("c") > 0)))
     val allSig = iSig.unionByName(bSig)
-    val cand = MinHash.candidatesHybridAsymFromKeys(
-      MinHash.bandPairKeys(bSig), MinHash.bandPairKeys(allSig), MinHash.DefaultCap)
+    val cand = MinHash.candidatesHybridChainAsymFromKeys(
+      MinHash.bandPairKeys(bSig), MinHash.bandPairKeys(allSig), allSig,
+      MinHash.DefaultCap)
     val batchPairs = MinHash.agreeAtLeast(cand, bSig, allSig, 14)
     val forest = loadForestAt(spark, path, version)
     graft.ops.ConnectedComponents.stars(
@@ -449,8 +451,9 @@ object DedupIndex {
         MinHash.shingleSets(batch, 5).filter(col("c") > 0)))
     val iSig = idx.filter(col("mh0").isNotNull)
       .select(col("doc_id") +: (0 until 16).map(i => col(s"mh$i")): _*)
-    val cand = MinHash.candidatesHybridAsymFromKeys(
-      MinHash.bandPairKeys(bSig), MinHash.bandPairKeys(iSig), MinHash.DefaultCap)
+    val cand = MinHash.candidatesHybridChainAsymFromKeys(
+      MinHash.bandPairKeys(bSig), MinHash.bandPairKeys(iSig),
+      bSig.unionByName(iSig), MinHash.DefaultCap)
       .toDF("d_new", "d_base")
     val s1 = bSig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
     val s2 = iSig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)

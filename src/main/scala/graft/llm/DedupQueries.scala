@@ -93,6 +93,22 @@ object DedupQueries {
        |  END AS text
        |  FROM range(0, $nTotal) t(id))""".stripMargin
 
+  /** The x87/x88 adversarial-chain fixture at the SIGNATURE level: 100
+    * docs sharing lanes 0..7 (both left bands identical — one flooded
+    * band-pair bucket holds all 100) with right lanes mh_{8+m} =
+    * (id+m) div 4, a sliding window under which consecutive ids agree
+    * on exactly 14/16 lanes, distance 2 on 12/16, distance >= 4 on
+    * 8/16 — a near-threshold CHAIN. Planted as signatures because the
+    * rule under audit consumes signatures and no text generator can
+    * deterministically steer which lane minima collide; the oracle
+    * regenerates it from the same closed form. */
+  private def chainFixtureSig(spark: SparkSession): DataFrame =
+    spark.range(100).select(
+      col("id").as("doc_id") +:
+        (0 until 16).map { i =>
+          (if (i < 8) lit(0L) else expr(s"(id + ${i - 8}) div 4")).as(s"mh$i")
+        }: _*)
+
   /** The full-corpus cluster-resolution oracle shared VERBATIM by x12
     * (full recompute), x80 (incremental maintenance) and b26 (artifact-
     * fed maintenance): signatures + >= 14/16 agreement pairs + a
@@ -736,16 +752,18 @@ object DedupQueries {
     // full-recompute oracle over the union — the flooded buckets
     // escalate to the anchor star, and the maintained answer must
     // still be answer-invisible (template members verify against the
-    // anchor by construction; what escalation can lose in general is
-    // x87's measured fixture, not this row's). The volume audit rides
-    // as output columns, computed O(buckets) from bucket meta alone —
-    // cand_hybrid vs cand_uncapped are the exact pre-distinct
-    // join-row counts the deployed rule and the raw asymmetric band
-    // join would pay for THIS ingest (per escalated bucket: nb anchor
-    // pairs, plus the full star only when the anchor itself is a
-    // batch doc, vs nb·(b−1) raw) — proving the ingest stayed
-    // O(cap · batch-keys) while the raw join would have paid
-    // bucket-size work per batch key. SCALE SHAPE: this is the 100 TB
+    // anchor by construction; what ANCHOR-ONLY escalation could lose
+    // in general is x87's measured fixture, and the deployed rule
+    // carries x88's SNM chain leg that closes it). The volume audit
+    // rides as output columns — cand_hybrid vs cand_uncapped are the
+    // exact pre-distinct join-row counts the deployed rule and the
+    // raw asymmetric band join would pay for THIS ingest (per
+    // escalated bucket: nb anchor pairs, the full star only when the
+    // anchor itself is a batch doc, plus the batch-involving
+    // signature-order successor pairs — each term linear in bucket
+    // occupancy, vs nb·(b−1) raw) — proving the ingest stayed
+    // O(cap · batch-keys + Σ_esc b) while the raw join would have
+    // paid bucket-size work per batch key. SCALE SHAPE: this is the 100 TB
     // daily-crawl cadence on boilerplate-heavy data — day-0 build,
     // pinned-artifact ingest, and candidate generation all bounded
     // linear; nothing anywhere is quadratic in cluster size.
@@ -767,10 +785,20 @@ object DedupQueries {
          |    min(p.doc_id) AS anchor,
          |    min(CASE WHEN NOT c.is_old THEN p.doc_id END) AS banchor
          |  FROM bpk p JOIN corpus c ON c.doc_id = p.doc_id GROUP BY 1, 2),
+         |sigv AS (SELECT doc_id, list(mh ORDER BY i) AS v FROM sig GROUP BY 1),
+         |escm AS (SELECT p.bp, p.k, p.doc_id, c.is_old, s.v
+         |  FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k AND m.b > ${MinHash.DefaultCap}
+         |  JOIN corpus c ON c.doc_id = p.doc_id
+         |  JOIN sigv s ON s.doc_id = p.doc_id),
+         |chn AS (SELECT is_old, lead(is_old) OVER w AS nxt_old,
+         |    lead(doc_id) OVER w AS nxt
+         |  FROM escm WINDOW w AS (PARTITION BY bp, k ORDER BY v, doc_id)),
          |audit AS (SELECT
          |    CAST(SUM(CASE WHEN b <= ${MinHash.DefaultCap} THEN nb * (b - 1)
          |      WHEN anchor = banchor THEN (nb - 1) + (b - 1)
-         |      ELSE nb END) AS BIGINT) AS cand_hybrid,
+         |      ELSE nb END) AS BIGINT)
+         |    + (SELECT CAST(count(*) AS BIGINT) FROM chn
+         |       WHERE nxt IS NOT NULL AND (NOT is_old OR NOT nxt_old)) AS cand_hybrid,
          |    CAST(SUM(nb * (b - 1)) AS BIGINT) AS cand_uncapped,
          |    CAST(SUM(CASE WHEN b > ${MinHash.DefaultCap} THEN 1 ELSE 0 END) AS BIGINT) AS buckets_escalated
          |  FROM meta),
@@ -816,21 +844,39 @@ object DedupQueries {
       val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(
         MinHash.shingleSets(corpus.select("doc_id", "text"), 5)
           .filter(col("c") > 0)))
-      val meta = MinHash.bandPairKeys(sig)
-        .join(corpus.select("doc_id", "is_old"), "doc_id")
+      val keysFlagged = CacheScope.cacheEager(MinHash.bandPairKeys(sig)
+        .join(corpus.select("doc_id", "is_old"), "doc_id"))
+      val meta = keysFlagged
         .groupBy("bp", "k").agg(
           count(lit(1)).as("b"),
           sum(when(!col("is_old"), 1L).otherwise(0L)).as("nb"),
           min("doc_id").as("anchor"),
           min(when(!col("is_old"), col("doc_id"))).as("banchor"))
-      val audit = meta.agg(
+      val starAudit = meta.agg(
         sum(when(col("b") <= MinHash.DefaultCap, col("nb") * (col("b") - 1))
           .otherwise(when(col("anchor") === col("banchor"),
             (col("nb") - 1) + (col("b") - 1)).otherwise(col("nb"))))
-          .cast("long").as("cand_hybrid"),
+          .cast("long").as("cand_star"),
         sum(col("nb") * (col("b") - 1)).cast("long").as("cand_uncapped"),
         sum(when(col("b") > MinHash.DefaultCap, 1L).otherwise(0L))
           .as("buckets_escalated"))
+      // the deployed rule's SNM chain leg, counted by the same window
+      // it runs with: batch-involving successor pairs of each
+      // escalated bucket in full-signature order
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bp", "k")
+        .orderBy((0 until 16).map(i => col(s"mh$i")) :+ col("doc_id"): _*)
+      val chainAudit = keysFlagged
+        .join(meta.filter(col("b") > MinHash.DefaultCap).select("bp", "k"),
+          Seq("bp", "k"))
+        .join(sig, "doc_id")
+        .select(col("is_old"), lead("is_old", 1).over(w).as("nxt_old"),
+          lead("doc_id", 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull && (!col("is_old") || !col("nxt_old")))
+        .agg(count(lit(1)).as("cand_chain"))
+      val audit = starAudit.crossJoin(chainAudit)
+        .select((col("cand_star") + col("cand_chain")).as("cand_hybrid"),
+          col("cand_uncapped"), col("buckets_escalated"))
       labels
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
@@ -1244,11 +1290,7 @@ object DedupQueries {
          |  exact_pairs - hybrid_pairs AS lost_pairs, exact_clusters, buckets_escalated
          |FROM hist CROSS JOIN audit ORDER BY cluster_size""".stripMargin
     ) { (spark, _) =>
-      val sig = CacheScope.cacheEager(spark.range(100).select(
-        col("id").as("doc_id") +:
-          (0 until 16).map { i =>
-            (if (i < 8) lit(0L) else expr(s"(id + ${i - 8}) div 4")).as(s"mh$i")
-          }: _*))
+      val sig = CacheScope.cacheEager(chainFixtureSig(spark))
       val keys = CacheScope.cacheEager(MinHash.bandPairKeys(sig))
       val hybridPairs = CacheScope.cacheEager(MinHash.agreeAtLeast(
         MinHash.candidatesHybridFromKeys(keys, MinHash.DefaultCap), sig, sig, 14))
@@ -1269,6 +1311,107 @@ object DedupQueries {
         .withColumn("lost_pairs", col("exact_pairs") - col("hybrid_pairs"))
         .select("cluster_size", "n_clusters", "hybrid_pairs", "exact_pairs",
           "lost_pairs", "exact_clusters", "buckets_escalated")
+        .orderBy("cluster_size")
+    },
+
+    // X88 — the REMEDY for x87's measured loss, gated on the same
+    // adversarial fixture: escalated buckets add a SORTED-NEIGHBORHOOD
+    // leg (Hernández & Stolfo's merge/purge move) — members sort by
+    // their full 16-lane signature within the bucket and each pairs
+    // with its immediate successor, 2(b−1) candidates per escalated
+    // bucket, still linear. On the chain fixture the signature order
+    // IS the drift order, so the successor pairs are exactly the 99
+    // true links the anchor star loses: lost_pairs drops 98 → 0 and
+    // the 100-doc cluster survives escalation intact. This
+    // chain-escalation rule (MinHash.candidatesHybridChainFromKeys /
+    // ...ChainAsymFromKeys) is what the DEPLOYED dedup paths now run
+    // — clusterLabels, maintainClusters, dedupBatch — so x87 (anchor
+    // only) and this row read as measured-loss vs deployed-remedy on
+    // one fixture; b28 gates the deployed rule's volume audit on the
+    // flooded lifecycle. Oracle restates the sort (a lane-list
+    // lexicographic ORDER BY — identical to Spark's 16-column order),
+    // the successor window, both fixpoints, and the loss arithmetic.
+    Q(
+      "x88_chain_remedy",
+      s"""WITH RECURSIVE sig AS (SELECT d.id AS doc_id, l.i,
+         |    CASE WHEN l.i < 8 THEN 0 ELSE (d.id + (l.i - 8)) // 4 END AS mh
+         |  FROM range(0, 100) d(id) CROSS JOIN range(0, 16) l(i)),
+         |bks AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bk
+         |  FROM sig GROUP BY 1, 2),
+         |bpk AS (SELECT x.doc_id, 4*x.band + y.band AS bp, x.bk || '|' || y.bk AS k
+         |  FROM bks x JOIN bks y ON x.doc_id = y.doc_id AND x.band < y.band),
+         |meta AS (SELECT bp, k, count(*) AS b, min(doc_id) AS anchor
+         |  FROM bpk GROUP BY 1, 2),
+         |sigv AS (SELECT doc_id, list(mh ORDER BY i) AS v FROM sig GROUP BY 1),
+         |cand AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bpk x JOIN meta m ON m.bp = x.bp AND m.k = x.k
+         |    JOIN bpk y ON y.bp = x.bp AND y.k = x.k AND x.doc_id < y.doc_id
+         |  WHERE m.b <= ${MinHash.DefaultCap}
+         |  UNION
+         |  SELECT m.anchor AS d1, p.doc_id AS d2
+         |  FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k
+         |  WHERE m.b > ${MinHash.DefaultCap} AND p.doc_id <> m.anchor
+         |  UNION
+         |  SELECT doc_id AS d1, nxt AS d2 FROM (
+         |    SELECT p.doc_id, lead(p.doc_id) OVER w AS nxt
+         |    FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k
+         |      AND m.b > ${MinHash.DefaultCap}
+         |      JOIN sigv s ON s.doc_id = p.doc_id
+         |    WINDOW w AS (PARTITION BY p.bp, p.k ORDER BY s.v, p.doc_id)) t
+         |  WHERE nxt IS NOT NULL),
+         |hver AS (SELECT c.d1, c.d2 FROM cand c
+         |  JOIN sig s1 ON s1.doc_id = c.d1
+         |  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.i = s1.i AND s2.mh = s1.mh
+         |  GROUP BY 1, 2 HAVING count(*) >= 14),
+         |ever AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2
+         |  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 14),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM hver UNION ALL SELECT d2, d1 FROM hver),
+         |reach(doc_id, r) AS (
+         |  SELECT id, id FROM range(0, 100) t(id)
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |cl AS (SELECT doc_id, min(r) AS c FROM reach GROUP BY 1),
+         |hist AS (SELECT cnt AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM (SELECT c, count(*) AS cnt FROM cl GROUP BY 1) u GROUP BY 1),
+         |audit AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT least(d1, d2) AS a,
+         |       greatest(d1, d2) AS b FROM hver) q) AS hybrid_pairs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ever) AS exact_pairs,
+         |    (SELECT CAST(SUM(CASE WHEN b > ${MinHash.DefaultCap} THEN 1 ELSE 0 END) AS BIGINT)
+         |     FROM meta) AS buckets_escalated)
+         |SELECT cluster_size, n_clusters, hybrid_pairs, exact_pairs,
+         |  exact_pairs - hybrid_pairs AS lost_pairs, buckets_escalated
+         |FROM hist CROSS JOIN audit ORDER BY cluster_size""".stripMargin
+    ) { (spark, _) =>
+      val sig = CacheScope.cacheEager(chainFixtureSig(spark))
+      val keys = CacheScope.cacheEager(MinHash.bandPairKeys(sig))
+      val chainPairs = CacheScope.cacheEager(MinHash.agreeAtLeast(
+        MinHash.candidatesHybridChainFromKeys(keys, sig, MinHash.DefaultCap),
+        sig, sig, 14))
+      val exactPairs = CacheScope.cacheEager(MinHash.agreeAtLeast(
+        MinHash.candidatesPaired(sig), sig, sig, 14))
+      val cc = graft.ops.ConnectedComponents.stars(
+        sig.select("doc_id"), chainPairs)
+      // orientation-free pair count: the chain leg emits (pred, succ),
+      // the exact rule (lo, hi) — canonicalize before counting so the
+      // two sides compare as SETS of undirected links
+      val canon = chainPairs.select(
+        least(col("d1"), col("d2")).as("a"), greatest(col("d1"), col("d2")).as("b"))
+        .distinct()
+      val audit = canon.agg(count(lit(1)).as("hybrid_pairs"))
+        .crossJoin(exactPairs.agg(count(lit(1)).as("exact_pairs")))
+        .crossJoin(keys.groupBy("bp", "k").agg(count(lit(1)).as("b"))
+          .agg(sum(when(col("b") > MinHash.DefaultCap, 1L).otherwise(0L))
+            .as("buckets_escalated")))
+      cc.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(audit))
+        .withColumn("lost_pairs", col("exact_pairs") - col("hybrid_pairs"))
+        .select("cluster_size", "n_clusters", "hybrid_pairs", "exact_pairs",
+          "lost_pairs", "buckets_escalated")
         .orderBy("cluster_size")
     },
 

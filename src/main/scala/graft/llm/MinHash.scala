@@ -176,12 +176,16 @@ object MinHash {
     * ([[graft.llm.DedupIndex]] — VERDICT r12 task 1): buckets at or
     * under it keep the exact all-pairs candidate join (lossless for
     * the >= 14/16 gate), bigger ones escalate to the min-id anchor
-    * star. 16 is the x86-gated value: at the correctness-gate scales
-    * the real corpus's largest band-pair bucket is 14 members, so
-    * ordinary data never escalates, while a template mega-cluster's
-    * flooded buckets (1,000+ members on the planted fixture) switch to
-    * Σ(b−1) work. What escalation can lose is quantified by the gated
-    * x87 adversarial chain fixture, not just asserted. */
+    * star PLUS the signature-sorted SNM successor chain
+    * ([[candidatesHybridChainFromKeys]] — 2(b−1) rows per escalated
+    * bucket, still linear). 16 is the x86-gated value: at the
+    * correctness-gate scales the real corpus's largest band-pair
+    * bucket is 14 members, so ordinary data never escalates, while a
+    * template mega-cluster's flooded buckets (1,000+ members on the
+    * planted fixture) switch to linear work. What anchor-only
+    * escalation loses is quantified by the gated x87 adversarial
+    * chain fixture (98/99 pairs); x88 gates the chain leg closing
+    * exactly that loss. */
   val DefaultCap = 16
 
   /** HYBRID candidate pairs — the deployable form of the cap (x86):
@@ -256,6 +260,121 @@ object MinHash {
       .filter(col("d2") =!= col("anchor"))
       .select(col("anchor").as("d1"), col("d2"))
     smallPairs.unionByName(escProbe).unionByName(escAnchor).distinct()
+  }
+
+  /** SNM successor pairs over escalated-bucket member rows: within each
+    * (bp, k) bucket, members sort by their FULL 16-lane signature (then
+    * doc_id) and each pairs with its immediate successor — the classic
+    * sorted-neighborhood move (Hernández & Stolfo's merge/purge),
+    * applied inside a bucket whose members already share 8 lanes.
+    * Exactly b−1 rows per bucket; one window over the escalated rows
+    * only. Signature order is the similarity-correlated key the bucket
+    * gives us for free: docs whose remaining lanes drift apart
+    * gradually (a template chain) sort adjacently, so consecutive
+    * pairs recover precisely the links the anchor star loses. */
+  private def chainSuccessorPairs(members: DataFrame, sig: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bp", "k")
+      .orderBy((0 until 16).map(i => col(s"mh$i")) :+ col("doc_id"): _*)
+    members.join(sig, "doc_id")
+      .select(col("bp"), col("k"), col("doc_id").as("d1"),
+        lead("doc_id", 1).over(w).as("d2"))
+      .filter(col("d2").isNotNull)
+      .select("d1", "d2")
+  }
+
+  /** HYBRID + CHAIN candidate pairs — the DEPLOYED escalation rule
+    * (round 13): [[candidatesHybridFromKeys]]'s small-bucket all-pairs
+    * and escalated anchor star, PLUS the [[chainSuccessorPairs]] SNM
+    * leg over each escalated bucket. Escalated volume is 2(b−1) per
+    * bucket — still linear, never C(b,2) — and the recall loss x87
+    * measures for the anchor-only rule closes: a star-shaped template
+    * flood is recovered through the anchor (every member verifies
+    * against it), a drift CHAIN is recovered through the
+    * signature-sorted successor pairs (adjacent-in-order members are
+    * the chain's true links — x88 gates zero lost pairs on x87's
+    * adversarial fixture). `sig` must cover every doc_id in `keys`
+    * (the wide (doc_id, mh0..mh15) table the keys derive from). */
+  def candidatesHybridChainFromKeys(keys: DataFrame, sig: DataFrame,
+      cap: Int): DataFrame = {
+    val meta = keys.groupBy("bp", "k")
+      .agg(count(lit(1)).as("b"), min("doc_id").as("anchor"))
+    val sized = keys.join(meta, Seq("bp", "k"))
+    val small = sized.filter(col("b") <= cap)
+    val smallPairs = small.select(col("bp"), col("k"), col("doc_id").as("d1"))
+      .join(small.select(col("bp").as("bp2"), col("k").as("k2"),
+        col("doc_id").as("d2")),
+        col("bp") === col("bp2") && col("k") === col("k2") &&
+          col("d1") < col("d2"))
+      .select("d1", "d2")
+    val escRows = sized.filter(col("b") > cap)
+    val starPairs = escRows.filter(col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("d1"), col("doc_id").as("d2"))
+    val chain = chainSuccessorPairs(escRows.select("doc_id", "bp", "k"), sig)
+    smallPairs.unionByName(starPairs).unionByName(chain).distinct()
+  }
+
+  /** [[candidatesHybridChainFromKeys]]'s escalation for the ASYMMETRIC
+    * consumers — [[candidatesHybridAsymFromKeys]]'s three legs plus
+    * the SNM chain leg, computed over (base ∪ probe) member rows of
+    * each escalated bucket and kept only where at least one end is a
+    * probe doc (within-base links are the forest's job in maintenance
+    * and unusable in batch dedup). The probe end is emitted as d1 (the
+    * output contract). Why the probe rows join the ordering even when
+    * probe ⊄ base (batch dedup, where base is the index alone): a
+    * batch doc sorts BETWEEN its nearest index neighbors, so its
+    * successor/predecessor links are exactly the near-matches the
+    * anchor star would miss. Volume: ≤ 2 chain rows per member of an
+    * escalated bucket — the O(cap · probe-keys + Σ_esc b) bound keeps
+    * its shape. */
+  def candidatesHybridChainAsymFromKeys(probeKeys: DataFrame,
+      baseKeys: DataFrame, sig: DataFrame, cap: Int): DataFrame = {
+    val meta = baseKeys.groupBy("bp", "k")
+      .agg(count(lit(1)).as("b"), min("doc_id").as("anchor"))
+    val pk = probeKeys.toDF("d1", "bp", "k")
+    val bk = baseKeys.toDF("d2", "bp", "k")
+    val esc = meta.filter(col("b") > cap)
+    // bk ⋈ meta once; every base-side leg filters this one join, so
+    // the underlying key/meta exchanges are built once and reused
+    val bkSized = bk.join(meta, Seq("bp", "k"))
+    val smallPairs = pk
+      .join(bkSized.filter(col("b") <= cap).select("bp", "k", "d2"),
+        Seq("bp", "k"))
+      .filter(col("d1") =!= col("d2"))
+      .select("d1", "d2")
+    // probe rows in escalated buckets, kept with their keys: feed both
+    // the anchor-pair leg and the chain-member union
+    val escProbeRows = pk.join(esc.select("bp", "k", "anchor"), Seq("bp", "k"))
+    val escProbe = escProbeRows
+      .filter(col("d1") =!= col("anchor"))
+      .select(col("d1"), col("anchor").as("d2"))
+    val probeIds = probeKeys.select("doc_id").distinct()
+    val escBaseRows = bkSized.filter(col("b") > cap)
+    // the whole-bucket star fires only where the bucket's anchor is
+    // itself a probe doc (semi-join on the carried anchor column)
+    val escAnchor = escBaseRows
+      .join(probeIds.select(col("doc_id").as("anchor")), Seq("anchor"), "left_semi")
+      .filter(col("d2") =!= col("anchor"))
+      .select(col("anchor").as("d1"), col("d2"))
+    // chain members = escalated base rows ∪ escalated probe rows —
+    // both already materialized for the legs above (reused exchanges);
+    // the distinct shuffles only escalated-bucket member rows (tiny by
+    // definition at any corpus size), never the full key set
+    val members = escBaseRows.select(col("d2").as("doc_id"), col("bp"), col("k"))
+      .unionByName(escProbeRows.select(col("d1").as("doc_id"), col("bp"), col("k")))
+      .distinct()
+    val p1 = probeIds.toDF("d1").withColumn("p1", lit(true))
+    val p2 = probeIds.toDF("d2").withColumn("p2", lit(true))
+    val chain = chainSuccessorPairs(members, sig)
+      .join(p1, Seq("d1"), "left")
+      .join(p2, Seq("d2"), "left")
+      .filter(coalesce(col("p1"), lit(false)) || coalesce(col("p2"), lit(false)))
+      .select(
+        when(coalesce(col("p1"), lit(false)), col("d1")).otherwise(col("d2")).as("c1"),
+        when(coalesce(col("p1"), lit(false)), col("d2")).otherwise(col("d1")).as("c2"))
+      .toDF("d1", "d2")
+    smallPairs.unionByName(escProbe).unionByName(escAnchor).unionByName(chain)
+      .distinct()
   }
 
   /** Keep the candidate pairs whose signatures agree on >= `threshold`

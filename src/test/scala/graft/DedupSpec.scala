@@ -203,6 +203,55 @@ class DedupSpec extends AnyFunSuite {
     assert(b == (Set((7L, 0L)) ++ (1L to 19L).map(d => (0L, d))))
   }
 
+  test("chain escalation: SNM successor leg recovers what the anchor star loses") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.MinHash
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the x87 drift-chain fixture: one flooded bucket, verified pairs
+    // form a chain no member of which (except doc 1) verifies against
+    // the min-id anchor
+    val sig = spark.range(100).select(
+      col("id").as("doc_id") +: (0 until 16).map { i =>
+        (if (i < 8) lit(0L) else expr(s"(id + ${i - 8}) div 4")).as(s"mh$i")
+      }: _*).cache()
+    val keys = MinHash.bandPairKeys(sig).cache()
+    try {
+      def verified(cand: org.apache.spark.sql.DataFrame) = pairSet(
+        MinHash.agreeAtLeast(cand, sig, sig, 14)).map {
+        case (a, b) => (a.min(b), a.max(b))
+      }
+      val truth = verified(MinHash.candidatesPaired(sig))
+      assert(truth == (0L to 98L).map(i => (i, i + 1)).toSet)
+      // anchor-only escalation loses the chain; the SNM leg restores it
+      assert(verified(MinHash.candidatesHybridFromKeys(keys, 16)) == Set((0L, 1L)))
+      assert(verified(
+        MinHash.candidatesHybridChainFromKeys(keys, sig, 16)) == truth)
+      // asym form: a single probe doc mid-chain pairs with its sorted
+      // neighbors (its true links), not just the useless anchor
+      val probe = MinHash.bandPairKeys(sig.filter(col("doc_id") === 50L))
+      val base = MinHash.bandPairKeys(sig.filter(col("doc_id") =!= 50L))
+      val asym = pairSet(MinHash.agreeAtLeast(
+        MinHash.candidatesHybridChainAsymFromKeys(probe, base, sig, 16),
+        sig, sig, 14))
+      assert(asym == Set((50L, 49L), (50L, 51L)))
+      // lossless leg: with a cap no bucket reaches, the chain variant
+      // IS the raw asymmetric band join (the chain leg never fires)
+      val rawProbe = MinHash.bandPairKeys(sig.filter(col("doc_id") % 7 === 0))
+      val rawAll = keys
+      val hybrid = pairSet(MinHash.candidatesHybridChainAsymFromKeys(
+        rawProbe, rawAll, sig, Int.MaxValue))
+      val raw = pairSet(rawProbe.toDF("d1", "bp", "k")
+        .join(rawAll.toDF("d2", "bp2", "k2"),
+          col("bp") === col("bp2") && col("k") === col("k2") &&
+            col("d1") =!= col("d2"))
+        .select("d1", "d2").distinct())
+      assert(raw.nonEmpty && hybrid == raw)
+    } finally {
+      sig.unpersist(false); keys.unpersist(false); spark.catalog.clearCache()
+    }
+  }
+
   test("x86 hybrid escalation: lossless at cap=infinity, planted cluster recalled at cap=16") {
     import org.apache.spark.sql.functions._
     import graft.llm.MinHash

@@ -446,31 +446,38 @@ COMMENTARY = """\
   top step; b27 6.81/8.74/9.97/34.0 s — 3.4x. Superseded below.)
 
 - **Round-13: the hybrid cap DEPLOYED into the dedup production paths
-  (b26/b27 re-measured; b28/b29/x87 new — measured 2026-08-16).**
+  (b26/b27 re-measured; b28/b29/x87/x88 new — measured 2026-08-16).**
   DedupIndex.clusterLabels/maintainClusters/dedupBatch now generate
-  candidates through the x86 hybrid bucket rule at DefaultCap=16, and
-  the decade curves show what that buys ON REAL DATA, not just on the
-  planted flood: b26's sf1.0 leg fell 31.2 -> 15.1 s and its top step
-  4.71x -> 2.11x; b27 fell 34.0 -> 20.1 s (3.42x -> 1.78x) — at sf1.0
-  the real corpus's band-pair buckets reach the hundreds, so the
-  uncapped day-0 resolve and ingests were paying Σ b² bucket work that
-  the cap now bounds at O(cap·keys), while every gated answer is
-  bit-identical (the gate scales never escalate; the flooded regime is
-  gated by b28). b28 (6.03/4.66/6.84/13.75, top step 2.01x) runs the
+  candidates through the hybrid bucket rule at DefaultCap=16 with SNM
+  CHAIN escalation (anchor star + full-signature-sorted successor
+  pairs — 2(b−1) rows per escalated bucket), and the decade curves
+  show what that buys ON REAL DATA, not just on the planted flood:
+  b26's sf1.0 leg fell 31.2 -> 15.6 s and its top step 4.71x ->
+  1.52x; b27 fell 34.0 -> 21.6 s (3.42x -> 1.90x) — at sf1.0 the real
+  corpus's band-pair buckets reach the hundreds, so the uncapped
+  day-0 resolve and ingests were paying Σ b² bucket work the cap now
+  bounds linearly, while every gated answer is bit-identical (the
+  gate scales never escalate; the flooded regime is gated by b28).
+  The chain leg's whole cost on top of anchor-only escalation is ~3%
+  at sf1.0 (an intermediate anchor-only measurement had b26 at
+  15.1 s / b27 at 20.1 s) — the price of closing x87's measured
+  recall hole. b28 (6.65/6.26/8.43/14.63, top step 1.74x) runs the
   whole flooded lifecycle — real documents growing 10x per step ∪ the
   FIXED 1,000-doc planted template cluster — and its curve tracks the
-  real corpus alone because the flood's cost is capped at Σ(b−1)
-  anchor pairs regardless of sf; its gated volume audit (3,208 hybrid
-  vs 2,191,168 raw pre-distinct ingest join rows at the gate scale) is
-  the same claim in exact counts. b29 (8.88/7.42/10.01/20.66, 2.06x)
+  real corpus alone because the flood's cost is linear in occupancy
+  regardless of sf; its gated volume audit (6,028 deployed-rule vs
+  2,191,168 raw pre-distinct ingest join rows at the gate scale) is
+  the same claim in exact counts. b29 (8.74/8.20/12.98/20.37, 1.57x)
   is b27 plus the retention vacuum: expire's cost is manifest
   arithmetic + per-file deletes, invisible next to the maintenance
   days, and the 2 -> 1 generation reclaim it gates is sf-independent.
-  x87 (2.73/2.15/2.38/2.90, ratios ~1) is sf-INVARIANT by
-  construction — a fixed 100-doc signature-level fixture; its claim is
-  the measured recall bound in the gated output (98 of 99 verified
-  pairs lost on the adversarial chain, 1 cluster fragments into 99 —
-  the worst case the cap trades for bounded work), not the curve.
+  x87 (2.73/2.15/2.38/2.90) and x88 (2.61/1.93/2.23/2.43) are
+  sf-INVARIANT by construction — one fixed 100-doc signature-level
+  fixture read two ways: x87 measures what anchor-only escalation
+  loses on the adversarial chain (98 of 99 verified pairs, 1 cluster
+  fragments into 99), x88 gates the deployed SNM successor leg
+  closing exactly that loss (lost_pairs 0, cluster intact) at
+  2(b−1) candidates.
 """
 
 
