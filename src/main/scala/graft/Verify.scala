@@ -38,6 +38,23 @@ object Verify {
       "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution"
     def setMbe(level: org.apache.logging.log4j.Level): Unit =
       org.apache.logging.log4j.core.config.Configurator.setLevel(mbeLogger, level)
+    // ADVICE r13: restore the logger's PRE-EXISTING state after each
+    // crash-injecting query, not a hardcoded ERROR — if the category had
+    // no explicit config (the normal case: it inherits the root level),
+    // restoring means REMOVING the config Configurator.setLevel created,
+    // so later queries' MBE WARN/INFO output is not silently suppressed.
+    val logCtx = org.apache.logging.log4j.LogManager
+      .getContext(false).asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val mbePrior: Option[org.apache.logging.log4j.Level] = {
+      val lc = logCtx.getConfiguration.getLoggerConfig(mbeLogger)
+      if (lc.getName == mbeLogger) Some(lc.getLevel) else None
+    }
+    def restoreMbe(): Unit = mbePrior match {
+      case Some(level) => setMbe(level)
+      case None =>
+        logCtx.getConfiguration.removeLogger(mbeLogger)
+        logCtx.updateLoggers()
+    }
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated query filter (builder iteration aid —
     // the driver never sets it, so its runs always dump the full
@@ -55,7 +72,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally {
-        if (crashInjecting(name)) setMbe(org.apache.logging.log4j.Level.ERROR)
+        if (crashInjecting(name)) restoreMbe()
         spark.catalog.clearCache()
       }
     }

@@ -39,28 +39,57 @@ object Snapshots {
     *
     * Kinds in `latestGenOnly` hold gen-N commit-unit DIRECTORIES whose
     * readers only ever serve the latest generation (DedupIndex's label
-    * forest): for those, the manifest records just the newest
-    * non-empty gen — recording superseded gens would pin them in every
-    * future manifest, so [[expire]] could never vacuum an old
-    * generation while any newer snapshot existed. An older gen stays
-    * reachable exactly as long as a retained manifest records it as
-    * ITS latest — the as-of pinning contract is unchanged. */
+    * forest): for those, the manifest records just the served gen —
+    * recording superseded gens would pin them in every future
+    * manifest, so [[expire]] could never vacuum an old generation
+    * while any newer snapshot existed. An older gen stays reachable
+    * exactly as long as a retained manifest records it as ITS latest —
+    * the as-of pinning contract is unchanged.
+    *
+    * WHICH gen is served comes from `pinnedGens` when the caller just
+    * wrote one (it knows the number — DedupIndex.snapshot threads it
+    * from saveForest's caller), else is CARRIED FORWARD from the
+    * previous manifest: a snapshot that did not touch the forest
+    * serves whatever the last snapshot served. ADVICE r13: the old
+    * newest-non-empty-directory inference would silently promote a
+    * complete-but-ABANDONED higher-numbered gen (crash after
+    * saveForest's commit, before its snapshot) into the next
+    * snapshot's serve state. The directory inference remains only as
+    * the first-ever-snapshot fallback (no previous manifest to carry
+    * from). */
   def snapshot(spark: SparkSession, path: String, version: Int,
       dataDirs: Seq[(String, String)],
-      latestGenOnly: Set[String] = Set.empty): Unit = {
+      latestGenOnly: Set[String] = Set.empty,
+      pinnedGens: Map[String, Int] = Map.empty): Unit = {
     import spark.implicits._
+    lazy val prev: Option[Seq[(String, String)]] =
+      versions(spark, path).filter(_ < version).lastOption
+        .map(v => entries(spark, path, v))
     def files(kind: String, dir: String): Seq[(String, String)] =
-      if (!Fs.exists(spark, dir)) Seq.empty
-      else if (latestGenOnly(kind))
-        // newest gen WITH data files: a crashed writer's empty or
-        // in-flight gen dir (hidden `_temporary` only) must not mask
-        // the generation actually being served
-        Fs.listPrefixedDirs(spark, dir, "gen-")
-          .flatMap(g => scala.util.Try(g.stripPrefix("gen-").toInt).toOption)
-          .sorted.reverse.iterator
-          .map(n => Fs.listDataFiles(spark, s"$dir/gen-$n"))
-          .find(_.nonEmpty).getOrElse(Seq.empty)
-          .map(f => (kind, Fs.relativize(spark, path, f)))
+      if (latestGenOnly(kind)) pinnedGens.get(kind) match {
+        case Some(n) =>
+          val fs = Fs.listDataFiles(spark, s"$dir/gen-$n")
+          require(fs.nonEmpty,
+            s"snapshot: pinned $kind gen-$n at $dir has no data files")
+          fs.map(f => (kind, Fs.relativize(spark, path, f)))
+        case None if prev.isDefined =>
+          // carry the previous manifest's served generation forward
+          // (possibly none, when the artifact has never had one)
+          prev.get.filter(_._1 == kind)
+        case None =>
+          if (!Fs.exists(spark, dir)) Seq.empty
+          // first-ever snapshot of a pre-existing directory: newest
+          // gen WITH data files — a crashed writer's empty or
+          // in-flight gen dir (hidden `_temporary` only) must not
+          // mask the generation actually being served
+          else Fs.listPrefixedDirs(spark, dir, "gen-")
+            .flatMap(g => scala.util.Try(g.stripPrefix("gen-").toInt).toOption)
+            .sorted.reverse.iterator
+            .map(n => Fs.listDataFiles(spark, s"$dir/gen-$n"))
+            .find(_.nonEmpty).getOrElse(Seq.empty)
+            .map(f => (kind, Fs.relativize(spark, path, f)))
+      }
+      else if (!Fs.exists(spark, dir)) Seq.empty
       else
         Fs.listDataFiles(spark, dir)
           .map(f => (kind, Fs.relativize(spark, path, f)))

@@ -53,31 +53,57 @@ object DedupIndex {
     rows.sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$path/rows.parquet")
 
+  /** Zero-row guard branch enforcing the id-disjoint ingest contract
+    * INSIDE a job the caller already runs (VERDICT r13 task 1: round
+    * 13 enforced it as a separate limit(1)-semi-join Spark job per
+    * deployed call — real per-call overhead at bench scale for a check
+    * that is almost always clean). Shape: the (indexed ∩ batch)
+    * semi-join is counted by a global aggregate and the count is
+    * asserted zero in-plan; the aggregate is an optimizer barrier, so
+    * the assertion cannot be pushed into either scan, and the branch
+    * emits NO rows when disjoint (the passing assert_true is NULL and
+    * the isNotNull filter drops the audit row) — unioned into a
+    * DataFrame the caller materializes anyway, it costs one
+    * doc_id-pruned index scan inside that job and throws mid-job with
+    * the contract message when an ingest collides. `like` supplies the
+    * union schema (all-NULL casts; never emitted). */
+  private def disjointGuard(idxIds: DataFrame, batchIds: DataFrame,
+      ctx: String, like: DataFrame): DataFrame = {
+    val msg = s"$ctx: batch doc_ids overlap the indexed corpus — ingest " +
+      "batches must be id-disjoint from the index (tombstone or re-id " +
+      "re-crawled documents first); a colliding ingest would mislabel"
+    idxIds.select("doc_id")
+      .join(broadcast(batchIds.select("doc_id")), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_clash"))
+      .where(assert_true(col("n_clash") === 0, lit(msg)).isNotNull)
+      .select(like.schema.fields.toSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
   /** Append a new slice's index rows — the incremental form: cost is
     * one linear scan of the new slice plus its append write; existing
     * artifact files are untouched and a reload sees the union.
     * REFUSES a batch whose doc_ids are already indexed (VERDICT r12
     * task 3): a colliding append would make the artifact's id set a
     * multiset — duplicate band keys double-count candidates and
-    * [[maintainClusters]] would silently mislabel. The guard is one
-    * doc_id-pruned columnar scan + a limit(1) semi-join (the
-    * AnnIndex.mergeShards vec_id pattern) against the RAW row set —
-    * tombstoned ids stay refused too, because the tombstone would mask
-    * the re-added row as well (ids are never reused; a re-crawled doc
-    * gets a new id). Streaming replays never reach this check: they go
-    * through [[appendIdempotent]], whose epoch ledger skips a
-    * re-delivered batch before any data write. */
+    * [[maintainClusters]] would silently mislabel. The guard is
+    * [[disjointGuard]] riding the append WRITE itself (VERDICT r13
+    * task 1 folded away the separate limit(1) job): against the RAW
+    * row set, so tombstoned ids stay refused too — the tombstone would
+    * mask the re-added row as well (ids are never reused; a re-crawled
+    * doc gets a new id). A tripped guard fails the write job before
+    * its commit, so no partial append becomes visible. Streaming
+    * replays never reach this check: they go through
+    * [[appendIdempotent]], whose epoch ledger skips a re-delivered
+    * batch before any data write. */
   def append(spark: SparkSession, rows: DataFrame, path: String): Unit = {
-    if (graft.core.Fs.exists(spark, s"$path/rows.parquet")) {
-      val indexed = spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$path/rows.parquet").select("doc_id")
-      val clash = rows.select("doc_id")
-        .join(indexed, Seq("doc_id"), "left_semi").limit(1).count()
-      require(clash == 0L,
-        s"append: batch doc_ids overlap the indexed corpus at $path — " +
-          "ingest batches must be id-disjoint from the index")
-    }
-    rows.sortWithinPartitions("doc_id")
+    val guarded =
+      if (!graft.core.Fs.exists(spark, s"$path/rows.parquet")) rows
+      else rows.unionByName(disjointGuard(
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$path/rows.parquet"),
+        rows, "append", rows))
+    guarded.sortWithinPartitions("doc_id")
       .write.mode("append").parquet(s"$path/rows.parquet")
   }
 
@@ -225,7 +251,8 @@ object DedupIndex {
     * takedowns (a reproducibility/audit demand, not a serving one).
     * Root-relative paths + the applied-epoch ledger sentinel, per
     * [[graft.core.Snapshots.snapshot]]. */
-  def snapshot(spark: SparkSession, path: String, version: Int): Unit =
+  def snapshot(spark: SparkSession, path: String, version: Int,
+      forestGen: Option[Int] = None): Unit =
     graft.core.Snapshots.snapshot(spark, path, version, SnapshotDirs,
       // forest gens are SERVE-STATE, not history: [[loadForestAt]] only
       // ever reads a manifest's latest generation, so recording the
@@ -234,7 +261,12 @@ object DedupIndex {
       // any newer snapshot existed (VERDICT r12 task 4). Older gens
       // stay reachable exactly as long as a RETAINED manifest records
       // them as its own latest — the as-of contract b27/b29 pin.
-      latestGenOnly = Set("forest"))
+      // `forestGen` names the generation this snapshot SERVES — a
+      // caller that just ran saveForest(gen) passes it (ADVICE r13:
+      // inferring newest-non-empty could promote an abandoned gen);
+      // None carries the previous manifest's served gen forward.
+      latestGenOnly = Set("forest"),
+      pinnedGens = forestGen.map("forest" -> _).toMap)
 
   /** The committed snapshot versions, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Int] =
@@ -315,7 +347,7 @@ object DedupIndex {
     val sig = graft.core.CacheScope.cacheEager(sigOf(idx))
     val pairs = MinHash.agreeAtLeast(
       MinHash.candidatesHybridChainFromKeys(
-        MinHash.bandPairKeys(sig), sig, MinHash.DefaultCap),
+        MinHash.bandPairKeysSorted(sig), MinHash.DefaultCap),
       sig, sig, 14)
     graft.ops.ConnectedComponents.stars(idx.select("doc_id"), pairs)
   }
@@ -331,19 +363,28 @@ object DedupIndex {
     * Fresh gen numbers are ENFORCED, not asked for (ADVICE r12): a
     * reused gen would silently rewrite files of a supposedly
     * append-only generation out from under every pinned manifest that
-    * references it. A crashed run's partial gen dir must be deleted
-    * explicitly before retrying the same number. */
+    * references it. The write is STAGED under `_staging` and committed
+    * by one atomic rename into the gen directory (ADVICE r13: a direct
+    * write could crash mid-job-commit and leave a gen dir with visible
+    * partial data files that reads as a complete generation) — the
+    * same discipline as [[commitBatch]], and the rename's
+    * refuse-existing-destination is what makes the freshness contract
+    * race-safe: a crashed run leaves only invisible staging, a racing
+    * duplicate gen loses the rename. */
   def saveForest(spark: SparkSession, labels: DataFrame, path: String,
       gen: Int): Unit = {
     val genDir = s"$path/forest.parquet/gen-$gen"
     require(!graft.core.Fs.exists(spark, genDir),
       s"saveForest: $genDir already exists — generations are append-only " +
-        "commit units; use a fresh gen number (or delete a crashed run's " +
-        "partial directory explicitly before retrying it)")
+        "commit units; use a fresh gen number (a crashed run's stage is " +
+        "invisible and needs no cleanup before retrying it)")
+    val staging =
+      s"$path/_staging/forest-gen-$gen-${java.util.UUID.randomUUID().toString}"
     val Array(idCol, lblCol) = labels.columns.take(2)
     labels.select(col(idCol).as("id"), col(lblCol).as("lbl"))
       .sortWithinPartitions("id")
-      .write.mode("overwrite").parquet(genDir)
+      .write.mode("overwrite").parquet(staging)
+    graft.core.Fs.rename(spark, staging, genDir)
   }
 
   private val ForestGen = """forest\.parquet/gen-(\d+)/.*""".r
@@ -389,25 +430,23 @@ object DedupIndex {
     * preserves old components by construction — which is why b26 gates
     * this maintained answer against x12's verbatim full-recompute
     * oracle. Batch doc_ids must be disjoint from indexed ones — the
-    * ingest contract, ENFORCED by a doc_id-pruned limit(1) semi-join
-    * (VERDICT r12 task 3: a colliding ingest fails fast here instead
-    * of silently mislabeling). */
+    * ingest contract (VERDICT r12 task 3), ENFORCED by
+    * [[disjointGuard]] riding the batch-signature cache
+    * materialization (VERDICT r13 task 1 folded the separate limit(1)
+    * job away): a colliding ingest still fails with the contract
+    * message before any candidate work runs. */
   def maintainClusters(spark: SparkSession, path: String, version: Int,
       batch: DataFrame): DataFrame = {
     val idx = loadAt(spark, path, version)
-    val clash = batch.select("doc_id")
-      .join(idx.select("doc_id"), Seq("doc_id"), "left_semi").limit(1).count()
-    require(clash == 0L,
-      "maintainClusters: batch doc_ids overlap the indexed corpus — ingest " +
-        "batches must be id-disjoint from the index (tombstone or re-id " +
-        "re-crawled documents first); a colliding ingest would mislabel")
     val iSig = sigOf(idx)
+    val rawBSig = MinHash.signaturesFromSets(
+      MinHash.shingleSets(batch, 5).filter(col("c") > 0))
     val bSig = graft.core.CacheScope.cacheEager(
-      MinHash.signaturesFromSets(
-        MinHash.shingleSets(batch, 5).filter(col("c") > 0)))
+      rawBSig.unionByName(
+        disjointGuard(idx, batch, "maintainClusters", rawBSig)))
     val allSig = iSig.unionByName(bSig)
     val cand = MinHash.candidatesHybridChainAsymFromKeys(
-      MinHash.bandPairKeys(bSig), MinHash.bandPairKeys(allSig), allSig,
+      MinHash.bandPairKeysSorted(bSig), MinHash.bandPairKeysSorted(allSig),
       MinHash.DefaultCap)
     val batchPairs = MinHash.agreeAtLeast(cand, bSig, allSig, 14)
     val forest = loadForestAt(spark, path, version)
@@ -440,20 +479,25 @@ object DedupIndex {
     * escalated bucket is flagged near-dup through the bucket's anchor
     * — for template floods the anchor is cluster-representative by
     * construction (the x85/x86 gates); the adversarial bound on what
-    * escalation can miss is x87's measured chain fixture. */
+    * escalation can miss is x87's measured chain fixture. The ingest
+    * contract (batch doc_ids disjoint from indexed ones) is enforced
+    * here too — ADVICE r13: append/maintainClusters had the guard,
+    * this path silently tolerated overlap — by [[disjointGuard]]
+    * riding the batch-signature cache materialization. */
   def dedupBatch(batch: DataFrame, idx: DataFrame): DataFrame = {
     val bh = batch.select(col("doc_id"), col("lang"),
       sha2(col("text"), 256).as("h"))
     val exact = bh.join(idx.select("h").distinct(), Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(1L))
+    val rawBSig = MinHash.signaturesFromSets(
+      MinHash.shingleSets(batch, 5).filter(col("c") > 0))
     val bSig = graft.core.CacheScope.cacheEager(
-      MinHash.signaturesFromSets(
-        MinHash.shingleSets(batch, 5).filter(col("c") > 0)))
+      rawBSig.unionByName(disjointGuard(idx, batch, "dedupBatch", rawBSig)))
     val iSig = idx.filter(col("mh0").isNotNull)
       .select(col("doc_id") +: (0 until 16).map(i => col(s"mh$i")): _*)
     val cand = MinHash.candidatesHybridChainAsymFromKeys(
-      MinHash.bandPairKeys(bSig), MinHash.bandPairKeys(iSig),
-      bSig.unionByName(iSig), MinHash.DefaultCap)
+      MinHash.bandPairKeysSorted(bSig), MinHash.bandPairKeysSorted(iSig),
+      MinHash.DefaultCap)
       .toDF("d_new", "d_base")
     val s1 = bSig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
     val s2 = iSig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)

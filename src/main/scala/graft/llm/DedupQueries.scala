@@ -688,7 +688,7 @@ object DedupQueries {
       DedupIndex.save(spark, DedupIndex.index(docs.filter(!isNew)), path)
       DedupIndex.saveForest(spark,
         DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
-      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.snapshot(spark, path, 1, forestGen = Some(1))
       DedupIndex.maintainClusters(spark, path, 1, docs.filter(isNew))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           when(col("id") === col("lbl"), 1L).otherwise(0L).as("is_canonical"))
@@ -722,13 +722,13 @@ object DedupQueries {
         DedupIndex.index(docs.filter(col("doc_id") % 3 === 0)), path)
       DedupIndex.saveForest(spark,
         DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
-      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.snapshot(spark, path, 1, forestGen = Some(1))
       // day 1: maintain from v1, then commit the evolved state
       val batch1 = docs.filter(col("doc_id") % 3 === 1)
       val labels1 = DedupIndex.maintainClusters(spark, path, 1, batch1)
       DedupIndex.append(spark, DedupIndex.index(batch1), path)
       DedupIndex.saveForest(spark, labels1, path, gen = 2)
-      DedupIndex.snapshot(spark, path, 2)
+      DedupIndex.snapshot(spark, path, 2, forestGen = Some(2))
       // day 2: maintain from v2 (gen-2 forest, grown rows)
       DedupIndex.maintainClusters(spark, path, 2,
           docs.filter(col("doc_id") % 3 === 2))
@@ -832,7 +832,7 @@ object DedupQueries {
         DedupIndex.index(corpus.filter(col("is_old")).select("doc_id", "text")), path)
       DedupIndex.saveForest(spark,
         DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
-      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.snapshot(spark, path, 1, forestGen = Some(1))
       // the ingest: 500 more template docs + the real batch third probe
       // the pinned artifact through the asymmetric hybrid rule
       val labels = DedupIndex.maintainClusters(spark, path, 1,
@@ -917,12 +917,12 @@ object DedupQueries {
         DedupIndex.index(docs.filter(col("doc_id") % 3 === 0)), path)
       DedupIndex.saveForest(spark,
         DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
-      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.snapshot(spark, path, 1, forestGen = Some(1))
       val batch1 = docs.filter(col("doc_id") % 3 === 1)
       val labels1 = DedupIndex.maintainClusters(spark, path, 1, batch1)
       DedupIndex.append(spark, DedupIndex.index(batch1), path)
       DedupIndex.saveForest(spark, labels1, path, gen = 2)
-      DedupIndex.snapshot(spark, path, 2)
+      DedupIndex.snapshot(spark, path, 2, forestGen = Some(2))
       val forestDir = s"$path/forest.parquet"
       val gensBefore = graft.core.Fs.listPrefixedDirs(spark, forestDir, "gen-").length
       // the vacuum: v1 expires, its gen-1 forest is physically reclaimed
@@ -1387,9 +1387,9 @@ object DedupQueries {
          |FROM hist CROSS JOIN audit ORDER BY cluster_size""".stripMargin
     ) { (spark, _) =>
       val sig = CacheScope.cacheEager(chainFixtureSig(spark))
-      val keys = CacheScope.cacheEager(MinHash.bandPairKeys(sig))
+      val keys = CacheScope.cacheEager(MinHash.bandPairKeysSorted(sig))
       val chainPairs = CacheScope.cacheEager(MinHash.agreeAtLeast(
-        MinHash.candidatesHybridChainFromKeys(keys, sig, MinHash.DefaultCap),
+        MinHash.candidatesHybridChainFromKeys(keys, MinHash.DefaultCap),
         sig, sig, 14))
       val exactPairs = CacheScope.cacheEager(MinHash.agreeAtLeast(
         MinHash.candidatesPaired(sig), sig, sig, 14))

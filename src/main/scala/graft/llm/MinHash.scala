@@ -262,7 +262,8 @@ object MinHash {
     smallPairs.unionByName(escProbe).unionByName(escAnchor).distinct()
   }
 
-  /** SNM successor pairs over escalated-bucket member rows: within each
+  /** SNM successor pairs over escalated-bucket member rows carrying
+    * their [[bandPairKeysSorted]] r0..r3 sort lanes: within each
     * (bp, k) bucket, members sort by their FULL 16-lane signature (then
     * doc_id) and each pairs with its immediate successor — the classic
     * sorted-neighborhood move (Hernández & Stolfo's merge/purge),
@@ -271,12 +272,21 @@ object MinHash {
     * only. Signature order is the similarity-correlated key the bucket
     * gives us for free: docs whose remaining lanes drift apart
     * gradually (a template chain) sort adjacently, so consecutive
-    * pairs recover precisely the links the anchor star loses. */
-  private def chainSuccessorPairs(members: DataFrame, sig: DataFrame): DataFrame = {
+    * pairs recover precisely the links the anchor star loses.
+    *
+    * Round-14 shape (VERDICT r13 task 1): the sort lanes RIDE THE KEY
+    * ROWS — round 13 joined the escalated members back to the full
+    * signature table, which re-scanned and shuffled the whole (at the
+    * deployed sites, artifact-backed) sig table per call even when few
+    * or no buckets escalated, the dominant term in the b13/b14/b21
+    * bench breaches. Now the leg costs exactly a window over the
+    * already-materialized escalated rows: when nothing escalates it is
+    * free, and the 16-lead-column comparator is 4 packed longs. */
+  private def chainSuccessorPairs(members: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("bp", "k")
-      .orderBy((0 until 16).map(i => col(s"mh$i")) :+ col("doc_id"): _*)
-    members.join(sig, "doc_id")
+      .orderBy(col("r0"), col("r1"), col("r2"), col("r3"), col("doc_id"))
+    members
       .select(col("bp"), col("k"), col("doc_id").as("d1"),
         lead("doc_id", 1).over(w).as("d2"))
       .filter(col("d2").isNotNull)
@@ -293,10 +303,10 @@ object MinHash {
     * against it), a drift CHAIN is recovered through the
     * signature-sorted successor pairs (adjacent-in-order members are
     * the chain's true links — x88 gates zero lost pairs on x87's
-    * adversarial fixture). `sig` must cover every doc_id in `keys`
-    * (the wide (doc_id, mh0..mh15) table the keys derive from). */
-  def candidatesHybridChainFromKeys(keys: DataFrame, sig: DataFrame,
-      cap: Int): DataFrame = {
+    * adversarial fixture). `keys` must be [[bandPairKeysSorted]] rows
+    * (doc_id, bp, k, r0..r3) — the chain order derives from the
+    * carried lanes; no signature re-join anywhere. */
+  def candidatesHybridChainFromKeys(keys: DataFrame, cap: Int): DataFrame = {
     val meta = keys.groupBy("bp", "k")
       .agg(count(lit(1)).as("b"), min("doc_id").as("anchor"))
     val sized = keys.join(meta, Seq("bp", "k"))
@@ -310,7 +320,7 @@ object MinHash {
     val escRows = sized.filter(col("b") > cap)
     val starPairs = escRows.filter(col("doc_id") =!= col("anchor"))
       .select(col("anchor").as("d1"), col("doc_id").as("d2"))
-    val chain = chainSuccessorPairs(escRows.select("doc_id", "bp", "k"), sig)
+    val chain = chainSuccessorPairs(escRows)
     smallPairs.unionByName(starPairs).unionByName(chain).distinct()
   }
 
@@ -326,13 +336,16 @@ object MinHash {
     * successor/predecessor links are exactly the near-matches the
     * anchor star would miss. Volume: ≤ 2 chain rows per member of an
     * escalated bucket — the O(cap · probe-keys + Σ_esc b) bound keeps
-    * its shape. */
+    * its shape. Both key tables must be [[bandPairKeysSorted]] rows:
+    * the chain order derives from the carried r0..r3 lanes, never from
+    * a signature re-join. */
   def candidatesHybridChainAsymFromKeys(probeKeys: DataFrame,
-      baseKeys: DataFrame, sig: DataFrame, cap: Int): DataFrame = {
+      baseKeys: DataFrame, cap: Int): DataFrame = {
+    val rs = (0 until 4).map(i => col(s"r$i"))
     val meta = baseKeys.groupBy("bp", "k")
       .agg(count(lit(1)).as("b"), min("doc_id").as("anchor"))
-    val pk = probeKeys.toDF("d1", "bp", "k")
-    val bk = baseKeys.toDF("d2", "bp", "k")
+    val pk = probeKeys.withColumnRenamed("doc_id", "d1")
+    val bk = baseKeys.withColumnRenamed("doc_id", "d2")
     val esc = meta.filter(col("b") > cap)
     // bk ⋈ meta once; every base-side leg filters this one join, so
     // the underlying key/meta exchanges are built once and reused
@@ -359,13 +372,16 @@ object MinHash {
     // chain members = escalated base rows ∪ escalated probe rows —
     // both already materialized for the legs above (reused exchanges);
     // the distinct shuffles only escalated-bucket member rows (tiny by
-    // definition at any corpus size), never the full key set
-    val members = escBaseRows.select(col("d2").as("doc_id"), col("bp"), col("k"))
-      .unionByName(escProbeRows.select(col("d1").as("doc_id"), col("bp"), col("k")))
+    // definition at any corpus size), never the full key set. The
+    // r0..r3 sort lanes ride along, so the chain needs no sig re-join.
+    val members = escBaseRows
+      .select(col("d2").as("doc_id") +: col("bp") +: col("k") +: rs: _*)
+      .unionByName(escProbeRows
+        .select(col("d1").as("doc_id") +: col("bp") +: col("k") +: rs: _*))
       .distinct()
     val p1 = probeIds.toDF("d1").withColumn("p1", lit(true))
     val p2 = probeIds.toDF("d2").withColumn("p2", lit(true))
-    val chain = chainSuccessorPairs(members, sig)
+    val chain = chainSuccessorPairs(members)
       .join(p1, Seq("d1"), "left")
       .join(p2, Seq("d2"), "left")
       .filter(coalesce(col("p1"), lit(false)) || coalesce(col("p2"), lit(false)))
@@ -415,6 +431,41 @@ object MinHash {
     withBk
       .select(col("doc_id"), explode(array(pairKeys: _*)).as("e"))
       .select(col("doc_id"), col("e.bp").as("bp"), col("e.k").as("k"))
+  }
+
+  /** [[bandPairKeys]] WITH the chain leg's sort lanes carried on each
+    * row: (doc_id, bp, k, r0..r3), where r0..r3 are the 8 COMPLEMENT
+    * lanes of band pair bp (the lanes of the two bands NOT in the key)
+    * packed two-per-long as a·2³¹ + b (lanes are < P < 2³¹, so packing
+    * preserves pairwise lexicographic order). Within a (bp, k) bucket
+    * the shared key string pins the two keyed bands' 8 lane values
+    * (comma-joined decimals parse uniquely), so ordering by
+    * (r0..r3, doc_id) is EXACTLY the full-signature
+    * (mh0..mh15, doc_id) order [[chainSuccessorPairs]] is specified
+    * against — the same total order the x88/b28 oracles restate — at
+    * a quarter of the comparator width and with NO join back to the
+    * signature table (VERDICT r13 task 1: that join re-scanned the
+    * artifact-backed sig per deployed call). Row-local projection +
+    * explode, no shuffle; consumers that ignore r0..r3 get them pruned
+    * by Catalyst. 32 extra bytes per key row is the whole cost. */
+  def bandPairKeysSorted(sig: DataFrame): DataFrame = {
+    val withBk = sig.select(col("doc_id") +: ((0 until 4).map { b =>
+      concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*).as(s"bk$b")
+    } ++ (0 until 8).map { p =>
+      (col(s"mh${2 * p}") * 2147483648L + col(s"mh${2 * p + 1}")).as(s"p$p")
+    }): _*)
+    val pairKeys = for { i <- 0 until 4; j <- (i + 1) until 4 } yield {
+      val Seq(a, b) = (0 until 4).filterNot(x => x == i || x == j)
+      struct(lit(4 * i + j).as("bp"),
+        concat_ws("|", col(s"bk$i"), col(s"bk$j")).as("k"),
+        col(s"p${2 * a}").as("r0"), col(s"p${2 * a + 1}").as("r1"),
+        col(s"p${2 * b}").as("r2"), col(s"p${2 * b + 1}").as("r3"))
+    }
+    withBk
+      .select(col("doc_id"), explode(array(pairKeys: _*)).as("e"))
+      .select(col("doc_id"), col("e.bp").as("bp"), col("e.k").as("k"),
+        col("e.r0").as("r0"), col("e.r1").as("r1"),
+        col("e.r2").as("r2"), col("e.r3").as("r3"))
   }
 
   def docs(spark: SparkSession, dir: String): DataFrame =

@@ -16,6 +16,13 @@ class DedupIndexSpec extends AnyFunSuite {
 
   private def docs = Tables(spark, sf0001, "documents")
 
+  /** Concatenated message chain — the ingest-contract guards throw
+    * from inside a Spark job (in-plan assert_true, round 14), so the
+    * contract message sits on a cause, not the top-level exception. */
+  private def messages(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
   private def rmrf(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     val s = java.nio.file.Files.walk(root)
@@ -322,7 +329,7 @@ class DedupIndexSpec extends AnyFunSuite {
         DedupIndex.index(spark.read.parquet(oldDir)), path)
       DedupIndex.saveForest(spark,
         DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
-      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.snapshot(spark, path, 1, forestGen = Some(1))
       spark.catalog.clearCache()
       rmrf(oldDir) // day-0 text is gone; only the artifact remains
       val got = DedupIndex
@@ -353,10 +360,10 @@ class DedupIndexSpec extends AnyFunSuite {
         DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
       val gen1 = Seq((0L, 0L), (2L, 0L)).toDF("id", "lbl")
       DedupIndex.saveForest(spark, gen1, path, gen = 1)
-      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.snapshot(spark, path, 1, forestGen = Some(1))
       val gen2 = Seq((0L, 0L), (2L, 0L), (4L, 0L), (6L, 6L)).toDF("id", "lbl")
       DedupIndex.saveForest(spark, gen2, path, gen = 2)
-      DedupIndex.snapshot(spark, path, 2)
+      DedupIndex.snapshot(spark, path, 2, forestGen = Some(2))
       def rows(v: Int) = DedupIndex.loadForestAt(spark, path, v)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(rows(1) == Set((0L, 0L), (2L, 0L)))
@@ -375,14 +382,15 @@ class DedupIndexSpec extends AnyFunSuite {
         DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
       DedupIndex.saveForest(spark,
         DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
-      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.snapshot(spark, path, 1, forestGen = Some(1))
       // a colliding ingest (doc_id % 4 == 0 is already indexed) fails
-      // FAST instead of silently mislabeling
-      val e = intercept[IllegalArgumentException] {
+      // before any candidate work (in-plan guard: the thrown cause
+      // chain carries the contract message)
+      val e = intercept[Exception] {
         DedupIndex.maintainClusters(spark, path, 1,
           docs.filter(col("doc_id") % 4 === 0))
       }
-      assert(e.getMessage.contains("overlap"))
+      assert(messages(e).contains("overlap"))
       // the disjoint batch still maintains
       assert(DedupIndex.maintainClusters(spark, path, 1,
         docs.filter(col("doc_id") % 2 === 1)).count() == docs.count())
@@ -394,11 +402,11 @@ class DedupIndexSpec extends AnyFunSuite {
     try {
       DedupIndex.save(spark,
         DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
-      val e = intercept[IllegalArgumentException] {
+      val e = intercept[Exception] {
         DedupIndex.append(spark,
           DedupIndex.index(docs.filter(col("doc_id") % 4 === 0)), path)
       }
-      assert(e.getMessage.contains("overlap"))
+      assert(messages(e).contains("overlap"))
       // artifact unchanged by the refused append, disjoint append fine
       assert(DedupIndex.load(spark, path).count() ==
         docs.filter(col("doc_id") % 2 === 0).count())
@@ -435,12 +443,12 @@ class DedupIndexSpec extends AnyFunSuite {
       DedupIndex.save(spark,
         DedupIndex.index(docs.filter(col("doc_id") % 2 === 0)), path)
       DedupIndex.saveForest(spark, Seq((0L, 0L)).toDF("id", "lbl"), path, gen = 1)
-      DedupIndex.snapshot(spark, path, 1)
+      DedupIndex.snapshot(spark, path, 1, forestGen = Some(1))
       DedupIndex.saveForest(spark, Seq((0L, 0L), (2L, 0L)).toDF("id", "lbl"), path, gen = 2)
-      DedupIndex.snapshot(spark, path, 2)
+      DedupIndex.snapshot(spark, path, 2, forestGen = Some(2))
       DedupIndex.saveForest(spark,
         Seq((0L, 0L), (2L, 0L), (4L, 4L)).toDF("id", "lbl"), path, gen = 3)
-      DedupIndex.snapshot(spark, path, 3)
+      DedupIndex.snapshot(spark, path, 3, forestGen = Some(3))
       def rows(v: Int) = DedupIndex.loadForestAt(spark, path, v)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val at2 = rows(2)

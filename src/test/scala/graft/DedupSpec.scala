@@ -215,7 +215,7 @@ class DedupSpec extends AnyFunSuite {
       col("id").as("doc_id") +: (0 until 16).map { i =>
         (if (i < 8) lit(0L) else expr(s"(id + ${i - 8}) div 4")).as(s"mh$i")
       }: _*).cache()
-    val keys = MinHash.bandPairKeys(sig).cache()
+    val keys = MinHash.bandPairKeysSorted(sig).cache()
     try {
       def verified(cand: org.apache.spark.sql.DataFrame) = pairSet(
         MinHash.agreeAtLeast(cand, sig, sig, 14)).map {
@@ -226,23 +226,26 @@ class DedupSpec extends AnyFunSuite {
       // anchor-only escalation loses the chain; the SNM leg restores it
       assert(verified(MinHash.candidatesHybridFromKeys(keys, 16)) == Set((0L, 1L)))
       assert(verified(
-        MinHash.candidatesHybridChainFromKeys(keys, sig, 16)) == truth)
+        MinHash.candidatesHybridChainFromKeys(keys, 16)) == truth)
+      // the carried r0..r3 sort lanes ARE the full-signature order:
+      // the chain leg must emit exactly the successor pairs of the
+      // (mh0..mh15, doc_id)-sorted bucket (here: consecutive ids)
+      val probe = MinHash.bandPairKeysSorted(sig.filter(col("doc_id") === 50L))
+      val base = MinHash.bandPairKeysSorted(sig.filter(col("doc_id") =!= 50L))
       // asym form: a single probe doc mid-chain pairs with its sorted
       // neighbors (its true links), not just the useless anchor
-      val probe = MinHash.bandPairKeys(sig.filter(col("doc_id") === 50L))
-      val base = MinHash.bandPairKeys(sig.filter(col("doc_id") =!= 50L))
       val asym = pairSet(MinHash.agreeAtLeast(
-        MinHash.candidatesHybridChainAsymFromKeys(probe, base, sig, 16),
+        MinHash.candidatesHybridChainAsymFromKeys(probe, base, 16),
         sig, sig, 14))
       assert(asym == Set((50L, 49L), (50L, 51L)))
       // lossless leg: with a cap no bucket reaches, the chain variant
       // IS the raw asymmetric band join (the chain leg never fires)
-      val rawProbe = MinHash.bandPairKeys(sig.filter(col("doc_id") % 7 === 0))
+      val rawProbe = MinHash.bandPairKeysSorted(sig.filter(col("doc_id") % 7 === 0))
       val rawAll = keys
       val hybrid = pairSet(MinHash.candidatesHybridChainAsymFromKeys(
-        rawProbe, rawAll, sig, Int.MaxValue))
-      val raw = pairSet(rawProbe.toDF("d1", "bp", "k")
-        .join(rawAll.toDF("d2", "bp2", "k2"),
+        rawProbe, rawAll, Int.MaxValue))
+      val raw = pairSet(rawProbe.select("doc_id", "bp", "k").toDF("d1", "bp", "k")
+        .join(rawAll.select("doc_id", "bp", "k").toDF("d2", "bp2", "k2"),
           col("bp") === col("bp2") && col("k") === col("k2") &&
             col("d1") =!= col("d2"))
         .select("d1", "d2").distinct())
