@@ -276,18 +276,23 @@ object Bench {
     println(line)
     // Also write the line to a file: the driver launches Bench through
     // sbt, whose log prefixes make stdout unparseable as bare JSON.
-    Files.writeString(Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), line + "\n")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()
-    // FINAL stdout lines, tagged so the driver can extract JSON from an
-    // sbt-wrapped log without relying on the repo-side bench.json
-    // (VERDICT r10 task 5: BENCH_r{9,10}.json carried parsed: null).
-    // After spark.stop() so no listener/shutdown chatter follows them.
+    // Tagged full line, so a human can grep the complete per-row JSON
+    // out of an sbt-wrapped log without the repo-side bench.json.
     println("BENCH-JSON: " + line)
-    // The full line is ~30 KB and the driver keeps only a 2000-char log
-    // tail, which truncated it every round (VERDICT r11 task 2) — so
-    // the LAST line is a < 200-char digest that survives any tail:
-    // suite total, row count, failures, the slowest row, and how many
-    // rows still breach their BASELINE.md gate after the re-run pass.
+    // The driver keeps only a ~2000-char stdout TAIL and parses a JSON
+    // line out of it. The full line is ~30 KB (truncated to a mid-JSON
+    // fragment in any tail) and rounds 12/13 ended with a PREFIXED
+    // digest ("BENCH-SUMMARY: {...}") — no line in the tail started
+    // with '{', so BENCH_r{12,13}.json carried parsed:null (VERDICT
+    // r13 task 3). The LAST stdout line is therefore now a BARE JSON
+    // digest in the contract's {"metric","value","unit","queries","sf"}
+    // shape, size-capped so it always survives the tail whole: totals,
+    // failure/breach counts, and the slowest rows' medians, with the
+    // per-row remainder in bench.json. Printed after spark.stop() so
+    // no shutdown chatter follows it, and explicitly flushed.
     val failed = results.count(_._2 < 0)
     val (maxName, maxS, _) = results
       .filter(_._2 >= 0)
@@ -295,8 +300,25 @@ object Bench {
     val breaches = results.count { case (n, m, _) =>
       m >= 0 && gates.get(n).exists(m > _)
     }
-    println("BENCH-SUMMARY: " +
-      f"""{"total":$total%.1f,"rows":${results.size},"failed":$failed,""" +
-      f""""max_row":"$maxName","max_s":$maxS%.2f,"breaches":$breaches,"sf":"$sfDir"}""")
+    val slowQs = {
+      val sb = new StringBuilder
+      var first = true
+      for ((n, v, _) <- results.filter(_._2 >= 0).sortBy(-_._2)
+           if sb.length < 900) {
+        if (!first) sb.append(',')
+        sb.append('"').append(n).append("\":").append(f"$v%.2f")
+        first = false
+      }
+      sb.toString
+    }
+    val digest =
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":"$sfDir",""" +
+        f""""rows":${results.size},"failed":$failed,"breaches":$breaches,""" +
+        f""""max_row":"$maxName","max_s":$maxS%.2f,""" +
+        s""""queries":{$slowQs},"full":"$outPath"}"""
+    // Side file the log tail can never truncate (same digest).
+    Files.writeString(Paths.get(outPath + ".digest"), digest + "\n")
+    println(digest)
+    System.out.flush()
   }
 }

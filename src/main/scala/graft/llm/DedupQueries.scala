@@ -109,6 +109,34 @@ object DedupQueries {
           (if (i < 8) lit(0L) else expr(s"(id + ${i - 8}) div 4")).as(s"mh$i")
         }: _*)
 
+  /** The x89 DENSE-RANDOM-GRAPH fixture (VERDICT r13 task 2): x87/x88
+    * measure the star and monotone-drift-chain shapes, where the SNM
+    * sort order aligns with similarity by construction; this fixture is
+    * the GENERAL adversarial shape — a dense random near-threshold
+    * graph inside one flooded bucket whose signature sort order is
+    * DECORRELATED from similarity. 60 docs share lanes 0..7 (one
+    * band-pair bucket holds all 60, far over the cap); lane 8 is an
+    * injective pseudo-random permutation (id·37 mod 61 — 61 prime, so
+    * distinct per doc), which (a) pins every band-2-keyed bucket to a
+    * singleton and (b) DOMINATES the escalated bucket's complement-lane
+    * sort, making the SNM order a similarity-blind permutation; lanes
+    * 9..15 are multiplicative-hash bits, so any pair agrees on
+    * 8 + Binomial(7, ~1/2) lanes and the ≥ 14/16 pairs (≥ 6 of the 7
+    * bits — lane 8 never agrees) form a dense random graph: 83 of the
+    * 1,770 pairs verify, in 3 exact clusters. Every ≥ 14 pair still
+    * shares the flooded band pair (2 mismatches ≤ lane 8 + 1 bit keep
+    * bands 0,1 intact), so the lossless rule's recall is exactly the
+    * full O(n²) verify the oracle restates. */
+  private def denseGraphFixtureSig(spark: SparkSession): DataFrame =
+    spark.range(60).select(
+      col("id").as("doc_id") +:
+        (0 until 16).map { i =>
+          (if (i < 8) lit(0L)
+           else if (i == 8) expr("(id * 37) % 61")
+           else expr(s"(((id + 7) * ${i + 3} * 2654435761) % 99991) % 2"))
+            .as(s"mh$i")
+        }: _*)
+
   /** The full-corpus cluster-resolution oracle shared VERBATIM by x12
     * (full recompute), x80 (incremental maintenance) and b26 (artifact-
     * fed maintenance): signatures + >= 14/16 agreement pairs + a
@@ -1156,15 +1184,15 @@ object DedupQueries {
          |  FROM bks x JOIN bks y ON x.doc_id = y.doc_id AND x.band < y.band),
          |meta AS (SELECT bp, k, count(*) AS b, min(doc_id) AS anchor
          |  FROM bpk GROUP BY 1, 2),
-         |cand AS (
+         |cand AS (SELECT DISTINCT d1, d2 FROM (
          |  SELECT x.doc_id AS d1, y.doc_id AS d2
          |  FROM bpk x JOIN meta m ON m.bp = x.bp AND m.k = x.k
          |    JOIN bpk y ON y.bp = x.bp AND y.k = x.k AND x.doc_id < y.doc_id
          |  WHERE m.b <= 16
-         |  UNION
+         |  UNION ALL
          |  SELECT m.anchor AS d1, p.doc_id AS d2
          |  FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k
-         |  WHERE m.b > 16 AND p.doc_id <> m.anchor),
+         |  WHERE m.b > 16 AND p.doc_id <> m.anchor) uc),
          |ver AS (SELECT c.d1, c.d2 FROM cand c
          |  JOIN sig s1 ON s1.doc_id = c.d1
          |  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.i = s1.i AND s2.mh = s1.mh
@@ -1250,15 +1278,15 @@ object DedupQueries {
          |  FROM bks x JOIN bks y ON x.doc_id = y.doc_id AND x.band < y.band),
          |meta AS (SELECT bp, k, count(*) AS b, min(doc_id) AS anchor
          |  FROM bpk GROUP BY 1, 2),
-         |cand AS (
+         |cand AS (SELECT DISTINCT d1, d2 FROM (
          |  SELECT x.doc_id AS d1, y.doc_id AS d2
          |  FROM bpk x JOIN meta m ON m.bp = x.bp AND m.k = x.k
          |    JOIN bpk y ON y.bp = x.bp AND y.k = x.k AND x.doc_id < y.doc_id
          |  WHERE m.b <= ${MinHash.DefaultCap}
-         |  UNION
+         |  UNION ALL
          |  SELECT m.anchor AS d1, p.doc_id AS d2
          |  FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k
-         |  WHERE m.b > ${MinHash.DefaultCap} AND p.doc_id <> m.anchor),
+         |  WHERE m.b > ${MinHash.DefaultCap} AND p.doc_id <> m.anchor) uc),
          |hver AS (SELECT c.d1, c.d2 FROM cand c
          |  JOIN sig s1 ON s1.doc_id = c.d1
          |  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.i = s1.i AND s2.mh = s1.mh
@@ -1344,23 +1372,23 @@ object DedupQueries {
          |meta AS (SELECT bp, k, count(*) AS b, min(doc_id) AS anchor
          |  FROM bpk GROUP BY 1, 2),
          |sigv AS (SELECT doc_id, list(mh ORDER BY i) AS v FROM sig GROUP BY 1),
-         |cand AS (
+         |cand AS (SELECT DISTINCT d1, d2 FROM (
          |  SELECT x.doc_id AS d1, y.doc_id AS d2
          |  FROM bpk x JOIN meta m ON m.bp = x.bp AND m.k = x.k
          |    JOIN bpk y ON y.bp = x.bp AND y.k = x.k AND x.doc_id < y.doc_id
          |  WHERE m.b <= ${MinHash.DefaultCap}
-         |  UNION
+         |  UNION ALL
          |  SELECT m.anchor AS d1, p.doc_id AS d2
          |  FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k
          |  WHERE m.b > ${MinHash.DefaultCap} AND p.doc_id <> m.anchor
-         |  UNION
+         |  UNION ALL
          |  SELECT doc_id AS d1, nxt AS d2 FROM (
          |    SELECT p.doc_id, lead(p.doc_id) OVER w AS nxt
          |    FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k
          |      AND m.b > ${MinHash.DefaultCap}
          |      JOIN sigv s ON s.doc_id = p.doc_id
          |    WINDOW w AS (PARTITION BY p.bp, p.k ORDER BY s.v, p.doc_id)) t
-         |  WHERE nxt IS NOT NULL),
+         |  WHERE nxt IS NOT NULL) uc),
          |hver AS (SELECT c.d1, c.d2 FROM cand c
          |  JOIN sig s1 ON s1.doc_id = c.d1
          |  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.i = s1.i AND s2.mh = s1.mh
@@ -1412,6 +1440,127 @@ object DedupQueries {
         .withColumn("lost_pairs", col("exact_pairs") - col("hybrid_pairs"))
         .select("cluster_size", "n_clusters", "hybrid_pairs", "exact_pairs",
           "lost_pairs", "buckets_escalated")
+        .orderBy("cluster_size")
+    },
+
+    // X89 — the GENERAL-shape escalated-bucket recall bound (VERDICT
+    // r13 task 2): x87 measures the star shape (anchor recovers), x88
+    // the monotone drift chain (the SNM sort order IS the drift
+    // order) — this row measures the shape neither covers, a DENSE
+    // RANDOM near-threshold graph inside one flooded bucket whose
+    // signature sort order is DECORRELATED from similarity
+    // ([[denseGraphFixtureSig]]: lane 8 is an injective pseudo-random
+    // permutation that dominates the complement-lane sort; lanes 9..15
+    // are hash bits, so verified pairs are a 83-edge random graph over
+    // 60 docs). The DEPLOYED rule (hybrid + anchor star + SNM chain at
+    // DefaultCap) recovers 47 of the 83 verified pairs and fragments
+    // the 3 exact clusters into 22 — a NON-ZERO measured loss, kept
+    // deliberately: this is the documented honest bound on what
+    // linear-work escalation costs when a flooded bucket's internal
+    // similarity structure is adversarially random (MinHash.scala's
+    // shape-specific recall claim, now a number for the third and
+    // general shape). Pairs that ALSO fully agree on band 3 escape
+    // through small band-(0,3)/(1,3) buckets — the rescue the rule
+    // actually provides on real data — which is why the loss is 36,
+    // not everything outside the chain. Consumers needing full recall
+    // inside adversarial floods keep candidatesPaired (l2/x12's
+    // declared forms — COVERAGE.md's scale note). Oracle restates the
+    // fixture, the banding, all three candidate legs (DISTINCT over
+    // UNION ALL — DuckDB 1.0.0 under WITH RECURSIVE does not fully
+    // dedupe a plain multi-branch UNION in a non-recursive CTE, which
+    // would double verify counts), the ≥ 14/16 verify, BOTH
+    // connected-components fixpoints, and the loss arithmetic.
+    Q(
+      "x89_random_graph_recall",
+      s"""WITH RECURSIVE sig AS (SELECT d.id AS doc_id, l.i,
+         |    CASE WHEN l.i < 8 THEN 0
+         |         WHEN l.i = 8 THEN (d.id * 37) % 61
+         |         ELSE (((d.id + 7) * (l.i + 3) * 2654435761) % 99991) % 2 END AS mh
+         |  FROM range(0, 60) d(id) CROSS JOIN range(0, 16) l(i)),
+         |bks AS (SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bk
+         |  FROM sig GROUP BY 1, 2),
+         |bpk AS (SELECT x.doc_id, 4*x.band + y.band AS bp, x.bk || '|' || y.bk AS k
+         |  FROM bks x JOIN bks y ON x.doc_id = y.doc_id AND x.band < y.band),
+         |meta AS (SELECT bp, k, count(*) AS b, min(doc_id) AS anchor
+         |  FROM bpk GROUP BY 1, 2),
+         |sigv AS (SELECT doc_id, list(mh ORDER BY i) AS v FROM sig GROUP BY 1),
+         |cand AS (SELECT DISTINCT d1, d2 FROM (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM bpk x JOIN meta m ON m.bp = x.bp AND m.k = x.k
+         |    JOIN bpk y ON y.bp = x.bp AND y.k = x.k AND x.doc_id < y.doc_id
+         |  WHERE m.b <= ${MinHash.DefaultCap}
+         |  UNION ALL
+         |  SELECT m.anchor AS d1, p.doc_id AS d2
+         |  FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k
+         |  WHERE m.b > ${MinHash.DefaultCap} AND p.doc_id <> m.anchor
+         |  UNION ALL
+         |  SELECT doc_id AS d1, nxt AS d2 FROM (
+         |    SELECT p.doc_id, lead(p.doc_id) OVER w AS nxt
+         |    FROM bpk p JOIN meta m ON m.bp = p.bp AND m.k = p.k
+         |      AND m.b > ${MinHash.DefaultCap}
+         |      JOIN sigv s ON s.doc_id = p.doc_id
+         |    WINDOW w AS (PARTITION BY p.bp, p.k ORDER BY s.v, p.doc_id)) t
+         |  WHERE nxt IS NOT NULL) uc),
+         |hver AS (SELECT c.d1, c.d2 FROM cand c
+         |  JOIN sig s1 ON s1.doc_id = c.d1
+         |  JOIN sig s2 ON s2.doc_id = c.d2 AND s2.i = s1.i AND s2.mh = s1.mh
+         |  GROUP BY 1, 2 HAVING count(*) >= 14),
+         |ever AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2
+         |  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.mh = s2.mh AND s1.doc_id < s2.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 14),
+         |hcanon AS (SELECT DISTINCT least(d1, d2) AS a, greatest(d1, d2) AS b FROM hver),
+         |edges AS (SELECT a, b FROM hcanon UNION ALL SELECT b, a FROM hcanon),
+         |reach(doc_id, r) AS (
+         |  SELECT id, id FROM range(0, 60) t(id)
+         |  UNION
+         |  SELECT reach.doc_id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |cl AS (SELECT doc_id, min(r) AS c FROM reach GROUP BY 1),
+         |hist AS (SELECT cnt AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM (SELECT c, count(*) AS cnt FROM cl GROUP BY 1) u GROUP BY 1),
+         |eedges AS (SELECT d1 AS a, d2 AS b FROM ever UNION ALL SELECT d2, d1 FROM ever),
+         |ereach(doc_id, r) AS (
+         |  SELECT id, id FROM range(0, 60) t(id)
+         |  UNION
+         |  SELECT ereach.doc_id, e.b FROM ereach JOIN eedges e ON e.a = ereach.r),
+         |audit AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM hcanon) AS chain_pairs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ever) AS exact_pairs,
+         |    (SELECT CAST(count(DISTINCT c) AS BIGINT)
+         |     FROM (SELECT doc_id, min(r) AS c FROM ereach GROUP BY 1) e) AS exact_clusters,
+         |    (SELECT CAST(SUM(CASE WHEN b > ${MinHash.DefaultCap} THEN 1 ELSE 0 END) AS BIGINT)
+         |     FROM meta) AS buckets_escalated)
+         |SELECT cluster_size, n_clusters, chain_pairs, exact_pairs,
+         |  exact_pairs - chain_pairs AS lost_pairs, exact_clusters, buckets_escalated
+         |FROM hist CROSS JOIN audit ORDER BY cluster_size""".stripMargin
+    ) { (spark, _) =>
+      val sig = CacheScope.cacheEager(denseGraphFixtureSig(spark))
+      val keys = CacheScope.cacheEager(MinHash.bandPairKeysSorted(sig))
+      val chainPairs = CacheScope.cacheEager(MinHash.agreeAtLeast(
+        MinHash.candidatesHybridChainFromKeys(keys, MinHash.DefaultCap),
+        sig, sig, 14))
+      val exactPairs = CacheScope.cacheEager(MinHash.agreeAtLeast(
+        MinHash.candidatesPaired(sig), sig, sig, 14))
+      val nodes = sig.select("doc_id")
+      val ccChain = graft.ops.ConnectedComponents.stars(nodes, chainPairs)
+      val ccExact = graft.ops.ConnectedComponents.stars(nodes, exactPairs)
+      // orientation-free pair count (x88's discipline: the chain leg
+      // emits (pred, succ), the exact rule (lo, hi))
+      val canon = chainPairs.select(
+        least(col("d1"), col("d2")).as("a"), greatest(col("d1"), col("d2")).as("b"))
+        .distinct()
+      val audit = canon.agg(count(lit(1)).as("chain_pairs"))
+        .crossJoin(exactPairs.agg(count(lit(1)).as("exact_pairs")))
+        .crossJoin(ccExact.agg(countDistinct(col("lbl")).as("exact_clusters")))
+        .crossJoin(keys.groupBy("bp", "k").agg(count(lit(1)).as("b"))
+          .agg(sum(when(col("b") > MinHash.DefaultCap, 1L).otherwise(0L))
+            .as("buckets_escalated")))
+      ccChain.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(audit))
+        .withColumn("lost_pairs", col("exact_pairs") - col("chain_pairs"))
+        .select("cluster_size", "n_clusters", "chain_pairs", "exact_pairs",
+          "lost_pairs", "exact_clusters", "buckets_escalated")
         .orderBy("cluster_size")
     },
 
