@@ -30,7 +30,12 @@ object DedupQueries {
 
   /** MinHash near-dup pairs (d1 < d2, matches >= 14/16) over 5-gram
     * shingles — the l2 pipeline, shared with x12's cluster resolution.
-    * Candidates come from the lossless 2-of-4 band-pair keys. */
+    * Candidates come from the lossless 2-of-4 band-pair keys. SCALE
+    * NOTE (COVERAGE.md): l2/x12 gate the UNCAPPED semantics at fixed
+    * scale — their oracles restate the uncapped rule verbatim;
+    * production traffic runs DedupIndex's capped hybrid+chain paths,
+    * whose honest recall bounds are x87/x88/x89. Do not lift this plan
+    * shape into a 100 TB path. */
   private[llm] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // The signature table is one short row per doc but feeds four plan
     // branches (two band sides + two verify sides) — cache it so the

@@ -182,7 +182,15 @@ object PlanDump {
     // branch-union shape on the symmetric rule over the in-plan
     // signature fixture, with no parquet scan at all (spark.range
     // feeds the whole pipeline).
-    "b28_flooded_maintenance", "x87_chain_recall")
+    "b28_flooded_maintenance", "x87_chain_recall",
+    // round 14: x89's general-shape recall bound — the thing to read
+    // is the deployed chain rule's plan WITHOUT any signature re-join:
+    // the escalated rows' window sorts by the carried packed r0..r3
+    // lanes (riding the one keys↔meta join), so the chain leg adds no
+    // scan and no doc_id shuffle beyond what the anchor star already
+    // built; b13's plan (above) shows the same on the artifact path —
+    // the rows.parquet scans feed band keys and verify only.
+    "x89_random_graph_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -420,4 +420,81 @@ class DedupSpec extends AnyFunSuite {
       assert(dup + kept == nTok, s"doc $id: $dup + $kept != $nTok")
     }
   }
+
+  test("chain-rule laws: subset, cap=infinity equality, linear escalated volume, probe orientation (property)") {
+    // VERDICT r13 task 5 — scalacheck laws so future cap/chain edits
+    // cannot silently widen or lose candidates. Random corpora draw 16
+    // binary lanes per doc; a random subset additionally shares lanes
+    // 0..7, flooding one band-pair bucket past the tiny cap, so every
+    // iteration exercises both the all-pairs and the escalated legs.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sp = spark
+    import sp.implicits._
+    val cap = 4
+    val corpusGen: Gen[List[(Boolean, List[Long])]] = for {
+      n <- Gen.choose(8, 24)
+      rows <- Gen.listOfN(n, for {
+        flood <- Gen.oneOf(true, false)
+        lanes <- Gen.listOfN(16, Gen.choose(0L, 1L))
+      } yield (flood, lanes))
+    } yield rows
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1)); (a.min(b), a.max(b))
+      }.toSet
+    val prop = Prop.forAll(corpusGen) { rows =>
+      val data = rows.zipWithIndex.map { case ((flood, lanes), id) =>
+        (id.toLong,
+          if (flood) List.fill(8)(0L) ++ lanes.drop(8) else lanes)
+      }
+      val sig = data.toDF("doc_id", "lanes").select(
+        col("doc_id") +: (0 until 16).map(i => col("lanes")(i).as(s"mh$i")): _*)
+      val keys = MinHash.bandPairKeysSorted(sig).cache()
+      try {
+        val paired = canon(MinHash.candidatesPaired(sig))
+        val chain = canon(MinHash.candidatesHybridChainFromKeys(keys, cap))
+        val chainInf = canon(
+          MinHash.candidatesHybridChainFromKeys(keys, Int.MaxValue))
+        // law 3's bound: escalated buckets contribute at most 2(b-1)
+        // candidates (anchor star + SNM successors), small ones C(b,2)
+        val bound = keys.groupBy("bp", "k").count().collect()
+          .map(_.getLong(2))
+          .map(b => if (b <= cap) b * (b - 1) / 2 else 2 * (b - 1)).sum
+        val probeIds = data.map(_._1).filter(_ % 3 == 0).toSet
+        val asym = MinHash.candidatesHybridChainAsymFromKeys(
+          MinHash.bandPairKeysSorted(sig.filter(col("doc_id") % 3 === 0)),
+          keys, cap).collect().map(r => (r.getLong(0), r.getLong(1)))
+        (chain subsetOf paired) &&
+          chainInf == paired &&
+          chain.size <= bound &&
+          asym.forall { case (d1, d2) =>
+            probeIds(d1) && paired((d1.min(d2), d1.max(d2)))
+          }
+      } finally { keys.unpersist(false) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("x89 random-graph recall: loss is real and the audit is self-consistent") {
+    // the oracle hash-gates the exact numbers; this pins the fixture's
+    // POINT — a non-zero honest bound on the general adversarial shape
+    val rows = SparkEntry.queries("x89_random_graph_recall")(spark, sf0001)
+      .collect()
+    val (chainPairs, exactPairs, lost, exactClusters, esc) =
+      (rows.head.getLong(2), rows.head.getLong(3), rows.head.getLong(4),
+        rows.head.getLong(5), rows.head.getLong(6))
+    assert(lost > 0 && chainPairs + lost == exactPairs,
+      s"loss arithmetic broken: $chainPairs + $lost != $exactPairs")
+    assert(chainPairs > 0, "chain rule recovered nothing — fixture degenerate")
+    assert(esc >= 1, "no bucket escalated — fixture does not flood")
+    // the chain graph is a subgraph: it cannot have FEWER clusters
+    val chainClusters = rows.map(_.getLong(1)).sum
+    assert(chainClusters > exactClusters,
+      s"no fragmentation measured: $chainClusters vs $exactClusters")
+    // every doc lands in exactly one cluster of the histogram
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == 60L)
+    spark.catalog.clearCache()
+  }
 }
