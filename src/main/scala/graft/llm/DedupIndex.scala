@@ -38,15 +38,24 @@ import org.apache.spark.sql.functions._
 object DedupIndex {
 
   /** Compute index rows for a corpus slice: (doc_id, h, mh0..mh15).
-    * One linear text scan: sha-256 per row plus the native
-    * ShingleHashSet → MinHashSigs pipeline (no explode, no shuffle
-    * before the signature join-back; the join is doc_id-keyed and
-    * 1:0..1). Docs with no 5-gram shingles keep NULL lanes. */
+    * ONE linear text scan and ZERO joins: sha-256 and the native
+    * ShingleHashSet → MinHashSigs signature lanes are emitted by a
+    * single row-local projection (round 14, guide §2.4: the previous
+    * shape computed the sha leg and the signature leg as two separate
+    * subplans over the same text column — two parquet scans of the
+    * heaviest column — and re-attached them with a doc_id-keyed
+    * left join, i.e. one avoidable Exchange per index build/append
+    * across the whole b13–b29/s15/s16 family). Docs with no 5-gram
+    * shingles keep NULL lanes: MinHashSigs.compute returns null for an
+    * empty shingle set, so `sigs.getItem(i)` is NULL exactly where the
+    * old `filter(c > 0)` + left-join left the lanes NULL — bit parity
+    * is pinned by DedupIndexSpec. */
   def index(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-    val sig = MinHash.signaturesFromSets(
-      MinHash.shingleSets(docs, 5).filter(col("c") > 0))
-    hashed.join(sig, Seq("doc_id"), "left")
+    val sigs = graft.functions.ShingleExpressions.minhashSigs(
+      graft.functions.ShingleExpressions.shingleSet(lower(col("text")), 5))
+    docs.select(col("doc_id"), sha2(col("text"), 256).as("h"), sigs.as("sigs"))
+      .select(col("doc_id") +: col("h") +:
+        (0 until 16).map(i => col("sigs").getItem(i).as(s"mh$i")): _*)
   }
 
   def save(spark: SparkSession, rows: DataFrame, path: String): Unit =
@@ -436,14 +445,33 @@ object DedupIndex {
     * job away): a colliding ingest still fails with the contract
     * message before any candidate work runs. */
   def maintainClusters(spark: SparkSession, path: String, version: Int,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): DataFrame =
+    maintainClustersImpl(spark, path, version,
+      MinHash.signaturesFromSets(
+        MinHash.shingleSets(batch, 5).filter(col("c") > 0)),
+      batch.select("doc_id"))
+
+  /** [[maintainClusters]] fed PRECOMPUTED index rows (the output of
+    * [[index]], typically cached by a caller that also [[append]]s the
+    * same rows — b27/b29's daily loop): the batch's signatures derive
+    * from the rows' mh lanes instead of a second text scan, so a day
+    * that both maintains labels and grows the index pays ONE linear
+    * scan of its batch text, not two (round 14, guide §1.2: don't
+    * compute the same signatures twice). Bit parity with the text
+    * path is the artifact round-trip contract (BIGINT lanes) b13/b14
+    * gate. */
+  def maintainClustersFromRows(spark: SparkSession, path: String, version: Int,
+      batchRows: DataFrame): DataFrame =
+    maintainClustersImpl(spark, path, version, sigOf(batchRows),
+      batchRows.select("doc_id"))
+
+  private def maintainClustersImpl(spark: SparkSession, path: String,
+      version: Int, rawBSig: DataFrame, batchIds: DataFrame): DataFrame = {
     val idx = loadAt(spark, path, version)
     val iSig = sigOf(idx)
-    val rawBSig = MinHash.signaturesFromSets(
-      MinHash.shingleSets(batch, 5).filter(col("c") > 0))
     val bSig = graft.core.CacheScope.cacheEager(
       rawBSig.unionByName(
-        disjointGuard(idx, batch, "maintainClusters", rawBSig)))
+        disjointGuard(idx, batchIds, "maintainClusters", rawBSig)))
     val allSig = iSig.unionByName(bSig)
     val cand = MinHash.candidatesHybridChainAsymFromKeys(
       MinHash.bandPairKeysSorted(bSig), MinHash.bandPairKeysSorted(allSig),
@@ -451,7 +479,7 @@ object DedupIndex {
     val batchPairs = MinHash.agreeAtLeast(cand, bSig, allSig, 14)
     val forest = loadForestAt(spark, path, version)
     graft.ops.ConnectedComponents.stars(
-      idx.select("doc_id").unionByName(batch.select("doc_id")),
+      idx.select("doc_id").unionByName(batchIds.select("doc_id")),
       forest.filter(col("id") =!= col("lbl"))
         .select(col("id").as("d1"), col("lbl").as("d2"))
         .unionByName(batchPairs))
@@ -485,14 +513,23 @@ object DedupIndex {
     * this path silently tolerated overlap — by [[disjointGuard]]
     * riding the batch-signature cache materialization. */
   def dedupBatch(batch: DataFrame, idx: DataFrame): DataFrame = {
-    val bh = batch.select(col("doc_id"), col("lang"),
-      sha2(col("text"), 256).as("h"))
+    // ONE batch text scan (round 14, guide §2.3/§2.4): sha-256 and the
+    // native signature lanes ride one cached row-local projection — the
+    // previous shape scanned the batch text twice (an exact-dup leg and
+    // a separate near-dup signature leg). ~100 bytes/row cached vs a
+    // second pass over the heaviest column.
+    val sigs = graft.functions.ShingleExpressions.minhashSigs(
+      graft.functions.ShingleExpressions.shingleSet(lower(col("text")), 5))
+    val base = graft.core.CacheScope.cacheEager(batch.select(
+      col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"), sigs.as("sigs")))
+    val bh = base.select("doc_id", "lang", "h")
     val exact = bh.join(idx.select("h").distinct(), Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(1L))
-    val rawBSig = MinHash.signaturesFromSets(
-      MinHash.shingleSets(batch, 5).filter(col("c") > 0))
+    val rawBSig = base.filter(col("sigs").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 16).map(i => col("sigs").getItem(i).as(s"mh$i")): _*)
     val bSig = graft.core.CacheScope.cacheEager(
-      rawBSig.unionByName(disjointGuard(idx, batch, "dedupBatch", rawBSig)))
+      rawBSig.unionByName(disjointGuard(idx, base, "dedupBatch", rawBSig)))
     val iSig = idx.filter(col("mh0").isNotNull)
       .select(col("doc_id") +: (0 until 16).map(i => col(s"mh$i")): _*)
     val cand = MinHash.candidatesHybridChainAsymFromKeys(

@@ -756,10 +756,15 @@ object DedupQueries {
       DedupIndex.saveForest(spark,
         DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
       DedupIndex.snapshot(spark, path, 1, forestGen = Some(1))
-      // day 1: maintain from v1, then commit the evolved state
+      // day 1: maintain from v1, then commit the evolved state. The
+      // batch's index rows are computed ONCE (cached) and feed both the
+      // maintenance (signature lanes) and the append — round 14: the
+      // old shape scanned batch1's text twice, once inside
+      // maintainClusters and again in index() for the append.
       val batch1 = docs.filter(col("doc_id") % 3 === 1)
-      val labels1 = DedupIndex.maintainClusters(spark, path, 1, batch1)
-      DedupIndex.append(spark, DedupIndex.index(batch1), path)
+      val rows1 = CacheScope.cacheEager(DedupIndex.index(batch1))
+      val labels1 = DedupIndex.maintainClustersFromRows(spark, path, 1, rows1)
+      DedupIndex.append(spark, rows1, path)
       DedupIndex.saveForest(spark, labels1, path, gen = 2)
       DedupIndex.snapshot(spark, path, 2, forestGen = Some(2))
       // day 2: maintain from v2 (gen-2 forest, grown rows)
@@ -951,9 +956,12 @@ object DedupQueries {
       DedupIndex.saveForest(spark,
         DedupIndex.clusterLabels(DedupIndex.load(spark, path)), path, gen = 1)
       DedupIndex.snapshot(spark, path, 1, forestGen = Some(1))
+      // day 1's index rows computed once — cached for both the
+      // maintenance and the append (round 14, same move as b27)
       val batch1 = docs.filter(col("doc_id") % 3 === 1)
-      val labels1 = DedupIndex.maintainClusters(spark, path, 1, batch1)
-      DedupIndex.append(spark, DedupIndex.index(batch1), path)
+      val rows1 = CacheScope.cacheEager(DedupIndex.index(batch1))
+      val labels1 = DedupIndex.maintainClustersFromRows(spark, path, 1, rows1)
+      DedupIndex.append(spark, rows1, path)
       DedupIndex.saveForest(spark, labels1, path, gen = 2)
       DedupIndex.snapshot(spark, path, 2, forestGen = Some(2))
       val forestDir = s"$path/forest.parquet"
