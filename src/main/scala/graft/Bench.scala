@@ -168,8 +168,8 @@ object Bench {
       }
     }
 
-    // name -> (median, diag json fragment)
-    def exec(name: String): (Double, String) = {
+    // name -> (median, diag json fragment, raw-runs json array)
+    def exec(name: String): (Double, String, String) = {
       val fences = ArrayBuffer[Double]()
       val gc0 = gcMillis()
       val jit0 = jitMillis()
@@ -186,6 +186,7 @@ object Bench {
       // sampled mean x count, so the sampled mean drifting down between
       // snapshots can make the raw delta negative (ADVICE r5); janino_n
       // stays the authoritative signal.
+      val runsJson = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       val diag =
         s"""{"gc_ms":${gcMillis() - gc0},""" +
           s""""jit_ms":${jitMillis() - jit0},""" +
@@ -193,8 +194,8 @@ object Bench {
           s""""janino_ms":${math.max(0L, janinoMillis() - janMs0)},""" +
           s""""codecache_mb":${codeCacheMb()},""" +
           s""""fence_s":${fences.map(f => f"$f%.3f").mkString("[", ",", "]")},""" +
-          s""""runs":${ts.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
-      (m, diag)
+          s""""runs":$runsJson}"""
+      (m, diag, runsJson)
     }
 
     // SPARK_GRAFT_BENCH_FILTER (round 7): comma-separated query names —
@@ -235,8 +236,8 @@ object Bench {
     }
 
     val firstPass = registry.map { q =>
-      val (m, diag) = exec(q.name)
-      (q.name, m, diag)
+      val (m, diag, runs) = exec(q.name)
+      (q.name, m, diag, runs)
     }
 
     // BREACH RE-RUN (round 6): any row whose median breaches its
@@ -253,14 +254,25 @@ object Bench {
     val gates =
       if (sys.env.contains("SPARK_GRAFT_BENCH_FILTER")) Map.empty[String, Double]
       else baselineGates()
-    val results = firstPass.map { case (name, m, diag) =>
+    // Breach adjudication evidence for the DIGEST (round 15, VERDICT
+    // r14 item 1: the r14 record's 4-breach 32-core leg could not be
+    // reconciled because the per-row raw runs lived only in bench.json,
+    // which the driver's later 8-core leg overwrote): both medians and
+    // both raw-run arrays of every re-run row ride the size-capped
+    // digest line itself, so one contended run is adjudicable from the
+    // digest alone.
+    val breachDetail = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = firstPass.map { case (name, m, diag, runs) =>
       gates.get(name) match {
         case Some(g) if m >= 0 && m > g =>
           System.err.println(f"[bench] $name median $m%.2f s breached gate $g%.2f s — re-running")
-          val (m2, diag2) = exec(name)
+          val (m2, diag2, runs2) = exec(name)
           val best = if (m2 >= 0 && m2 < m) m2 else m
           val merged = diag.dropRight(1) +
             f""","gate_s":$g%.3f,"first_median":$m%.3f,"rerun_median":$m2%.3f,"rerun_diag":$diag2}"""
+          breachDetail(name) =
+            f"""{"gate":$g%.2f,"first":$m%.2f,"first_runs":$runs,""" +
+              f""""rerun":$m2%.2f,"rerun_runs":$runs2}"""
           (name, best, merged)
         case _ => (name, m, diag)
       }
@@ -278,6 +290,13 @@ object Bench {
     // sbt, whose log prefixes make stdout unparseable as bare JSON.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(outPath), line + "\n")
+    // Per-LEG archive (round 15, VERDICT r14 item 1): the driver runs
+    // the suite at more than one core count with the same outPath, so
+    // the second leg used to overwrite the first's only per-row record
+    // (r14's 32-core raw runs are gone for good). Full suites also
+    // land in a core-count-suffixed copy the other leg can't touch.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_FILTER"))
+      Files.writeString(Paths.get(s"$outPath.c$cpus"), line + "\n")
     spark.stop()
     // Tagged full line, so a human can grep the complete per-row JSON
     // out of an sbt-wrapped log without the repo-side bench.json.
@@ -311,13 +330,32 @@ object Bench {
       }
       sb.toString
     }
+    // Breach evidence, size-capped like slowQs so the digest always
+    // survives the driver's ~2000-char stdout tail whole: the slowest
+    // (hence most diagnostic) re-run rows first, ~130 chars each.
+    val breachQs = {
+      val sb = new StringBuilder
+      var first = true
+      for ((n, d) <- breachDetail.toSeq
+             .sortBy { case (n, _) => -results.find(_._1 == n).map(_._2).getOrElse(0.0) }
+           if sb.length < 550) {
+        if (!first) sb.append(',')
+        sb.append('"').append(n).append("\":").append(d)
+        first = false
+      }
+      sb.toString
+    }
+    val breachFrag =
+      if (breachQs.isEmpty) "" else s""""breach_detail":{$breachQs},"""
     val digest =
       f"""{"metric":"total","value":$total%.1f,"unit":"sec","sf":"$sfDir",""" +
-        f""""rows":${results.size},"failed":$failed,"breaches":$breaches,""" +
-        f""""max_row":"$maxName","max_s":$maxS%.2f,""" +
+        f""""cpus":$cpus,"rows":${results.size},"failed":$failed,"breaches":$breaches,""" +
+        f""""max_row":"$maxName","max_s":$maxS%.2f,$breachFrag""" +
         s""""queries":{$slowQs},"full":"$outPath"}"""
     // Side file the log tail can never truncate (same digest).
     Files.writeString(Paths.get(outPath + ".digest"), digest + "\n")
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_FILTER"))
+      Files.writeString(Paths.get(s"$outPath.c$cpus.digest"), digest + "\n")
     println(digest)
     System.out.flush()
   }

@@ -169,8 +169,14 @@ object Snapshots {
       dirNames: Seq[String]): Unit = {
     val vs = versions(spark, path)
     require(vs.contains(toVersion), s"no committed snapshot v$toVersion at $path")
-    val keep: Set[String] = vs.filter(_ <= toVersion).flatMap { v =>
-      entries(spark, path, v).map { case (_, f) => relativized(spark, path, f) }
+    // One manifest collect per retained version; toVersion's rows are
+    // reused below for the ledger restore (round 15, guide §1.2: the
+    // old shape collected toVersion's manifest a second time — one
+    // redundant Spark job + parquet read per rollback).
+    val collected: Seq[(Int, Seq[(String, String)])] =
+      vs.filter(_ <= toVersion).map(v => v -> entries(spark, path, v))
+    val keep: Set[String] = collected.flatMap { case (_, es) =>
+      es.map { case (_, f) => relativized(spark, path, f) }
     }.toSet
     dirNames.foreach { dirName =>
       val dir = s"$path/$dirName"
@@ -181,7 +187,7 @@ object Snapshots {
         dropEmptiedDirs(spark, path, dir)
       }
     }
-    val manRows = entries(spark, path, toVersion)
+    val manRows = collected.last._2 // == entries(toVersion); vs is ascending
     if (manRows.contains(("meta", "applied-ledger-v1"))) {
       val recorded = manRows.collect {
         case ("applied", f) => f.stripPrefix("_applied/")

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -447,6 +447,67 @@ object PairMerge {
   }
 }
 
+/** Native count of the common elements of two SORTED DISTINCT
+  * array<bigint> columns — `size(array_intersect(a, b))` for exactly
+  * the arrays [[ShingleHashSet]] produces, without materializing the
+  * intersection. `array_intersect` builds a per-call hash set of one
+  * side plus an output array the caller immediately reduces to its
+  * size; the exact-verify joins of x2/x52 run that once per candidate
+  * pair over full shingle-set arrays — the dominant per-pair term of
+  * the containment row (VERDICT r14 item 4). This expression is one
+  * merge walk over the two sorted arrays: O(|a|+|b|) long comparisons,
+  * ZERO allocation, inside whole-stage codegen, and it exits as soon
+  * as either side is exhausted (the "early exit" a hash-set intersect
+  * cannot take). REQUIRES both inputs sorted ascending and distinct
+  * with no null elements — ShingleHashSet's documented output
+  * contract; SortedIntersectCountSpec pins bit parity against
+  * size(array_intersect) on such inputs.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_sorted_intersect_count requires two array<bigint> arguments, " +
+          s"got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Merge walk over two sorted-ascending distinct long arrays. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
 object ShingleExpressions {
   /** Sorted distinct n-gram shingle-hash array of a string column. */
   def shingleSet(text: Column, n: Int): Column =
@@ -471,4 +532,9 @@ object ShingleExpressions {
   /** 16-lane minhash signature array of a shingle-hash array column. */
   def minhashSigs(hs: Column): Column =
     Bridge.column(MinHashSigs(Bridge.expression(hs)))
+
+  /** |a ∩ b| of two sorted-distinct array<bigint> columns (no
+    * intersection array materialized — see [[SortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

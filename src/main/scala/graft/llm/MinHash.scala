@@ -420,15 +420,30 @@ object MinHash {
     * `candidatesPaired` self-joins these; asymmetric consumers (x24's
     * incremental batch-vs-base dedup) join a filtered slice against
     * another, which keeps candidate generation proportional to the
-    * small side instead of paying for every within-base pair. */
+    * small side instead of paying for every within-base pair.
+    *
+    * `k` is the 8 keyed lanes packed EXACTLY into a struct of 4 longs,
+    * two lanes per long as a·2³¹ + b (lanes are < P < 2³¹, so the
+    * packing is injective): struct equality on k IS lane-8-tuple
+    * equality — the same buckets, provably, as the former comma-joined
+    * decimal STRING key (round 15, guide §2.3 narrower types /
+    * VERDICT r14 item 7: ~90 B of UTF8 digits per key row shuffled
+    * where 32 B of longs carry the same information; the key is
+    * internal-only — every oracle restates bucket semantics over band
+    * VALUES, never key text — and DedupSpec pins the bucket parity).
+    * Callers must pre-filter NULL signatures (sigOf / filter(c > 0)),
+    * the same contract as before: an all-NULL signature row would pair
+    * quadratically under the string key and never-match under the
+    * packed one — every shipped caller filters them upstream. */
   def bandPairKeys(sig: DataFrame): DataFrame = {
-    val withBk = sig.select(col("doc_id") +: (0 until 4).map { b =>
-      concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*).as(s"bk$b")
+    val withPk = sig.select(col("doc_id") +: (0 until 8).map { p =>
+      (col(s"mh${2 * p}") * 2147483648L + col(s"mh${2 * p + 1}")).as(s"p$p")
     }: _*)
     val pairKeys = for { i <- 0 until 4; j <- (i + 1) until 4 } yield
       struct(lit(4 * i + j).as("bp"),
-        concat_ws("|", col(s"bk$i"), col(s"bk$j")).as("k"))
-    withBk
+        struct(col(s"p${2 * i}").as("k0"), col(s"p${2 * i + 1}").as("k1"),
+          col(s"p${2 * j}").as("k2"), col(s"p${2 * j + 1}").as("k3")).as("k"))
+    withPk
       .select(col("doc_id"), explode(array(pairKeys: _*)).as("e"))
       .select(col("doc_id"), col("e.bp").as("bp"), col("e.k").as("k"))
   }
@@ -447,21 +462,27 @@ object MinHash {
     * signature table (VERDICT r13 task 1: that join re-scanned the
     * artifact-backed sig per deployed call). Row-local projection +
     * explode, no shuffle; consumers that ignore r0..r3 get them pruned
-    * by Catalyst. 32 extra bytes per key row is the whole cost. */
+    * by Catalyst. 32 extra bytes per key row is the whole cost.
+    *
+    * `k` uses [[bandPairKeys]]'s packed-long struct (round 15): the
+    * keyed bands' p-longs are the SAME packing as the carried r lanes,
+    * so the whole row is doc_id + bp + 8 longs — no string anywhere.
+    * Within a (bp, k) bucket the shared packed key pins the two keyed
+    * bands' 8 lane values exactly as the comma-joined string did
+    * (injective packing), so the (r0..r3, doc_id) order is unchanged. */
   def bandPairKeysSorted(sig: DataFrame): DataFrame = {
-    val withBk = sig.select(col("doc_id") +: ((0 until 4).map { b =>
-      concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*).as(s"bk$b")
-    } ++ (0 until 8).map { p =>
+    val withPk = sig.select(col("doc_id") +: (0 until 8).map { p =>
       (col(s"mh${2 * p}") * 2147483648L + col(s"mh${2 * p + 1}")).as(s"p$p")
-    }): _*)
+    }: _*)
     val pairKeys = for { i <- 0 until 4; j <- (i + 1) until 4 } yield {
       val Seq(a, b) = (0 until 4).filterNot(x => x == i || x == j)
       struct(lit(4 * i + j).as("bp"),
-        concat_ws("|", col(s"bk$i"), col(s"bk$j")).as("k"),
+        struct(col(s"p${2 * i}").as("k0"), col(s"p${2 * i + 1}").as("k1"),
+          col(s"p${2 * j}").as("k2"), col(s"p${2 * j + 1}").as("k3")).as("k"),
         col(s"p${2 * a}").as("r0"), col(s"p${2 * a + 1}").as("r1"),
         col(s"p${2 * b}").as("r2"), col(s"p${2 * b + 1}").as("r3"))
     }
-    withBk
+    withPk
       .select(col("doc_id"), explode(array(pairKeys: _*)).as("e"))
       .select(col("doc_id"), col("e.bp").as("bp"), col("e.k").as("k"),
         col("e.r0").as("r0"), col("e.r1").as("r1"),

@@ -203,6 +203,57 @@ class DedupSpec extends AnyFunSuite {
     assert(b == (Set((7L, 0L)) ++ (1L to 19L).map(d => (0L, d))))
   }
 
+  test("packed band-pair keys bucket exactly as the retired string keys") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.MinHash
+    // Round 15: bandPairKeys/bandPairKeysSorted pack the 8 keyed lanes
+    // into 4 longs instead of the comma-joined decimal string. The
+    // packing is injective (lanes < 2^31), so the partition of key
+    // rows into (bp, k) buckets must be IDENTICAL to the string form's
+    // — this is the parity oracle: the retired string key, inlined.
+    def stringKeys(s: org.apache.spark.sql.DataFrame) = {
+      val withBk = s.select(col("doc_id") +: (0 until 4).map { b =>
+        concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}")): _*).as(s"bk$b")
+      }: _*)
+      val pairKeys = for { i <- 0 until 4; j <- (i + 1) until 4 } yield
+        struct(lit(4 * i + j).as("bp"),
+          concat_ws("|", col(s"bk$i"), col(s"bk$j")).as("k"))
+      withBk.select(col("doc_id"), explode(array(pairKeys: _*)).as("e"))
+        .select(col("doc_id"), col("e.bp").as("bp"), col("e.k").as("k"))
+    }
+    // a corpus with REAL collisions: the template cluster floods its
+    // buckets, so bucket membership is non-trivial in both directions
+    val corpus = MinHash.docs(spark, sf0001).select("doc_id", "text")
+      .union(graft.llm.DedupQueries.templateCorpus(spark, 200, 1000)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val sig = MinHash.signaturesFromSets(
+      MinHash.shingleSets(corpus, 9).filter(col("c") > 0)).cache()
+    try {
+      // bucket partition parity: the multiset of (bp, sorted member
+      // list) over buckets is representation-independent
+      def buckets(keys: org.apache.spark.sql.DataFrame) = keys
+        .groupBy("bp", "k").agg(sort_array(collect_list("doc_id")).as("ms"))
+        .select("bp", "ms").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(buckets(MinHash.bandPairKeys(sig)) == buckets(stringKeys(sig)))
+      // and the sorted variant carries the same packed key
+      assert(buckets(MinHash.bandPairKeysSorted(sig)
+        .select("doc_id", "bp", "k")) == buckets(stringKeys(sig)))
+      // end-to-end: the packed-key candidate join emits exactly the
+      // pairs the STRING-keyed band join emits
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaString = pairSet(stringKeys(sig).toDF("d1", "bp", "k")
+        .join(stringKeys(sig).toDF("d2", "bp2", "k2"),
+          col("bp") === col("bp2") && col("k") === col("k2") &&
+            col("d1") < col("d2"))
+        .select("d1", "d2").distinct())
+      assert(viaString.nonEmpty)
+      assert(pairSet(MinHash.candidatesPaired(sig)) == viaString)
+    } finally { sig.unpersist(false); spark.catalog.clearCache() }
+  }
+
   test("chain escalation: SNM successor leg recovers what the anchor star loses") {
     import org.apache.spark.sql.functions._
     import graft.llm.MinHash
