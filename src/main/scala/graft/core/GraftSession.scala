@@ -60,6 +60,19 @@ object GraftSession {
       // handles are small (the compiled code lives in metaspace
       // either way), so the cost is a few MB of heap.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // AQE coalescing stays at Spark's parallelism-first DEFAULT.
+      // Round 15 measured the size-first alternative
+      // (coalescePartitions.parallelismFirst=false, the usual remedy
+      // for the "8 cores beats 32 at sf0.1" task-overhead signature):
+      // a shuffle-heavy subset improved 32.0 -> 29.7 s, but the FULL
+      // suite regressed (253.6 s vs 248.0) because size-first
+      // coalescing collapses small-byte/high-work WINDOW inputs to 1-2
+      // partitions and serializes their sorts — x43_forward_fill
+      // 0.81 -> 2.01 s (a persistent gate breach), r7 0.69 -> 1.16,
+      // r12 0.45 -> 0.73 (bench_r15c.json is the recorded evidence).
+      // Window cost here tracks ROWS, not bytes, which is exactly the
+      // case parallelism-first protects; at 100 TB the two policies
+      // converge (partitions are advisory-sized either way).
       // parquet reader defaults Tables relies on: read TIMESTAMP(NANOS)
       // as long (the vectorized reader rejects nanos) and don't infer
       // NTZ — Tables normalizes everything to TimestampType itself.
