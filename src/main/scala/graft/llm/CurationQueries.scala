@@ -214,22 +214,15 @@ object CurationQueries {
       // crossing pairs only.
       val sig = graft.core.CacheScope.cacheEager(MinHash.signaturesFromSets(
         MinHash.shingleSets(MinHash.docs(spark, dir), 5).filter(col("c") > 0)))
-      val keys = MinHash.bandPairKeys(sig)
-      val cand = keys.filter(col("doc_id") % 4 === 3).toDF("d_new", "bp", "k")
-        .join(keys.filter(col("doc_id") % 4 =!= 3).toDF("d_base", "bp2", "k2"),
-          col("bp") === col("bp2") && col("k") === col("k2"))
-        .select("d_new", "d_base").distinct()
-      val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
-      val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
-      val matches = (0 until 16)
-        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      val nearIds = cand
-        .join(s1, col("d_new") === col("s1_doc"))
-        .join(s2, col("d_base") === col("s2_doc"))
-        .select(col("d_new"), matches.as("matches"))
-        .filter(col("matches") >= 14)
-        .select(col("d_new").as("doc_id"))
+      // round 15: the >= 14/16 verify rides the key rows' carried
+      // complement quads (MinHash.verifiedPairedAsymFromKeys) — the
+      // old shape joined the crossing candidates back to this cached
+      // sig table twice
+      val keys = MinHash.bandPairKeysSorted(sig)
+      val nearIds = MinHash.verifiedPairedAsymFromKeys(
+        keys.filter(col("doc_id") % 4 === 3),
+        keys.filter(col("doc_id") % 4 =!= 3), 14)
+        .select(col("d1").as("doc_id"))
         .distinct().withColumn("is_near", lit(1L))
       batch.select("doc_id", "lang")
         .join(exact, Seq("doc_id"), "left")

@@ -297,8 +297,17 @@ object DedupIndex {
     * oracle while the directory holds a later generation with appends
     * AND deletes). One bounded manifest collect, then the same
     * distributed scans as [[load]] over the pinned files. */
-  def loadAt(spark: SparkSession, path: String, version: Int): DataFrame = {
-    val man = graft.core.Snapshots.entries(spark, path, version)
+  def loadAt(spark: SparkSession, path: String, version: Int): DataFrame =
+    loadFromEntries(spark, path,
+      graft.core.Snapshots.entries(spark, path, version))
+
+  /** [[loadAt]] over an ALREADY-COLLECTED manifest — callers that need
+    * both the pinned rows and the pinned forest of one version
+    * ([[maintainClustersImpl]]) collect the manifest once and feed
+    * both views from it (round 15, guide §1.2 fewer jobs: the old
+    * shape collected the same manifest parquet twice per maintain). */
+  private def loadFromEntries(spark: SparkSession, path: String,
+      man: Seq[(String, String)]): DataFrame = {
     def files(kind: String): Seq[String] =
       man.collect { case (k, file) if k == kind =>
         graft.core.Snapshots.resolve(path, file)
@@ -361,11 +370,17 @@ object DedupIndex {
     * it against x12's verbatim full-recompute oracle); the flooded
     * regime is gated by b28. */
   def clusterLabels(idx: DataFrame): DataFrame = {
+    // Verify rides the candidate legs (round 15, guide §8/§2.4): every
+    // candidate pair forms inside a shared (bp, k) bucket whose packed
+    // key pins 8 lanes equal, and the other 8 ride the key rows as
+    // r0..r3 — so the >= 14/16 gate is row-local arithmetic at pair
+    // formation. The old shape joined the (deduped) candidate set back
+    // to this cached sig table TWICE (two doc_id exchanges + the
+    // second artifact-column fan-out); now sig feeds exactly one key
+    // projection.
     val sig = graft.core.CacheScope.cacheEager(sigOf(idx))
-    val pairs = MinHash.agreeAtLeast(
-      MinHash.candidatesHybridChainFromKeys(
-        MinHash.bandPairKeysSorted(sig), MinHash.DefaultCap),
-      sig, sig, 14)
+    val pairs = MinHash.verifiedHybridChainFromKeys(
+      MinHash.bandPairKeysSorted(sig), MinHash.DefaultCap, 14)
     graft.ops.ConnectedComponents.stars(idx.select("doc_id"), pairs)
   }
 
@@ -410,9 +425,15 @@ object DedupIndex {
     * generations that manifest records, the LATEST one — older gens
     * stay pinned only because earlier manifests reference them. One
     * bounded manifest collect + one pruned scan of that gen's files. */
-  def loadForestAt(spark: SparkSession, path: String, version: Int): DataFrame = {
-    val forest = graft.core.Snapshots.entries(spark, path, version)
-      .collect { case ("forest", f) => f }
+  def loadForestAt(spark: SparkSession, path: String, version: Int): DataFrame =
+    forestFromEntries(spark, path, version,
+      graft.core.Snapshots.entries(spark, path, version))
+
+  /** [[loadForestAt]] over an already-collected manifest — see
+    * [[loadFromEntries]]. */
+  private def forestFromEntries(spark: SparkSession, path: String,
+      version: Int, man: Seq[(String, String)]): DataFrame = {
+    val forest = man.collect { case ("forest", f) => f }
     val gens = forest.flatMap {
       case ForestGen(g) => Some(g.toInt)
       case _ => None
@@ -475,17 +496,26 @@ object DedupIndex {
 
   private def maintainClustersImpl(spark: SparkSession, path: String,
       version: Int, rawBSig: DataFrame, batchIds: DataFrame): DataFrame = {
-    val idx = loadAt(spark, path, version)
+    // ONE manifest collect feeds both the pinned rows and the pinned
+    // forest (round 15, guide §1.2: the old shape ran loadAt and
+    // loadForestAt as two collects of the same manifest parquet — one
+    // redundant Spark job + manifest read per maintain call)
+    val man = graft.core.Snapshots.entries(spark, path, version)
+    val idx = loadFromEntries(spark, path, man)
     val iSig = sigOf(idx)
     val bSig = graft.core.CacheScope.cacheEager(
       rawBSig.unionByName(
         disjointGuard(idx, batchIds, "maintainClusters", rawBSig)))
     val allSig = iSig.unionByName(bSig)
-    val cand = MinHash.candidatesHybridChainAsymFromKeys(
+    // Verify fused into the candidate legs (round 15, guide §8): the
+    // index signature artifact is touched exactly ONCE per maintain —
+    // the base-key projection — where the old shape re-joined the
+    // candidate set against (index ∪ batch) signatures by doc_id, a
+    // second full artifact scan plus two exchanges per ingest.
+    val batchPairs = MinHash.verifiedHybridChainAsymFromKeys(
       MinHash.bandPairKeysSorted(bSig), MinHash.bandPairKeysSorted(allSig),
-      MinHash.DefaultCap)
-    val batchPairs = MinHash.agreeAtLeast(cand, bSig, allSig, 14)
-    val forest = loadForestAt(spark, path, version)
+      MinHash.DefaultCap, 14)
+    val forest = forestFromEntries(spark, path, version, man)
     graft.ops.ConnectedComponents.stars(
       idx.select("doc_id").unionByName(batchIds.select("doc_id")),
       forest.filter(col("id") =!= col("lbl"))
@@ -500,12 +530,15 @@ object DedupIndex {
     * Same result shape and bits as x24's in-plan form.
     *
     * Scale shape: batch signatures are one linear scan of the BATCH
-    * (cached — they fan out to band keys and verify); the index side
-    * is scanned from the artifact twice (band-key projection and the
-    * verify join), both scans pruned to doc_id + the mh lanes, and
-    * deliberately NOT cached — at production scale the index is far
-    * bigger than executor storage, and two pruned columnar scans of a
-    * compact artifact are the right price. Candidate generation is
+    * (cached — they fan out to band keys and verify); the index's mh
+    * lanes are scanned from the artifact exactly ONCE (the band-key
+    * projection — round 15 fused the >= 14/16 verify into the
+    * candidate legs over the carried r0..r3 quads, retiring the
+    * second pruned scan and its two doc_id exchanges), pruned to
+    * doc_id + the mh lanes and deliberately NOT cached — at
+    * production scale the index is far bigger than executor storage,
+    * and one pruned columnar scan of a compact artifact is the right
+    * price. Candidate generation is
     * ASYMMETRIC HYBRID banding at [[MinHash.DefaultCap]] (batch keys
     * probe index-side buckets; VERDICT r12 task 1): within-index pairs
     * are never formed, ordinary buckets keep the exact batch×bucket
@@ -545,21 +578,16 @@ object DedupIndex {
       rawBSig.unionByName(disjointGuard(idx, base, "dedupBatch", rawBSig)))
     val iSig = idx.filter(col("mh0").isNotNull)
       .select(col("doc_id") +: (0 until 16).map(i => col(s"mh$i")): _*)
-    val cand = MinHash.candidatesHybridChainAsymFromKeys(
+    // Verify fused into the candidate legs (round 15, guide §8): the
+    // >= 14/16 gate is computed from the carried r0..r3 quads at pair
+    // formation, so the index's mh lanes are scanned exactly once (the
+    // base-key projection) — the old shape re-joined candidates
+    // against both signature tables by doc_id, a second pruned
+    // artifact scan plus two exchanges per serve.
+    val nearIds = MinHash.verifiedHybridChainAsymFromKeys(
       MinHash.bandPairKeysSorted(bSig), MinHash.bandPairKeysSorted(iSig),
-      MinHash.DefaultCap)
-      .toDF("d_new", "d_base")
-    val s1 = bSig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
-    val s2 = iSig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
-    val matches = (0 until 16)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val nearIds = cand
-      .join(s1, col("d_new") === col("s1_doc"))
-      .join(s2, col("d_base") === col("s2_doc"))
-      .select(col("d_new"), matches.as("matches"))
-      .filter(col("matches") >= 14)
-      .select(col("d_new").as("doc_id"))
+      MinHash.DefaultCap, 14)
+      .select(col("d1").as("doc_id"))
       .distinct().withColumn("is_near", lit(1L))
     bh.select("doc_id", "lang")
       .join(exact, Seq("doc_id"), "left")

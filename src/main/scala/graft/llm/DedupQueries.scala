@@ -48,17 +48,12 @@ object DedupQueries {
     // real crawl data). The oracle's sig CTE omits them identically.
     val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(
       MinHash.shingleSets(MinHash.docs(spark, dir), 5).filter(col("c") > 0)))
-    val cand = MinHash.candidatesPaired(sig)
-    val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
-    val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
-    val matches = (0 until 16)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    cand
-      .join(s1, col("d1") === col("s1_doc"))
-      .join(s2, col("d2") === col("s2_doc"))
-      .select(col("d1"), col("d2"), matches.as("matches"))
-      .filter(col("matches") >= 14)
+    // round 15: the >= 14/16 verify rides the band-pair key rows'
+    // carried complement quads (MinHash.verifiedPairedFromKeys), so
+    // the two doc_id join-backs to this sig table are gone; `matches`
+    // is the same full 16-lane agreement (8 keyed lanes pinned equal
+    // by the shared bucket + the carried complement count).
+    MinHash.verifiedPairedFromKeys(MinHash.bandPairKeysSorted(sig), 14)
   }
 
   /** The ~190-char template every member of the planted skew cluster
@@ -668,33 +663,22 @@ object DedupQueries {
       val isNew = col("doc_id") % 3 === 2
       val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(
         MinHash.shingleSets(docs, 5).filter(col("c") > 0)))
-      val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
-      val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
-      val matches = (0 until 16)
-        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      def verified(cand: DataFrame): DataFrame = cand
-        .join(s1, col("d1") === col("s1_doc"))
-        .join(s2, col("d2") === col("s2_doc"))
-        .select(col("d1"), col("d2"), matches.as("m"))
-        .filter(col("m") >= 14)
-        .select("d1", "d2")
+      // round 15: both legs' >= 14/16 verify rides the key rows'
+      // carried complement quads (MinHash.verifiedPaired*FromKeys) —
+      // the old shape joined each candidate set back to this cached
+      // sig table twice (four doc_id exchanges per run)
       // yesterday's state: the label forest over the old corpus
-      val oldPairs = verified(
-        MinHash.candidatesPaired(sig.filter(col("doc_id") % 3 =!= 2)))
+      val oldPairs = MinHash.verifiedPairedFromKeys(
+        MinHash.bandPairKeysSorted(sig.filter(col("doc_id") % 3 =!= 2)), 14)
+        .select("d1", "d2")
       val forest = graft.ops.ConnectedComponents
         .stars(docs.filter(!isNew).select("doc_id"), oldPairs)
         .filter(col("id") =!= col("lbl"))
         .select(col("id").as("d1"), col("lbl").as("d2"))
       // today's ingest: candidates involving the batch only
-      val newKeys = MinHash.bandPairKeys(sig.filter(isNew))
-        .toDF("d1", "bp", "k")
-      val allKeys = MinHash.bandPairKeys(sig).toDF("d2", "bp2", "k2")
-      val batchPairs = verified(
-        newKeys.join(allKeys,
-          col("bp") === col("bp2") && col("k") === col("k2") &&
-            col("d1") =!= col("d2"))
-          .select("d1", "d2").distinct())
+      val batchPairs = MinHash.verifiedPairedAsymFromKeys(
+        MinHash.bandPairKeysSorted(sig.filter(isNew)),
+        MinHash.bandPairKeysSorted(sig), 14)
       graft.ops.ConnectedComponents
         .stars(docs.select("doc_id"), forest.union(batchPairs))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
@@ -1065,18 +1049,12 @@ object DedupQueries {
         val sets = CacheScope.cache(
           MinHash.shingleSets(Tables.fanOut(docsDf), 9).filter(col("c") > 0))
         val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(sets))
-        val cand = MinHash.candidatesPaired(sig)
-        val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
-        val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
-        val matches = (0 until 16)
-          .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-          .reduce(_ + _)
-        val pairs = cand
-          .join(s1, col("d1") === col("s1_doc"))
-          .join(s2, col("d2") === col("s2_doc"))
-          .select(col("d1"), col("d2"), matches.as("m"))
-          .filter(col("m") >= 14)
-          .select("d1", "d2")
+        // round 15: fused in-bucket verify — the hot 1,000-doc bucket's
+        // ~3M pre-distinct candidate rows are verified at pair
+        // formation (row-local quad compares) instead of being
+        // distinct'd and joined back to the sig table twice
+        val pairs = MinHash.verifiedPairedFromKeys(
+          MinHash.bandPairKeysSorted(sig), 14).select("d1", "d2")
         val cc = graft.ops.ConnectedComponents.stars(
           docsDf.select("doc_id"), pairs)
         // Output: the cluster-size histogram — tiny, and the strongest
@@ -1243,9 +1221,11 @@ object DedupQueries {
             .select((col("doc_id") + col("m")).as("doc_id"), col("text"))))
       val sig = CacheScope.cacheEager(MinHash.signaturesFromSets(
         MinHash.shingleSets(corpus, 9).filter(col("c") > 0)))
-      val keys = CacheScope.cacheEager(MinHash.bandPairKeys(sig))
-      val pairs = MinHash.agreeAtLeast(
-        MinHash.candidatesHybridFromKeys(keys, 16), sig, sig, 14)
+      // round 15: fused in-bucket verify on the hybrid rule — the
+      // flooded buckets' pairs verify against the anchor's carried
+      // quads at pair formation; no sig join-backs
+      val keys = CacheScope.cacheEager(MinHash.bandPairKeysSorted(sig))
+      val pairs = MinHash.verifiedHybridFromKeys(keys, 16, 14)
       val cc = graft.ops.ConnectedComponents.stars(
         corpus.select("doc_id"), pairs)
       val audit = keys.groupBy("bp", "k").agg(count(lit(1)).as("b"))
@@ -1725,17 +1705,11 @@ object DedupQueries {
           (sum("ck") % P).cast("long").as("shingle_checksum"))
       val sig = CacheScope.cacheEager(
         MinHash.signaturesFromSets(sets.filter(col("c") > 0)))
-      val cand = MinHash.candidatesPaired(sig)
-      val s1 = sig.toDF("s1_doc" +: (0 until 16).map(i => s"a$i"): _*)
-      val s2 = sig.toDF("s2_doc" +: (0 until 16).map(i => s"b$i"): _*)
-      val matches = (0 until 16)
-        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      val dp = cand
-        .join(s1, col("d1") === col("s1_doc"))
-        .join(s2, col("d2") === col("s2_doc"))
-        .select(col("d1"), matches.as("m"))
-        .filter(col("m") >= 14)
+      // round 15: fused in-bucket verify (same pair set, no sig
+      // join-backs)
+      val dp = MinHash.verifiedPairedFromKeys(
+        MinHash.bandPairKeysSorted(sig), 14)
+        .select("d1")
         .join(corpus.select(col("doc_id").as("d1"), col("lang")), "d1")
         .groupBy("lang").agg(count(lit(1)).as("dup_pairs"))
       stats.join(dp, Seq("lang"), "left")

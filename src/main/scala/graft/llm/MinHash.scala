@@ -393,6 +393,221 @@ object MinHash {
       .distinct()
   }
 
+  /** 16-lane agreement count computed ROW-LOCALLY from two carried
+    * complement-lane quads riding one bucket row (round 15, guide §8:
+    * shuffle keys and metadata, never re-attach the payload). Both
+    * rows of a candidate pair share a (bp, k) bucket, and the packed
+    * key's injectivity pins the 8 keyed lanes EQUAL — so total
+    * agreement = 8 + agreement over the 8 complement lanes, which ride
+    * the key rows as r0..r3 (two lanes per long, a·2³¹+b with both
+    * < 2³¹). `x`/`y` name the two sides' quad column prefixes
+    * (x0..x3 / y0..y3). Pure comparisons and adds — whole-stage
+    * codegen, no join anywhere. */
+  private def packedLaneAgree(x: String, y: String): Column =
+    lit(8L) + (0 until 4).map { j =>
+      when(shiftright(col(s"$x$j"), 31) === shiftright(col(s"$y$j"), 31), 1L)
+        .otherwise(0L) +
+        when(col(s"$x$j").bitwiseAND(lit(2147483647L)) ===
+          col(s"$y$j").bitwiseAND(lit(2147483647L)), 1L).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def quadAs(prefix: String): Seq[Column] =
+    (0 until 4).map(i => col(s"r$i").as(s"$prefix$i"))
+
+  /** [[candidatesHybridChainFromKeys]] WITH the >= `threshold`/16
+    * verify FUSED into each candidate leg — the deployed symmetric
+    * resolve (DedupIndex.clusterLabels). Every candidate pair forms
+    * inside a shared (bp, k) bucket, so [[packedLaneAgree]] computes
+    * the pair's FULL 16-lane agreement from the carried r0..r3 quads
+    * alone: the two doc_id-keyed joins back to the signature table
+    * (and their exchanges, and the second artifact scan they forced)
+    * disappear, and the post-union distinct shuffles only SURVIVING
+    * pairs instead of every candidate. Output = exactly
+    * agreeAtLeast(candidatesHybridChainFromKeys(keys, cap), sig, sig,
+    * threshold): a pair's agreement count is bucket-independent
+    * (8 shared + complement is the same total in every bucket the
+    * pair co-occupies), so per-occurrence verification commutes with
+    * the distinct — DedupSpec pins the parity. `keys` must be
+    * [[bandPairKeysSorted]] rows. */
+  def verifiedHybridChainFromKeys(keys: DataFrame, cap: Int,
+      threshold: Int): DataFrame = {
+    // anchor quads via min_by (doc_id unique per bucket, so min_by is
+    // deterministic): every buffer slot stays a fixed-width long, so
+    // the bucket aggregate keeps whole-stage HashAggregate — a
+    // min(struct(...)) spelling of the same thing forces the sort/
+    // object aggregate path with interpreted struct ordering
+    val meta = keys.groupBy("bp", "k").agg(
+      count(lit(1)).as("b"),
+      min("doc_id").as("anchor") +:
+        (0 until 4).map(i => min_by(col(s"r$i"), col("doc_id")).as(s"q$i")): _*)
+    val sized = keys.join(meta, Seq("bp", "k"))
+    val small = sized.filter(col("b") <= cap)
+    val smallPairs = small
+      .select(Seq(col("bp"), col("k"), col("doc_id").as("d1")) ++ quadAs("x"): _*)
+      .join(small.select(Seq(col("bp").as("bp2"), col("k").as("k2"),
+          col("doc_id").as("d2")) ++ quadAs("y"): _*),
+        col("bp") === col("bp2") && col("k") === col("k2") &&
+          col("d1") < col("d2"))
+      .filter(packedLaneAgree("x", "y") >= threshold)
+      .select("d1", "d2")
+    val esc = sized.filter(col("b") > cap)
+    val starPairs = esc.filter(col("doc_id") =!= col("anchor"))
+      .filter(packedLaneAgree("r", "q") >= threshold)
+      .select(col("anchor").as("d1"), col("doc_id").as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bp", "k")
+      .orderBy(col("r0"), col("r1"), col("r2"), col("r3"), col("doc_id"))
+    val chain = esc
+      .select(Seq(col("bp"), col("k"), col("doc_id").as("d1"),
+        lead("doc_id", 1).over(w).as("d2")) ++ quadAs("x") ++
+        (0 until 4).map(i => lead(col(s"r$i"), 1).over(w).as(s"y$i")): _*)
+      .filter(col("d2").isNotNull)
+      .filter(packedLaneAgree("x", "y") >= threshold)
+      .select("d1", "d2")
+    smallPairs.unionByName(starPairs).unionByName(chain).distinct()
+  }
+
+  /** [[candidatesHybridChainAsymFromKeys]] WITH the verify fused into
+    * each leg — the deployed asymmetric serve
+    * (DedupIndex.maintainClusters / dedupBatch). Same carried-quad
+    * arithmetic as [[verifiedHybridChainFromKeys]]; output = exactly
+    * agreeAtLeast(candidatesHybridChainAsymFromKeys(probe, base, cap),
+    * probeSig, baseSig, threshold) with d1 the probe end. Beyond the
+    * dropped verify joins, the chain leg's probe-end flag now RIDES
+    * the member rows (a bool column folded by the member aggregate)
+    * instead of two post-hoc joins against the probe id set. At scale
+    * this makes candidate generation + verification touch the base
+    * signature artifact exactly ONCE (the key projection) — nothing
+    * downstream re-shuffles or re-scans it. */
+  def verifiedHybridChainAsymFromKeys(probeKeys: DataFrame,
+      baseKeys: DataFrame, cap: Int, threshold: Int): DataFrame = {
+    // same fixed-width min_by anchor-quad trick as the symmetric form
+    val meta = baseKeys.groupBy("bp", "k").agg(
+      count(lit(1)).as("b"),
+      min("doc_id").as("anchor") +:
+        (0 until 4).map(i => min_by(col(s"r$i"), col("doc_id")).as(s"q$i")): _*)
+    val pk = probeKeys
+      .select(Seq(col("bp"), col("k"), col("doc_id").as("d1")) ++ quadAs("x"): _*)
+    val bkSized = baseKeys
+      .select(Seq(col("bp"), col("k"), col("doc_id").as("d2")) ++ quadAs("y"): _*)
+      .join(meta, Seq("bp", "k"))
+    val smallPairs = pk
+      .join(bkSized.filter(col("b") <= cap)
+          .select(Seq(col("bp"), col("k"), col("d2")) ++
+            (0 until 4).map(i => col(s"y$i")): _*),
+        Seq("bp", "k"))
+      .filter(col("d1") =!= col("d2"))
+      .filter(packedLaneAgree("x", "y") >= threshold)
+      .select("d1", "d2")
+    val esc = meta.filter(col("b") > cap)
+      .select(Seq(col("bp"), col("k"), col("anchor")) ++
+        (0 until 4).map(i => col(s"q$i")): _*)
+    // probe rows in escalated buckets, with their quads AND the
+    // anchor's: feed the anchor-pair leg and the chain-member union
+    val escProbeRows = pk.join(esc, Seq("bp", "k"))
+    val escProbe = escProbeRows
+      .filter(col("d1") =!= col("anchor"))
+      .filter(packedLaneAgree("x", "q") >= threshold)
+      .select(col("d1"), col("anchor").as("d2"))
+    val probeIds = probeKeys.select("doc_id").distinct()
+    val escBaseRows = bkSized.filter(col("b") > cap)
+    val escAnchor = escBaseRows
+      .join(probeIds.select(col("doc_id").as("anchor")), Seq("anchor"), "left_semi")
+      .filter(col("d2") =!= col("anchor"))
+      .filter(packedLaneAgree("y", "q") >= threshold)
+      .select(col("anchor").as("d1"), col("d2"))
+    // chain members = escalated base ∪ probe rows with a carried
+    // probe-end flag; the merge aggregate replaces the old distinct
+    // (identical key set — a doc present on both sides carries the
+    // same quads, so the old distinct merged it too) and the flag
+    // replaces the two post-hoc probe-id joins.
+    val members = escBaseRows
+      .select(Seq(col("bp"), col("k"), col("d2").as("doc_id"), lit(0L).as("p")) ++
+        (0 until 4).map(i => col(s"y$i").as(s"r$i")): _*)
+      .unionByName(escProbeRows
+        .select(Seq(col("bp"), col("k"), col("d1").as("doc_id"), lit(1L).as("p")) ++
+          (0 until 4).map(i => col(s"x$i").as(s"r$i")): _*))
+      .groupBy(Seq(col("bp"), col("k"), col("doc_id")) ++
+        (0 until 4).map(i => col(s"r$i")): _*)
+      .agg(max(col("p")).as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bp", "k")
+      .orderBy(col("r0"), col("r1"), col("r2"), col("r3"), col("doc_id"))
+    val chain = members
+      .select(Seq(col("doc_id").as("ca"), col("p").as("pa"),
+        lead("doc_id", 1).over(w).as("cb"),
+        lead(col("p"), 1).over(w).as("pb")) ++ quadAs("x") ++
+        (0 until 4).map(i => lead(col(s"r$i"), 1).over(w).as(s"y$i")): _*)
+      .filter(col("cb").isNotNull && (col("pa") === 1L || col("pb") === 1L))
+      .filter(packedLaneAgree("x", "y") >= threshold)
+      .select(
+        when(col("pa") === 1L, col("ca")).otherwise(col("cb")).as("d1"),
+        when(col("pa") === 1L, col("cb")).otherwise(col("ca")).as("d2"))
+    smallPairs.unionByName(escProbe).unionByName(escAnchor).unionByName(chain)
+      .distinct()
+  }
+
+  /** [[candidatesPaired]] + the >= `threshold`/16 verify fused
+    * in-bucket, emitting (d1, d2, matches) with d1 < d2 — the
+    * uncapped all-pairs form for consumers whose rule has no
+    * escalation (minhashPairs: l2/x12/x36). Same carried-quad
+    * arithmetic and the same equivalence argument as
+    * [[verifiedHybridChainFromKeys]]; `matches` is the pair's full
+    * 16-lane agreement (bucket-independent), so the distinct carries
+    * it unchanged. `keys` must be [[bandPairKeysSorted]] rows. */
+  def verifiedPairedFromKeys(keys: DataFrame, threshold: Int): DataFrame =
+    keys.select(Seq(col("bp"), col("k"), col("doc_id").as("d1")) ++ quadAs("x"): _*)
+      .join(keys.select(Seq(col("bp").as("bp2"), col("k").as("k2"),
+          col("doc_id").as("d2")) ++ quadAs("y"): _*),
+        col("bp") === col("bp2") && col("k") === col("k2") &&
+          col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), packedLaneAgree("x", "y").as("matches"))
+      .filter(col("matches") >= threshold)
+      .distinct()
+
+  /** [[candidatesHybridFromKeys]] + fused verify — the NO-CHAIN
+    * hybrid rule (x86's gated escalation shape: small buckets exact
+    * all-pairs, flooded buckets anchor star, no SNM leg). Output =
+    * agreeAtLeast(candidatesHybridFromKeys(keys, cap), sig, sig,
+    * threshold); `keys` must be [[bandPairKeysSorted]] rows. */
+  def verifiedHybridFromKeys(keys: DataFrame, cap: Int,
+      threshold: Int): DataFrame = {
+    val meta = keys.groupBy("bp", "k").agg(
+      count(lit(1)).as("b"),
+      min("doc_id").as("anchor") +:
+        (0 until 4).map(i => min_by(col(s"r$i"), col("doc_id")).as(s"q$i")): _*)
+    val sized = keys.join(meta, Seq("bp", "k"))
+    val small = sized.filter(col("b") <= cap)
+    val smallPairs = small
+      .select(Seq(col("bp"), col("k"), col("doc_id").as("d1")) ++ quadAs("x"): _*)
+      .join(small.select(Seq(col("bp").as("bp2"), col("k").as("k2"),
+          col("doc_id").as("d2")) ++ quadAs("y"): _*),
+        col("bp") === col("bp2") && col("k") === col("k2") &&
+          col("d1") < col("d2"))
+      .filter(packedLaneAgree("x", "y") >= threshold)
+      .select("d1", "d2")
+    val starPairs = sized.filter(col("b") > cap)
+      .filter(col("doc_id") =!= col("anchor"))
+      .filter(packedLaneAgree("r", "q") >= threshold)
+      .select(col("anchor").as("d1"), col("doc_id").as("d2"))
+    smallPairs.unionByName(starPairs).distinct()
+  }
+
+  /** The asymmetric uncapped form: probe keys x base keys, verify
+    * fused, (d1, d2) with d1 the probe end — the raw batch-vs-corpus
+    * band join + verify (x80's ingest leg) without the two join-backs
+    * to the signature tables. */
+  def verifiedPairedAsymFromKeys(probeKeys: DataFrame, baseKeys: DataFrame,
+      threshold: Int): DataFrame =
+    probeKeys.select(Seq(col("bp"), col("k"), col("doc_id").as("d1")) ++ quadAs("x"): _*)
+      .join(baseKeys.select(Seq(col("bp").as("bp2"), col("k").as("k2"),
+          col("doc_id").as("d2")) ++ quadAs("y"): _*),
+        col("bp") === col("bp2") && col("k") === col("k2") &&
+          col("d1") =!= col("d2"))
+      .filter(packedLaneAgree("x", "y") >= threshold)
+      .select("d1", "d2")
+      .distinct()
+
   /** Keep the candidate pairs whose signatures agree on >= `threshold`
     * of the 16 lanes — the exact-verify step every banded consumer runs
     * after candidate generation. `cand`'s first column joins `left`'s

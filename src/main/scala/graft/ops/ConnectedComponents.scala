@@ -129,12 +129,16 @@ object ConnectedComponents {
     sc.getExecutorMemoryStatus // drain the block-manager endpoint (see minLabel)
     val fenceMs = (System.nanoTime() - tFence) / 1e6
 
-    // Canonical (hi, lo) edge set, self-loops dropped. Partition count
-    // right-sized to the measured graph exactly like minLabel's loop —
-    // the star loop's edge set only SHRINKS from here.
-    // ONE pass over the (possibly expensive) upstream edge plan: dedup
-    // wide, measure, then right-size the loop partitioner on the
-    // already-deduped set — the loop's edge set only SHRINKS from here.
+    // Canonical (hi, lo) edges, self-loops dropped — NOT deduped here
+    // (round 15, guide §2.4 remove shuffles): every shipped caller
+    // passes an already-distinct pair set (verified near-dup pairs,
+    // forest rows), so the only residual duplicates are rare
+    // cross-orientation collisions after canonicalization — and each
+    // loop round ends in distinct(loopN) anyway, so round 1 absorbs
+    // them. The old up-front distinct was one full extra shuffle +
+    // materialization of the edge set per stars() call; nEdges (the
+    // sizing heuristic and the trace figure) now counts pre-dedup
+    // rows, an upper bound that can only widen the partitioner.
     val eWide = edges
       .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
       .as[(Long, Long)].rdd
@@ -142,7 +146,6 @@ object ConnectedComponents {
         if (a == b) Iterator.empty
         else Iterator((math.max(a, b), math.min(a, b)))
       }
-      .distinct(sc.defaultParallelism)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var nEdges = eWide.count()
     val loopN = math.max(1L, nEdges / 262144L + 1L)

@@ -306,6 +306,94 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("fused in-bucket verify == candidates + agreeAtLeast (sym and asym)") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.MinHash
+    // Round-15 law: every candidate pair forms inside a shared (bp, k)
+    // bucket whose packed key pins 8 lanes equal, so 8 + agreement of
+    // the carried complement quads IS the pair's full 16-lane
+    // agreement — the fused verify must reproduce the retired
+    // candidates→join-back→count composition bit for bit. Two
+    // corpora: the x87 drift-chain fixture (flooded bucket, chain
+    // recovered only by the SNM leg) and a REAL corpus with a planted
+    // template flood (all three escalation legs + ordinary buckets).
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chainSig = spark.range(100).select(
+      col("id").as("doc_id") +: (0 until 16).map { i =>
+        (if (i < 8) lit(0L) else expr(s"(id + ${i - 8}) div 4")).as(s"mh$i")
+      }: _*).cache()
+    val chainKeys = MinHash.bandPairKeysSorted(chainSig).cache()
+    try {
+      val refSym = pairSet(MinHash.agreeAtLeast(
+        MinHash.candidatesHybridChainFromKeys(chainKeys, 16),
+        chainSig, chainSig, 14))
+      assert(refSym == (0L to 98L).map(i => (i, i + 1)).toSet)
+      assert(pairSet(
+        MinHash.verifiedHybridChainFromKeys(chainKeys, 16, 14)) == refSym)
+      val probe = MinHash.bandPairKeysSorted(
+        chainSig.filter(col("doc_id") % 5 === 0))
+      val refAsym = pairSet(MinHash.agreeAtLeast(
+        MinHash.candidatesHybridChainAsymFromKeys(probe, chainKeys, 16),
+        chainSig, chainSig, 14))
+      assert(refAsym.nonEmpty)
+      // ordered comparison: the probe end must land in d1 both ways
+      assert(pairSet(MinHash.verifiedHybridChainAsymFromKeys(
+        probe, chainKeys, 16, 14)) == refAsym)
+      // uncapped all-pairs variants (minhashPairs / x80's legs):
+      // fused == candidates + agreeAtLeast, and matches is the true
+      // 16-lane agreement count
+      val refPaired = MinHash.agreeAtLeast(
+        MinHash.candidatesPaired(chainSig), chainSig, chainSig, 14)
+      assert(pairSet(MinHash.verifiedPairedFromKeys(chainKeys, 14)
+        .select("d1", "d2")) == pairSet(refPaired))
+      assert(MinHash.verifiedPairedFromKeys(chainKeys, 14)
+        .collect().forall(r => r.getLong(2) >= 14 && r.getLong(2) <= 16))
+      val refPA = pairSet(MinHash.agreeAtLeast(
+        probe.select("doc_id", "bp", "k").toDF("d1", "bp", "k")
+          .join(chainKeys.select("doc_id", "bp", "k").toDF("d2", "bp2", "k2"),
+            col("bp") === col("bp2") && col("k") === col("k2") &&
+              col("d1") =!= col("d2"))
+          .select("d1", "d2").distinct(),
+        chainSig, chainSig, 14))
+      assert(pairSet(MinHash.verifiedPairedAsymFromKeys(
+        probe, chainKeys, 14)) == refPA)
+    } finally {
+      chainSig.unpersist(false); chainKeys.unpersist(false)
+      spark.catalog.clearCache()
+    }
+    val corpus = MinHash.docs(spark, sf0001).select("doc_id", "text")
+      .union(graft.llm.DedupQueries.templateCorpus(spark, 400, 2000)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val sig = MinHash.signaturesFromSets(
+      MinHash.shingleSets(corpus, 5).filter(col("c") > 0)).cache()
+    val keys = MinHash.bandPairKeysSorted(sig).cache()
+    try {
+      val refSym = pairSet(MinHash.agreeAtLeast(
+        MinHash.candidatesHybridChainFromKeys(keys, 16), sig, sig, 14))
+      assert(refSym.size > 300, s"fixture degenerate: ${refSym.size}")
+      assert(pairSet(
+        MinHash.verifiedHybridChainFromKeys(keys, 16, 14)) == refSym)
+      // no-chain hybrid variant (x86's rule) on the same flooded corpus
+      assert(pairSet(MinHash.verifiedHybridFromKeys(keys, 16, 14)) ==
+        pairSet(MinHash.agreeAtLeast(
+          MinHash.candidatesHybridFromKeys(keys, 16), sig, sig, 14)))
+      // asym split: batch = planted half + a real third (probe ⊆ base,
+      // the maintainClusters shape)
+      val isProbe = col("doc_id") % 3 === 0 || col("doc_id") >= 1000200L
+      val pkeys = MinHash.bandPairKeysSorted(sig.filter(isProbe))
+      val refAsym = pairSet(MinHash.agreeAtLeast(
+        MinHash.candidatesHybridChainAsymFromKeys(pkeys, keys, 16),
+        sig, sig, 14))
+      assert(refAsym.size > 300, s"asym fixture degenerate: ${refAsym.size}")
+      assert(pairSet(MinHash.verifiedHybridChainAsymFromKeys(
+        pkeys, keys, 16, 14)) == refAsym)
+    } finally {
+      sig.unpersist(false); keys.unpersist(false)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("x86 hybrid escalation: lossless at cap=infinity, planted cluster recalled at cap=16") {
     import org.apache.spark.sql.functions._
     import graft.llm.MinHash
@@ -512,12 +600,26 @@ class DedupSpec extends AnyFunSuite {
           .map(_.getLong(2))
           .map(b => if (b <= cap) b * (b - 1) / 2 else 2 * (b - 1)).sum
         val probeIds = data.map(_._1).filter(_ % 3 == 0).toSet
+        val pkeys = MinHash.bandPairKeysSorted(sig.filter(col("doc_id") % 3 === 0))
         val asym = MinHash.candidatesHybridChainAsymFromKeys(
-          MinHash.bandPairKeysSorted(sig.filter(col("doc_id") % 3 === 0)),
-          keys, cap).collect().map(r => (r.getLong(0), r.getLong(1)))
+          pkeys, keys, cap).collect().map(r => (r.getLong(0), r.getLong(1)))
+        // round-15 law: the fused in-bucket verify reproduces the
+        // candidates → agreeAtLeast composition exactly, sym and asym
+        // (random 0/1 lanes exercise pass and fail at threshold 14)
+        def ordered(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val verSymOk = canon(MinHash.verifiedHybridChainFromKeys(keys, cap, 14)) ==
+          canon(MinHash.agreeAtLeast(
+            MinHash.candidatesHybridChainFromKeys(keys, cap), sig, sig, 14))
+        val verAsymOk = ordered(MinHash.verifiedHybridChainAsymFromKeys(
+          pkeys, keys, cap, 14)) ==
+          ordered(MinHash.agreeAtLeast(
+            MinHash.candidatesHybridChainAsymFromKeys(pkeys, keys, cap),
+            sig, sig, 14))
         (chain subsetOf paired) &&
           chainInf == paired &&
           chain.size <= bound &&
+          verSymOk && verAsymOk &&
           asym.forall { case (d1, d2) =>
             probeIds(d1) && paired((d1.min(d2), d1.max(d2)))
           }
